@@ -1,0 +1,74 @@
+"""Deterministic, engine-portable aggregate expressions.
+
+Why these exist: the correctness gate hash-compares Spark output against
+a DuckDB oracle. Plain ``SUM(double)`` is order-dependent (floating
+addition isn't associative, and Spark's partial/final aggregation order
+differs run to run and engine to engine). Casting each addend to a fixed
+DECIMAL first makes the sum *exact* and therefore order-independent —
+two engines summing the same multiset of decimals agree bit-for-bit,
+and the final ``CAST(... AS DOUBLE)`` + ``ROUND`` are deterministic
+unary ops. This is also the right call at 100 TB: decimal partial
+aggregates combine associatively, so map-side partial aggregation stays
+correct and reproducible across any shuffle/AQE re-plan.
+
+The matching DuckDB SQL idioms (used in every oracle string):
+
+    ROUND(CAST(SUM(CAST(x       AS DECIMAL(18,4))) AS DOUBLE), 2)
+    ROUND(CAST(SUM(CAST(x * y   AS DECIMAL(18,6))) AS DOUBLE), 2)
+    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(col: Column, scale: int = 4, precision: int = 18) -> Column:
+    """Exact (order-independent) sum: cast to decimal, sum, back to double."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def money_sum(col: Column, scale: int = 4, digits: int = 2) -> Column:
+    """Rounded exact sum — the standard form for price/value aggregates."""
+    return F.round(dec_sum(col, scale=scale), digits)
+
+
+def dec_avg(col: Column, scale: int = 4) -> Column:
+    """Order-independent average: exact decimal sum / non-null count."""
+    return dec_sum(col, scale=scale) / F.count(col)
+
+
+def money_avg(col: Column, scale: int = 4, digits: int = 2) -> Column:
+    return F.round(dec_avg(col, scale=scale), digits)
+
+
+def ts_str(col: Column, micros: bool = False) -> Column:
+    """Timestamp → canonical string (matches DuckDB strftime in oracles).
+
+    Second precision by default; ``micros=True`` → 6-digit fraction
+    (DuckDB ``%f``).
+    """
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" if micros else "yyyy-MM-dd HH:mm:ss"
+    return F.date_format(col, fmt)
+
+
+# DuckDB-side equivalents, for building oracle SQL strings.
+def sql_money_sum(expr: str, scale: int = 4, digits: int = 2) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), {digits})"
+
+
+def sql_dec_sum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def sql_money_avg(expr: str, scale: int = 4, digits: int = 2) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}), {digits})"
+    )
+
+
+def sql_ts_str(expr: str, micros: bool = False) -> str:
+    fmt = "%Y-%m-%d %H:%M:%S.%f" if micros else "%Y-%m-%d %H:%M:%S"
+    return f"strftime({expr}, '{fmt}')"

@@ -1,0 +1,13 @@
+"""Global query registry — single source of truth for __spark_entry__,
+tests, and bench. Import order = SURVEY.md §2.3 declaration order."""
+
+from __future__ import annotations
+
+from etl_wikipedia_updates_spark.plans.base import QueryRegistry
+from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
+
+REGISTRY = QueryRegistry()
+REGISTRY.extend(RELATIONAL_QUERIES)
+
+for _loader in ():
+    pass

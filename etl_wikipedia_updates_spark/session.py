@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Determinism knobs come first (they gate duckdb-oracle hash matching):
+UTC session timezone, ANSI off (we want permissive casts like the
+reference's lenient ingest), Arrow on for the Pandas-UDF surface.
+
+Performance knobs are sized for the local[32] test harness but chosen so
+the same code scales: AQE handles runtime re-planning (partition
+coalescing, skew joins) on a real cluster exactly as it does locally;
+``spark.sql.shuffle.partitions`` is only the *initial* shuffle
+parallelism — with AQE coalescing enabled the effective partition count
+adapts to data volume, so a 1000-executor deployment overrides one conf
+value rather than any code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "etl_wikipedia_updates_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Parameters are overridable for tests/bench; defaults fit local[N].
+    """
+    cpus = int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- determinism (oracle hash-matching) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # --- adaptive execution: the main scale lever ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing: initial parallelism ~= cores locally; AQE
+        # coalesces small partitions, so this is safe at every SF ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        # --- Python <-> JVM transfer is Arrow-batched, never pickled rows ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dim tables (region/nation/supplier/...) should always broadcast;
+        # 64MB covers every dim at sf0.1 while staying executor-safe
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) — read as long, converted
+        # to microsecond timestamps in tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,72 @@
+"""Parquet table catalog over a test-data scale-factor directory.
+
+The driver materializes ``region nation customer supplier part orders
+lineitem events documents embeddings`` as one parquet file each under
+``/root/testdata/sf*/`` (TESTDATA.md). At 100 TB these would be
+multi-file partitioned datasets; ``spark.read.parquet`` handles both
+shapes identically, and every declared query reads through this catalog
+so the storage layout is swappable in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic SF.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # events.parquet stores ts as Parquet TIMESTAMP(NANOS), which the Spark
+    # reader rejects. Read nanos as long (legacy conf) and floor-convert to
+    # microsecond timestamps — the same ns→us truncation DuckDB applies, so
+    # oracle comparisons see identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+        if ts_type.get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL-form queries).
+
+    Returns the DataFrames keyed by name.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
