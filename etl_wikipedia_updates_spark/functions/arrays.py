@@ -40,18 +40,24 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 # --- DuckDB oracle-side equivalents (same fold order) ---
+#
+# DuckDB's list_reduce has no initial accumulator (it starts from the
+# first element and errors on empty lists), so the oracle prepends the
+# same 0.0 seed Spark's F.aggregate uses: identical fold sequence
+# (0.0 + x1) + x2 + ..., identical result bit-for-bit, and empty arrays
+# yield 0.0 on both engines.
 
 def sql_dot_product(a: str, b: str) -> str:
     return (
-        f"list_reduce(list_transform(list_zip({a}, {b}), "
-        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
     )
 
 
 def sql_l2_norm(a: str) -> str:
     return (
-        f"sqrt(list_reduce(list_transform({a}, "
-        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))"
     )
 
 

@@ -187,19 +187,22 @@ ORDER BY r_name
 
 # --- Q7: semi / anti join --------------------------------------------------
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi/left_anti never materialize the probe side's payload —
-    at scale this is a shuffle of keys only (or broadcast of the dim)."""
+    """Single pass: left-join customer to the distinct order keys, then a
+    conditional count splits matched (semi) from unmatched (anti) — one
+    scan of each table and one join instead of two of each."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    with_orders = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .agg(F.count("*").alias("customers_with_orders"))
+    order_keys = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    joined = customer.join(
+        order_keys, customer.c_custkey == order_keys.o_custkey, "left"
     )
-    without_orders = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .agg(F.count("*").alias("customers_without_orders"))
+    return joined.agg(
+        F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias(
+            "customers_with_orders"
+        ),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+            "customers_without_orders"
+        ),
     )
-    return with_orders.crossJoin(without_orders)
 
 
 Q7_SQL = """

@@ -4,10 +4,9 @@ tests, and bench. Import order = SURVEY.md §2.3 declaration order."""
 from __future__ import annotations
 
 from etl_wikipedia_updates_spark.plans.base import QueryRegistry
+from etl_wikipedia_updates_spark.plans.events import EVENTS_QUERIES
 from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 
 REGISTRY = QueryRegistry()
 REGISTRY.extend(RELATIONAL_QUERIES)
-
-for _loader in ():
-    pass
+REGISTRY.extend(EVENTS_QUERIES)

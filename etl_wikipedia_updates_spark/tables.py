@@ -42,16 +42,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     # events.parquet stores ts as Parquet TIMESTAMP(NANOS), which the Spark
-    # reader rejects. Read nanos as long (legacy conf) and floor-convert to
-    # microsecond timestamps — the same ns→us truncation DuckDB applies, so
-    # oracle comparisons see identical values.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # reader rejects. The session factory sets
+    # spark.sql.legacy.parquet.nanosAsLong so nanos arrive as long; we
+    # floor-convert to microsecond timestamps — floor (not truncate-toward-
+    # zero) so pre-epoch nanos match DuckDB's conversion too. ts - pmod is
+    # exactly divisible by 1000, so integer div is a true floor here.
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
         if ts_type.get("ts") == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
             )
     return df
 
