@@ -9,12 +9,12 @@ operator surface a 100 TB training-data pipeline needs.
 Layout:
 - ``session``    SparkSession factory (determinism + perf knobs)
 - ``tables``     parquet table catalog over the test-data directories
-- ``plans``      declared batch queries (Q1-Q28) + duckdb oracle SQL
-- ``pipeline``   wiki recentchange event transform (reference parity, W1-W5)
-- ``streaming``  Structured Streaming ingest, retention, dedup, metrics (S1-S5)
-- ``sources``    SSE custom DataSource + file-replay source
+- ``plans``      declared batch queries (Q1-Q28 + named north-star ops)
+- ``registry``   the query registry driving __spark_entry__/tests/bench
 - ``operators``  dedup / similarity / text-analysis / multimodal (north star)
-- ``functions``  reusable column expressions (array math, hashing, text)
+- ``functions``  reusable column expressions (array math, deterministic aggs)
+- ``pipeline``   wiki recentchange event transform (reference parity, W1-W5)
+- ``streaming``  Structured Streaming ingest, retention, dedup (S1-S5)
 """
 
 __version__ = "0.1.0"

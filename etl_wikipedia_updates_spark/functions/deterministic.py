@@ -43,6 +43,27 @@ def money_avg(col: Column, scale: int = 4, digits: int = 2) -> Column:
     return F.round(dec_avg(col, scale=scale), digits)
 
 
+def det_round(col: Column, digits: int) -> Column:
+    """Deterministic cross-engine rounding for raw doubles.
+
+    Spark's ROUND(double) rounds the double's *shortest decimal print*
+    (BigDecimal.valueOf), DuckDB rounds the *binary value* — they
+    disagree whenever the true value sits just under a half boundary
+    that prints as exactly half (e.g. 0.5095 -> Spark .510, DuckDB
+    .509). floor(x*10^d + 0.5)/10^d is pure IEEE arithmetic, so both
+    engines compute bit-identical results (semantics: half toward
+    +inf). Use for any rounded double that came from a double division
+    or fold; decimal-backed aggregates can keep plain ROUND.
+    """
+    s = float(10**digits)
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
+def sql_det_round(expr: str, digits: int) -> str:
+    s = float(10**digits)
+    return f"(floor(({expr}) * {s} + 0.5) / {s})"
+
+
 def ts_str(col: Column, micros: bool = False) -> Column:
     """Timestamp → canonical string (matches DuckDB strftime in oracles).
 

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+All vector math is JVM-side (``functions.arrays``: zip_with/aggregate
+folds) — no Python round trips. Three strategies, by scale:
+
+1. ``cosine_topk`` — brute force. Exact; O(|queries| x n). Right when
+   the query set is small (broadcast) or n is modest.
+2. ``cosine_topk_ivf`` — IVF-style: a coarse partition column (here the
+   pre-assigned ``label``; in general a cluster id from any assignment)
+   restricts the search to one cell. The probe is an equi-join on the
+   cell key — shuffle-partitioned, never all-pairs. This is the 100 TB
+   shape: cells bound candidate counts, and cell ids can be bucketed
+   for storage co-location.
+3. ``cosine_near_pairs`` — blocked pair generation (same cell), for
+   near-dup detection rather than top-k.
+
+A random-hyperplane LSH variant of (2) — sign-bit bucket from
+dot(v, r_i) over fixed pseudo-random hyperplanes — drops in the same
+way (bucket id instead of label); IVF-by-label is implemented because
+the test corpus ships cluster assignments, making the oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.functions.arrays import cosine_similarity
+from etl_wikipedia_updates_spark.functions.deterministic import det_round
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    emb: DataFrame, queries: DataFrame, k: int, exclude_self: bool = True
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (brute force).
+
+    queries: (q_vec_id, q_embedding) — small; broadcast so the scan of
+    ``emb`` happens exactly once with no shuffle of the big side. The
+    per-query top-k is a ranked window on q_vec_id (k rows survive per
+    query).
+    """
+    q = F.broadcast(queries)
+    joined = emb.crossJoin(q)
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("q_vec_id"))
+    sim = cosine_similarity(
+        _as_double(F.col("q_embedding")), _as_double(F.col("embedding"))
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.select("q_vec_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_vec_id",
+            "rank",
+            "vec_id",
+            det_round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame, queries: DataFrame, k: int, cell_col: str = "label"
+) -> DataFrame:
+    """IVF top-k: probe only the query's cell (equi-join on cell id).
+
+    queries: (q_vec_id, q_embedding, <cell_col>). Approximate iff true
+    neighbors live outside the probed cell; n_probes>1 = union more
+    cells. Join is shuffle-partitioned on the cell key — candidate
+    count is bounded by cell size, independent of corpus size.
+    """
+    q = F.broadcast(
+        queries.select(
+            "q_vec_id", "q_embedding", F.col(cell_col).alias("q_cell")
+        )
+    )
+    joined = emb.join(q, emb[cell_col] == q["q_cell"]).filter(
+        F.col("vec_id") != F.col("q_vec_id")
+    )
+    sim = cosine_similarity(
+        _as_double(F.col("q_embedding")), _as_double(F.col("embedding"))
+    )
+    w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.select("q_vec_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_vec_id",
+            "rank",
+            "vec_id",
+            det_round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def cosine_near_pairs(
+    emb: DataFrame, threshold: float, cell_col: str = "label"
+) -> DataFrame:
+    """(vec_id, vec_id2, cos_sim) pairs above threshold, blocked by cell.
+
+    The pair space is per-cell (equi-join on the cell key + id
+    inequality), so the quadratic term is bounded by the largest cell,
+    not the corpus. Skewed cells would be salted/sub-clustered at scale.
+    """
+    left = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("e1"),
+    )
+    right = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.col("vec_id").alias("vec_id2"),
+        F.col("embedding").alias("e2"),
+    )
+    sim = cosine_similarity(_as_double(F.col("e1")), _as_double(F.col("e2")))
+    return (
+        left.join(right, ["cell"])
+        .filter(F.col("vec_id") < F.col("vec_id2"))
+        .select("vec_id", "vec_id2", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            "vec_id", "vec_id2", det_round(F.col("sim"), 4).alias("cos_sim")
+        )
+    )

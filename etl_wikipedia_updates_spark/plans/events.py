@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_wikipedia_updates_spark.functions.deterministic import (
+    det_round,
     money_sum,
     sql_money_sum,
     sql_ts_str,
@@ -212,7 +213,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.round(
+            det_round(
                 F.sum("len_us").cast("double") / F.count("*") / 1_000_000, 3
             ).alias("avg_session_sec"),
         )
@@ -240,7 +241,7 @@ sess AS (
 SELECT user_id,
        COUNT(*) AS n_sessions,
        CAST(SUM(n_events) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(len_us) AS DOUBLE) / COUNT(*) / 1000000, 3) AS avg_session_sec
+       (floor((CAST(SUM(len_us) AS DOUBLE) / COUNT(*) / 1000000) * 1000.0 + 0.5) / 1000.0) AS avg_session_sec
 FROM sess
 GROUP BY user_id
 ORDER BY user_id

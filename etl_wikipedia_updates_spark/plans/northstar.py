@@ -1,0 +1,702 @@
+"""North-star queries Q23-Q28 + extended training-pipeline operators.
+
+Q23-Q28 are the SURVEY.md §2.3 contract rows; the extra named queries
+(minhash_lsh, simhash_pairs, lang_id, text_quality, token_stats,
+doc_fingerprint, ann_ivf, cosine_neardup, multimodal_bytes) are the
+first-class LLM-data-pipeline operator surface — each is a thin plan
+over ``operators/`` with a DuckDB oracle.
+
+Determinism: token->id mappings come from a sorted dictionary
+(operators.text.token_dictionary) and all hashing is integer
+arithmetic with constants shared verbatim between the Spark plans and
+the oracle SQL, so both engines compute identical values. Vector math
+folds sequentially with the same seed on both engines
+(functions.arrays).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from etl_wikipedia_updates_spark.functions.arrays import (
+    cosine_similarity,
+    sql_cosine_similarity,
+)
+from etl_wikipedia_updates_spark.functions.deterministic import (
+    det_round,
+    money_sum,
+    sql_det_round,
+)
+from etl_wikipedia_updates_spark.operators import dedup as D
+from etl_wikipedia_updates_spark.operators import multimodal as M
+from etl_wikipedia_updates_spark.operators import similarity as S
+from etl_wikipedia_updates_spark.operators import text as T
+from etl_wikipedia_updates_spark.operators.text import HASH_P
+from etl_wikipedia_updates_spark.plans.base import DeclaredQuery
+from etl_wikipedia_updates_spark.tables import load_table
+
+# --- shared oracle SQL fragments --------------------------------------------
+SQL_TOK = (
+    "SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term "
+    "FROM documents"
+)
+SQL_DTOK = (
+    "SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) "
+    "AS term FROM documents"
+)
+SQL_DICT = (
+    "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid "
+    "FROM (SELECT DISTINCT term FROM dtok)"
+)
+
+JACCARD_THRESHOLD = 0.8
+COSINE_NEARDUP_THRESHOLD = 0.35
+
+
+# --- Q23: word count ---------------------------------------------------------
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 corpus terms. Explode -> two-phase count -> top-k; the
+    final orderBy+limit is TakeOrderedAndProject over |vocab| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.doc_tokens(docs)
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+Q23_SQL = f"""
+WITH tok AS ({SQL_TOK})
+SELECT term, COUNT(*) AS cnt FROM tok
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
+# --- Q24: exact dedup (reference R10) ----------------------------------------
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup on the natural key, mirroring the
+    reference's UNIQUE(event_timestamp, username, title) semantics
+    (/root/reference/pipeline.py:216) on the events table."""
+    events = load_table(spark, sf_dir, "events")
+    kept = D.exact_dedup(
+        events, keys=["user_id", "event_type", "ts"], order_by=["event_id"]
+    )
+    return kept.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+
+
+Q24_SQL = """
+SELECT COUNT(*) AS n_survivors, CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT event_id,
+         row_number() OVER (PARTITION BY user_id, event_type, ts
+                            ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- Q25: cosine top-k (brute force) -----------------------------------------
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors of vec_id=0. Query side is broadcast; the
+    corpus is scanned once. Scale path: ann_ivf below (cell-probed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    out = S.cosine_topk(emb, queries, k=5)
+    return out.select(
+        "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
+    ).orderBy("q_vec_id", "rk")
+
+
+Q25_SQL = f"""
+WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT q.q_vec_id, e.vec_id,
+         {sql_cosine_similarity('q.qe', 'e.embedding')} AS cos
+  FROM embeddings e, q WHERE e.vec_id != q.q_vec_id
+)
+SELECT q_vec_id,
+       CAST(row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+       vec_id, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+FROM pairs
+QUALIFY rk <= 5
+ORDER BY q_vec_id, rk
+"""
+
+
+# --- Q26: Jaccard near-dup ---------------------------------------------------
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard via an inverted-index equi-join on
+    (lang, term) — pair candidates only materialize where a token is
+    shared, never a cross join. The sub-quadratic scale path for hostile
+    vocabularies is minhash_lsh below."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = T.doc_tokens(docs, distinct=True)
+    sizes = dtok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = dtok.select("lang", "term", F.col("doc_id").alias("d1"))
+    b = dtok.select("lang", "term", F.col("doc_id").alias("d2"))
+    inter = (
+        a.join(b, ["lang", "term"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("i").cast("double") / (
+        (F.col("n1") + F.col("n2") - F.col("i")).cast("double")
+    )
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.col("d1").alias("doc_id"),
+            F.col("d2").alias("doc_id2"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id", "doc_id2", det_round(F.col("jaccard"), 4).alias("jaccard"))
+        .orderBy("doc_id", "doc_id2")
+    )
+
+
+Q26_SQL = f"""
+WITH dtok AS ({SQL_DTOK}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM dtok a JOIN dtok b
+    ON a.term = b.term AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1 AS doc_id, d2 AS doc_id2,
+       (floor((CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_id, doc_id2
+"""
+
+
+# --- Q27: label centroid distance --------------------------------------------
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid then mean member distance. Vectors fold in
+    vec_id order with the first member as seed, so both engines perform
+    the identical IEEE addition sequence; the final mean goes through
+    an exact decimal sum (order-independent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    grouped = v.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs"),
+        F.count("*").alias("n"),
+    )
+    seed = F.element_at("vs", 1).getField("v")
+    rest = F.slice("vs", 2, F.greatest(F.size("vs") - 1, F.lit(0)))
+    sumv = F.aggregate(
+        rest, seed, lambda acc, s: F.zip_with(acc, s.getField("v"), lambda x, y: x + y)
+    )
+    centroids = grouped.select(
+        "label",
+        "n",
+        F.transform(sumv, lambda x: x / F.col("n")).alias("c"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    member_dists = v.join(F.broadcast(centroids), "label").select(
+        "label", dist.alias("dist")
+    )
+    return (
+        member_dists.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            det_round(
+                F.sum(F.col("dist").cast("decimal(18,8)")).cast("double")
+                / F.count("dist"),
+                4,
+            ).alias("avg_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+Q27_SQL = """
+WITH v AS (
+  SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+agg AS (
+  SELECT label, COUNT(*) AS n, list(v ORDER BY vec_id) AS vs
+  FROM v GROUP BY label
+),
+cent AS (
+  SELECT label, n,
+         list_transform(
+           list_reduce(vs, (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+           s -> s / n) AS c
+  FROM agg
+),
+d AS (
+  SELECT v.label,
+         sqrt(list_reduce(
+           list_prepend(0.0, list_transform(list_zip(v.v, cent.c),
+                                            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (acc, x) -> acc + x)) AS dist
+  FROM v JOIN cent ON v.label = cent.label
+)
+SELECT label, COUNT(*) AS n_members,
+       (floor((CAST(SUM(CAST(dist AS DECIMAL(18,8))) AS DOUBLE) / COUNT(dist)) * 10000.0 + 0.5) / 10000.0) AS avg_dist
+FROM d GROUP BY label ORDER BY label
+"""
+
+
+# --- Q28: pandas_udf surface -------------------------------------------------
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sanctioned pandas_udf example: two Arrow-batched scalar UDFs
+    in a grouped plan. Everything around the UDFs (agg, ordering) stays
+    JVM-side; only the column math crosses to Python, vectorized.
+    (Defined in-function: pandas_udf type parsing needs a live session.)
+    """
+
+    @pandas_udf("long")
+    def _key_diff(a: pd.Series, b: pd.Series) -> pd.Series:
+        # R8 semantics (new - old, /root/reference/pipeline.py:116) as an
+        # Arrow-batched scalar UDF: exact integer subtraction.
+        return a - b
+
+    @pandas_udf("double")
+    def _disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # price * (1 - discount), same IEEE op order as the SQL oracle.
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            _key_diff(F.col("l_partkey"), F.col("l_suppkey")).alias("kd"),
+            _disc_price(F.col("l_extendedprice"), F.col("l_discount")).alias("dp"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("kd").alias("sum_key_diff"),
+            money_sum(F.col("dp"), scale=6).alias("sum_disc_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q28_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(l_partkey - l_suppkey) AS BIGINT) AS sum_key_diff,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- minhash_lsh: MinHash + LSH near-dup (scale path for Q26) -----------------
+MINHASH_H = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+MINHASH_PARAMS = D.hash_params(MINHASH_H)
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify pipeline: signatures in one grouped agg,
+    banding turns the pair space into bucket equi-joins, candidates are
+    verified with exact Jaccard. Sub-quadratic: only bucket-colliding
+    docs ever pair up."""
+    docs = load_table(spark, sf_dir, "documents")
+    dictionary = T.token_dictionary(docs)
+    dtok = T.doc_tokens(docs, distinct=True).join(F.broadcast(dictionary), "term")
+    sig = D.minhash_signatures(
+        dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
+    )
+    cand = D.lsh_candidate_pairs(sig, MINHASH_BANDS, MINHASH_ROWS)
+    tok_arrays = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(T.tokens_col())).alias("toks"),
+    )
+    verified = D.jaccard_verify(cand, tok_arrays, JACCARD_THRESHOLD)
+    return verified.select(
+        "doc_id", "doc_id2", det_round(F.col("jaccard"), 4).alias("jaccard")
+    ).orderBy("doc_id", "doc_id2")
+
+
+def _minhash_sql() -> str:
+    sig_cols = ", ".join(
+        f"MIN(({a} * tid + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, lang, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key="||'_'||".join(
+                f"CAST(h{b * MINHASH_ROWS + r} AS VARCHAR)"
+                for r in range(MINHASH_ROWS)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH dtok AS ({SQL_DTOK}),
+dict AS ({SQL_DICT}),
+dt AS (SELECT t.doc_id, t.lang, d.tid FROM dtok t JOIN dict d USING (term)),
+sig AS (SELECT doc_id, lang, {sig_cols} FROM dt GROUP BY doc_id, lang),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM banded a JOIN banded c
+    ON a.lang = c.lang AND a.band = c.band AND a.band_key = c.band_key
+   AND a.doc_id < c.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT cand.d1, cand.d2, COUNT(*) AS i
+  FROM cand
+  JOIN dt t1 ON t1.doc_id = cand.d1
+  JOIN dt t2 ON t2.doc_id = cand.d2 AND t2.tid = t1.tid
+  GROUP BY 1, 2
+)
+SELECT d1 AS doc_id, d2 AS doc_id2,
+       (floor((CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_id, doc_id2
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+# --- simhash_pairs: SimHash near-dup ------------------------------------------
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + pigeonhole-bucketed pair search
+    (hamming <= 3 over 4 chunks => some chunk equal => candidates come
+    from 4 equi-joins, never a cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dictionary = T.token_dictionary(docs)
+    dtok = T.doc_tokens(docs, distinct=True).join(F.broadcast(dictionary), "term")
+    fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid"))
+    pairs = D.simhash_near_pairs(fps, SIMHASH_MAX_HAMMING)
+    return pairs.orderBy("doc_id", "doc_id2")
+
+
+SIMHASH_SQL = f"""
+WITH dtok AS ({SQL_DTOK}),
+dict AS ({SQL_DICT}),
+dt AS (SELECT t.doc_id, t.lang, d.tid FROM dtok t JOIN dict d USING (term)),
+bits AS (
+  SELECT doc_id, lang, b.b,
+         SUM(CASE WHEN ((({D.SIMHASH_A} * tid + {D.SIMHASH_B}) % {D.SIMHASH_MOD}) >> b.b) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM dt CROSS JOIN (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS b) b
+  GROUP BY doc_id, lang, b.b
+),
+fps AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id, lang
+)
+SELECT a.doc_id, b.doc_id AS doc_id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY 1, 2
+"""
+
+
+# --- lang_id: language-ID by token profile ------------------------------------
+LANG_PROFILE_N = 10
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of profile-overlap language-ID. The profile
+    model is data-derived (per-lang top terms) and broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = T.corpus_top_terms(docs, LANG_PROFILE_N, per_lang=True)
+    pred = T.predict_language(docs, profiles)
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+LANG_ID_SQL = f"""
+WITH tok AS ({SQL_TOK}),
+counts AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term),
+prof AS (
+  SELECT lang AS cand_lang, term
+  FROM (SELECT lang, term,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+        FROM counts)
+  WHERE rk <= {LANG_PROFILE_N}
+),
+dtok AS ({SQL_DTOK}),
+ov AS (
+  SELECT d.doc_id, p.cand_lang, COUNT(*) AS n_overlap
+  FROM (SELECT DISTINCT doc_id, term FROM dtok) d
+  JOIN prof p USING (term)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang
+  FROM (SELECT doc_id, cand_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_overlap DESC, cand_lang) AS rk
+        FROM ov)
+  WHERE rk = 1
+)
+SELECT d.lang, COALESCE(b.cand_lang, 'unknown') AS predicted_lang, COUNT(*) AS n
+FROM documents d LEFT JOIN best b USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- text_quality: per-doc quality features -----------------------------------
+STOPWORD_N = 20
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = T.corpus_top_terms(docs, STOPWORD_N).select("term")
+    return T.quality_features(docs, stop).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = f"""
+WITH tok AS ({SQL_TOK}),
+stop AS (
+  SELECT term
+  FROM (SELECT term, COUNT(*) AS cnt,
+               row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+        FROM tok GROUP BY term)
+  WHERE rk <= {STOPWORD_N}
+),
+feat AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT term) AS n_distinct,
+         SUM(length(term)) AS sum_len,
+         COUNT(CASE WHEN term IN (SELECT term FROM stop) THEN 1 END) AS n_stop,
+         COUNT(CASE WHEN regexp_matches(term, '^[a-z]+$') THEN 1 END) AS n_alpha
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       (floor((CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000.0 + 0.5) / 1000.0) AS avg_token_len,
+       (floor((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000.0 + 0.5) / 1000.0) AS stop_ratio,
+       (floor((CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000.0 + 0.5) / 1000.0) AS alpha_ratio,
+       (floor((0.4 * (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (1 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100)) * 1000.0 + 0.5) / 1000.0) AS quality_score
+FROM feat ORDER BY doc_id
+"""
+
+
+# --- token_stats: corpus token accounting per source --------------------------
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counting (the BPE-ish pre-tokenizer
+    pass of a training pipeline), aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.size(T.tokens_col()).cast("bigint").alias("nt"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+")).cast("bigint").alias("nr"),
+    )
+    distinct_terms = (
+        T.doc_tokens(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.countDistinct("term").alias("n_distinct_terms"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nr").alias("n_alpha_runs"),
+            det_round(
+                F.sum("nt").cast("double") / F.count("*"), 3
+            ).alias("avg_tokens_per_doc"),
+        )
+        .join(distinct_terms, "source")
+        .select(
+            "source", "n_docs", "n_tokens", "n_alpha_runs",
+            "avg_tokens_per_doc", "n_distinct_terms",
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_STATS_SQL = f"""
+WITH per_doc AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS nr
+  FROM documents
+),
+tok AS ({SQL_TOK}),
+dterms AS (
+  SELECT d.source, COUNT(DISTINCT t.term) AS n_distinct_terms
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY d.source
+)
+SELECT p.source, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(nr) AS BIGINT) AS n_alpha_runs,
+       (floor((CAST(SUM(nt) AS DOUBLE) / COUNT(*)) * 1000.0 + 0.5) / 1000.0) AS avg_tokens_per_doc,
+       ANY_VALUE(d.n_distinct_terms) AS n_distinct_terms
+FROM per_doc p JOIN dterms d ON p.source = d.source
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+
+# --- doc_fingerprint: rolling-hash document fingerprints ----------------------
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dictionary = T.token_dictionary(docs)
+    return T.rolling_fingerprint(docs, dictionary).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH dtok AS ({SQL_DTOK}),
+dict AS ({SQL_DICT}),
+pt AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+  FROM documents
+),
+wi AS (SELECT pt.doc_id, pt.pos, d.tid FROM pt JOIN dict d USING (term)),
+seqs AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM wi GROUP BY doc_id)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+                   (acc, v) -> (acc * 131 + v) % {HASH_P}) AS fingerprint
+FROM seqs ORDER BY doc_id
+"""
+
+
+# --- ann_ivf: IVF-style cell-probed top-k ------------------------------------
+ANN_K = 3
+ANN_N_QUERIES = 5
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for Q25: probe only the query's cell (label) — the
+    candidate set is bounded by cell size, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        "label",
+    )
+    out = S.cosine_topk_ivf(emb, queries, k=ANN_K, cell_col="label")
+    return out.select(
+        "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
+    ).orderBy("q_vec_id", "rk")
+
+
+ANN_IVF_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_vec_id, embedding AS qe, label
+  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}
+),
+pairs AS (
+  SELECT q.q_vec_id, e.vec_id,
+         {sql_cosine_similarity('q.qe', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id != q.q_vec_id
+)
+SELECT q_vec_id,
+       CAST(row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+       vec_id, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+FROM pairs
+QUALIFY rk <= {ANN_K}
+ORDER BY q_vec_id, rk
+"""
+
+
+# --- cosine_neardup: embedding near-dup pairs --------------------------------
+def cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_pairs(
+        emb, COSINE_NEARDUP_THRESHOLD, cell_col="label"
+    ).orderBy("vec_id", "vec_id2")
+
+
+COSINE_NEARDUP_SQL = f"""
+WITH p AS (
+  SELECT a.vec_id, b.vec_id AS vec_id2,
+         {sql_cosine_similarity('a.embedding', 'b.embedding')} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_id, vec_id2, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+FROM p WHERE cos >= {COSINE_NEARDUP_THRESHOLD}
+ORDER BY vec_id, vec_id2
+"""
+
+
+# --- multimodal_bytes: opaque binary payload + mapInPandas features -----------
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + Arrow-batched byte feature extraction —
+    the multimodal plumbing proof (schema, batching, partition
+    parallelism) with a deterministic extractor. The corpus is ASCII, so
+    byte features match the oracle's character functions exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = M.with_binary_payload(docs)
+    return M.byte_features(payload).orderBy("doc_id")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       CAST(ord(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+FROM documents ORDER BY doc_id
+"""
+
+
+NORTHSTAR_QUERIES: list[DeclaredQuery] = [
+    DeclaredQuery("q23", q23, Q23_SQL, "word count (text analysis)"),
+    DeclaredQuery("q24", q24, Q24_SQL, "exact dedup (R10)"),
+    DeclaredQuery("q25", q25, Q25_SQL, "cosine top-k (brute force)"),
+    DeclaredQuery("q26", q26, Q26_SQL, "Jaccard near-dup (inverted index)"),
+    DeclaredQuery("q27", q27, Q27_SQL, "label centroid distance"),
+    DeclaredQuery("q28", q28, Q28_SQL, "pandas_udf surface"),
+    DeclaredQuery("minhash_lsh", minhash_lsh, MINHASH_SQL, "MinHash+LSH near-dup"),
+    DeclaredQuery("simhash_pairs", simhash_pairs, SIMHASH_SQL, "SimHash near-dup"),
+    DeclaredQuery("lang_id", lang_id, LANG_ID_SQL, "language-ID confusion matrix"),
+    DeclaredQuery("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
+    DeclaredQuery("token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),
+    DeclaredQuery(
+        "doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "rolling-hash fingerprint"
+    ),
+    DeclaredQuery("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF cell-probed top-k"),
+    DeclaredQuery("cosine_neardup", cosine_neardup, COSINE_NEARDUP_SQL, "cosine near-dup"),
+    DeclaredQuery("multimodal_bytes", multimodal_bytes, MULTIMODAL_SQL, "binary payload features"),
+]

@@ -1,0 +1,95 @@
+"""Unit + property tests for the north-star operators (SURVEY §5.2:
+dedup idempotence, operator wrappers on small inputs, multimodal stub)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.operators import dedup as D
+from etl_wikipedia_updates_spark.operators import multimodal as M
+from etl_wikipedia_updates_spark.operators import text as T
+from etl_wikipedia_updates_spark.tables import load_table
+
+
+def test_exact_dedup_idempotent(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    keys = ["user_id", "event_type", "ts"]
+    once = D.exact_dedup(events, keys, ["event_id"])
+    twice = D.exact_dedup(once, keys, ["event_id"])
+    assert once.count() == twice.count()
+    # survivors are unique on the key
+    assert once.groupBy(*keys).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_exact_dedup_keeps_min_order_col(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 5), (2, "b", 7)], "k int, g string, v int"
+    )
+    out = D.exact_dedup(df, ["k", "g"], ["v"]).collect()
+    assert {(r.k, r.v) for r in out} == {(1, 5), (2, 7)}
+
+
+def test_hash_params_are_stable():
+    assert D.hash_params(4) == D.hash_params(4)
+    assert len({a for a, _ in D.hash_params(16)}) > 1
+
+
+def test_token_dictionary_dense_sorted(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    d = T.token_dictionary(docs).orderBy("tid").collect()
+    assert [r.tid for r in d] == list(range(1, len(d) + 1))
+    terms = [r.term for r in d]
+    assert terms == sorted(terms)
+
+
+def test_minhash_lsh_candidates_superset_of_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),
+            (2, "a b c d", "en"),  # identical to 1 -> must collide
+            (3, "x y z w", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    dic = T.token_dictionary(docs)
+    dtok = T.doc_tokens(docs, distinct=True).join(dic, "term")
+    sig = D.minhash_signatures(
+        dtok.select("doc_id", "lang", "tid"), D.hash_params(16)
+    )
+    cand = {
+        (r.doc_id, r.doc_id2)
+        for r in D.lsh_candidate_pairs(sig, 4, 4).collect()
+    }
+    assert (1, 2) in cand
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    dic = T.token_dictionary(docs)
+    dtok = T.doc_tokens(docs, distinct=True).join(dic, "term")
+    fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid"))
+    pairs = D.simhash_near_pairs(fps, 3).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_byte_features_schema_and_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab c"), (2, "xyz")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in M.byte_features(M.with_binary_payload(docs)).collect()
+    }
+    assert out[1].byte_len == 4 and out[1].n_space == 1
+    assert out[1].first_byte == ord("a") and out[1].last_byte == ord("c")
+    assert out[2].byte_len == 3 and out[2].n_space == 0
+
+
+def test_decode_image_is_stubbed(spark):
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(M.with_binary_payload(docs))
