@@ -1,0 +1,186 @@
+"""S1-S5: streaming batch-equivalence tests (SURVEY §2.3).
+
+Each test replays the deterministic events table through a file-replay
+stream and asserts the streaming result equals the batch answer over
+the same data — the correctness contract for streaming (not
+duckdb-hashed; SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.sources.replay import (
+    read_replay_stream,
+    write_replay_splits,
+)
+from etl_wikipedia_updates_spark.streaming.ingest import (
+    ingest_with_retention,
+    progress_velocity,
+    read_sink,
+    sink_metrics,
+    streaming_dedup,
+    windowed_counts,
+)
+from etl_wikipedia_updates_spark.tables import load_table
+
+N_SPLITS = 4
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def replay_dir(events, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("replay"))
+    write_replay_splits(events, path, N_SPLITS, "ts")
+    return path
+
+
+def _checksum(df):
+    row = df.agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).first()
+    return row["n"], row["s"]
+
+
+# --- S1: file-replay ingest == batch -----------------------------------------
+def test_s1_replay_ingest_equals_batch(spark, events, replay_dir, tmp_path):
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    q = ingest_with_retention(
+        stream, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    assert _checksum(read_sink(spark, str(tmp_path / "sink"))) == _checksum(events)
+    velocity = progress_velocity(q)
+    assert velocity is None or velocity >= 0
+
+
+# --- S2: watermark drops late rows --------------------------------------------
+def test_s2_watermark_drops_late_rows(spark, events, tmp_path):
+    """Spark's semantics (verified on 4.1): rows later than the
+    watermark are *admitted* while their window's state is still live
+    and *dropped* once the window has been finalized and evicted. So
+    the late chunk arrives after a sentinel has pushed the watermark
+    past every on-time window's end."""
+    import time
+
+    base = events.filter(F.col("ts") < "2024-01-01 03:00:00")
+    late = base.filter(F.col("ts") < "2024-01-01 01:00:00").withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    )
+    sentinel = base.limit(1).select(
+        (F.col("event_id") + 2_000_000).alias("event_id"),
+        F.lit("2024-01-01 12:00:00").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).select(*base.columns)
+    replay = str(tmp_path / "replay")
+    base.coalesce(1).write.parquet(replay + "/chunk_0001")
+    time.sleep(1.5)  # distinct modification times fix replay order
+    sentinel.coalesce(1).write.parquet(replay + "/chunk_0002")
+    time.sleep(1.5)
+    late.coalesce(1).write.parquet(replay + "/chunk_0003")
+
+    stream = read_replay_stream(spark, replay, base.schema)
+    windowed = windowed_counts(stream, "ts", "1 hour", "10 minutes")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("s2_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    rows = spark.sql("SELECT * FROM s2_windows").collect()
+    got = {str(r.window_start): r.n for r in rows}
+    expected = {
+        str(r.w["start"]): r.n
+        for r in base.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # on-time windows carry on-time-only counts; late chunk dropped
+    for w, n in expected.items():
+        assert got.get(w) == n, f"window {w}: streaming={got.get(w)} batch={n}"
+    assert dropped > 0, "late rows should be dropped by the watermark"
+    # append mode must never emit a window twice
+    assert len(rows) == len(got)
+
+
+# --- S3: streaming dedup == batch dedup ----------------------------------------
+def test_s3_streaming_dedup_equals_batch(spark, events, tmp_path):
+    sample = events.filter(F.col("event_id") % 10 == 0)
+    dup_replay = str(tmp_path / "replay")
+    sample.coalesce(1).write.parquet(dup_replay + "/chunk_0001")
+    # exact duplicate rows replayed in the next micro-batch
+    sample.coalesce(1).write.parquet(dup_replay + "/chunk_0002")
+
+    stream = read_replay_stream(spark, dup_replay, sample.schema)
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type", "ts"], "ts", "2 hours"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("s3_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.sql("SELECT COUNT(*) AS n FROM s3_dedup").first()["n"]
+    batch = sample.dropDuplicates(["user_id", "event_type", "ts"]).count()
+    assert streamed == batch
+
+
+# --- S4: retention keeps newest N ----------------------------------------------
+def test_s4_retention_keeps_newest(spark, events, replay_dir, tmp_path):
+    max_rows = 200
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    q = ingest_with_retention(
+        stream,
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        max_rows=max_rows,
+        ts_col="ts",
+    )
+    q.awaitTermination(300)
+    sink = read_sink(spark, str(tmp_path / "sink"))
+    assert sink.count() <= int(1.1 * max_rows)
+    # whatever survived must be the newest rows end-to-end
+    newest_batch = events.orderBy(F.col("ts").desc()).limit(max_rows)
+    oldest_kept = sink.agg(F.min("ts")).first()[0]
+    cutoff = newest_batch.agg(F.min("ts")).first()[0]
+    assert oldest_kept >= cutoff
+    m = sink_metrics(spark, str(tmp_path / "sink"), "ts")
+    assert m["rows"] == sink.count() and m["bytes"] > 0
+
+
+# --- S5: checkpoint resume (kill/restart) == uninterrupted -----------------------
+def test_s5_checkpoint_resume(spark, events, replay_dir, tmp_path):
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    # run 1: processing-time trigger, killed after the first progress
+    q1 = ingest_with_retention(stream, sink, ckpt, available_now=False)
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p for p in q1.recentProgress if p["numInputRows"] > 0):
+            break
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+    # run 2: same checkpoint, availableNow drains the rest
+    stream2 = read_replay_stream(spark, replay_dir, events.schema)
+    q2 = ingest_with_retention(stream2, sink, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    assert _checksum(read_sink(spark, sink)) == _checksum(events)
