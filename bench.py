@@ -53,9 +53,10 @@ def main() -> None:
     for name, build in builders.items():
         t0 = time.perf_counter()
         df = build(spark, SF_DIR)
-        # Force full execution; count() alone can prune aggregates, so
-        # use the same materialization the driver's gate applies.
-        df.collect()
+        # noop sink: executes the full plan on the executors without
+        # row-serializing results to the driver — measures the query,
+        # not driver-side collect overhead on wide outputs.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -40,6 +40,41 @@ def doc_tokens(docs: DataFrame, distinct: bool = False) -> DataFrame:
     return docs.select("doc_id", "lang", F.explode(toks).alias("term"))
 
 
+def shingles_col(text_col: str = "text", k: int = 3):
+    """Distinct k-token shingles (w-shingling): the canonical near-dup
+    representation. Unigram token sets degenerate when the vocabulary is
+    small (every doc resembles every doc); k-shingles keep sequence
+    context, so only true near-duplicates overlap. Docs with fewer than
+    k tokens have no shingles (empty array)."""
+    t = tokens_col(text_col)
+    n = F.size(t)
+
+    def shingle_at(i):
+        return F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Explode documents into (doc_id, lang, term) shingle rows."""
+    return docs.select(
+        "doc_id", "lang", F.explode(shingles_col(k=k)).alias("term")
+    )
+
+
+def term_dictionary(term_rows: DataFrame) -> DataFrame:
+    """(term, tid) dense ids for any exploded (.., term) rows — the
+    shingle/token-agnostic core of token_dictionary. Same oracle-parity
+    global sort; same xxhash64 swap at scale."""
+    terms = term_rows.select("term").distinct()
+    return terms.select(
+        "term", F.row_number().over(W.orderBy("term")).alias("tid")
+    )
+
+
 def doc_tokens_with_pos(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, term) with 1-based positions (order-preserving)."""
     return docs.select(

@@ -51,8 +51,18 @@ SQL_DICT = (
     "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid "
     "FROM (SELECT DISTINCT term FROM dtok)"
 )
+# Distinct 3-token shingles (w-shingling) — the near-dup representation.
+SQL_SH = (
+    "SELECT doc_id, lang, unnest(list_distinct(list_transform("
+    "range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS term "
+    "FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS l FROM documents)"
+)
+SQL_SHDICT = (
+    "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid "
+    "FROM (SELECT DISTINCT term FROM sh)"
+)
 
-JACCARD_THRESHOLD = 0.8
+JACCARD_THRESHOLD = 0.5
 COSINE_NEARDUP_THRESHOLD = 0.35
 
 
@@ -136,17 +146,30 @@ ORDER BY q_vec_id, rk
 
 # --- Q26: Jaccard near-dup ---------------------------------------------------
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard via an inverted-index equi-join on
-    (lang, term) — pair candidates only materialize where a token is
-    shared, never a cross join. The sub-quadratic scale path for hostile
-    vocabularies is minhash_lsh below."""
+    """Exact Jaccard over distinct 3-token shingles via an
+    inverted-index equi-join on (lang, shingle) — pair candidates only
+    materialize where a shingle is shared, never a cross join.
+    Shingling (vs unigram token sets) is what keeps the index
+    selective: with a small vocabulary every doc shares most tokens,
+    but only true near-duplicates share token *sequences*. The
+    sub-quadratic scale path is minhash_lsh below."""
     docs = load_table(spark, sf_dir, "documents")
-    dtok = T.doc_tokens(docs, distinct=True)
-    sizes = dtok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = dtok.select("lang", "term", F.col("doc_id").alias("d1"))
-    b = dtok.select("lang", "term", F.col("doc_id").alias("d2"))
+    sh = T.doc_shingles(docs)
+    # Join on dense integer shingle ids, not shingle strings: the
+    # self-join shuffle then moves/compares 8-byte keys instead of
+    # ~30-byte strings. Persist the id table — it feeds both join
+    # sides and the size table.
+    dictionary = T.term_dictionary(sh)
+    ids = (
+        sh.join(F.broadcast(dictionary), "term")
+        .select("doc_id", "lang", "tid")
+        .persist()
+    )
+    sizes = ids.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ids.select("lang", "tid", F.col("doc_id").alias("d1"))
+    b = ids.select("lang", "tid", F.col("doc_id").alias("d2"))
     inter = (
-        a.join(b, ["lang", "term"])
+        a.join(b, ["lang", "tid"])
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("i"))
@@ -171,11 +194,11 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q26_SQL = f"""
-WITH dtok AS ({SQL_DTOK}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+WITH sh AS ({SQL_SH}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-  FROM dtok a JOIN dtok b
+  FROM sh a JOIN sh b
     ON a.term = b.term AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -321,20 +344,22 @@ MINHASH_PARAMS = D.hash_params(MINHASH_H)
 
 
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash->LSH->verify pipeline: signatures in one grouped agg,
-    banding turns the pair space into bucket equi-joins, candidates are
-    verified with exact Jaccard. Sub-quadratic: only bucket-colliding
-    docs ever pair up."""
+    """Full shingle->MinHash->LSH->verify pipeline: signatures in one
+    grouped agg, banding turns the pair space into bucket equi-joins,
+    candidates are verified with exact shingle-Jaccard. Sub-quadratic:
+    only bucket-colliding docs ever pair up, and shingling keeps the
+    buckets selective (SURVEY §4.3(3))."""
     docs = load_table(spark, sf_dir, "documents")
-    dictionary = T.token_dictionary(docs)
-    dtok = T.doc_tokens(docs, distinct=True).join(F.broadcast(dictionary), "term")
+    shingle_rows = T.doc_shingles(docs)
+    dictionary = T.term_dictionary(shingle_rows)
+    dtok = shingle_rows.join(F.broadcast(dictionary), "term")
     sig = D.minhash_signatures(
         dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
-    )
+    ).persist()
     cand = D.lsh_candidate_pairs(sig, MINHASH_BANDS, MINHASH_ROWS)
     tok_arrays = docs.select(
         "doc_id",
-        F.array_sort(F.array_distinct(T.tokens_col())).alias("toks"),
+        F.array_sort(T.shingles_col()).alias("toks"),
     )
     verified = D.jaccard_verify(cand, tok_arrays, JACCARD_THRESHOLD)
     return verified.select(
@@ -358,9 +383,9 @@ def _minhash_sql() -> str:
         for b in range(MINHASH_BANDS)
     )
     return f"""
-WITH dtok AS ({SQL_DTOK}),
-dict AS ({SQL_DICT}),
-dt AS (SELECT t.doc_id, t.lang, d.tid FROM dtok t JOIN dict d USING (term)),
+WITH sh AS ({SQL_SH}),
+dict AS ({SQL_SHDICT}),
+dt AS (SELECT t.doc_id, t.lang, d.tid FROM sh t JOIN dict d USING (term)),
 sig AS (SELECT doc_id, lang, {sig_cols} FROM dt GROUP BY doc_id, lang),
 banded AS ({bands}),
 cand AS (
@@ -395,21 +420,22 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + pigeonhole-bucketed pair search
+    """SimHash over shingle ids + pigeonhole-bucketed pair search
     (hamming <= 3 over 4 chunks => some chunk equal => candidates come
     from 4 equi-joins, never a cross join)."""
     docs = load_table(spark, sf_dir, "documents")
-    dictionary = T.token_dictionary(docs)
-    dtok = T.doc_tokens(docs, distinct=True).join(F.broadcast(dictionary), "term")
-    fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid"))
+    shingle_rows = T.doc_shingles(docs)
+    dictionary = T.term_dictionary(shingle_rows)
+    dtok = shingle_rows.join(F.broadcast(dictionary), "term")
+    fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid")).persist()
     pairs = D.simhash_near_pairs(fps, SIMHASH_MAX_HAMMING)
     return pairs.orderBy("doc_id", "doc_id2")
 
 
 SIMHASH_SQL = f"""
-WITH dtok AS ({SQL_DTOK}),
-dict AS ({SQL_DICT}),
-dt AS (SELECT t.doc_id, t.lang, d.tid FROM dtok t JOIN dict d USING (term)),
+WITH sh AS ({SQL_SH}),
+dict AS ({SQL_SHDICT}),
+dt AS (SELECT t.doc_id, t.lang, d.tid FROM sh t JOIN dict d USING (term)),
 bits AS (
   SELECT doc_id, lang, b.b,
          SUM(CASE WHEN ((({D.SIMHASH_A} * tid + {D.SIMHASH_B}) % {D.SIMHASH_MOD}) >> b.b) & 1 = 1

@@ -334,7 +334,10 @@ ORDER BY op, nk
 # --- Q12: exact distinct -------------------------------------------------------
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct = expand+two-phase agg in Spark; at 100 TB prefer
-    approx_count_distinct (bench-only) unless exactness is contractual."""
+    approx_count_distinct (bench-only) unless exactness is contractual.
+    The two countDistincts scan different tables, so they are
+    independent jobs at any scale; the crossJoin merges two 1-row
+    aggregates (constant cost)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     a = orders.agg(F.countDistinct("o_custkey").alias("distinct_custkeys"))

@@ -55,6 +55,9 @@ def get_spark(
         # dim tables (region/nation/supplier/...) should always broadcast;
         # 64MB covers every dim at sf0.1 while staying executor-safe
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Only effective when this call creates the JVM; a pre-existing
+        # session (e.g. pytest reuse) keeps its original heap. On a real
+        # cluster this is submit-time conf (spark-submit --driver-memory).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

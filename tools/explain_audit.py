@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Physical-plan audit: verify the scale-critical plan properties hold.
+
+For each audited query, formats the physical plan and checks:
+- projections reach the parquet scan (ReadSchema column count)
+- filters push down (PushedFilters non-empty where declared)
+- dim joins broadcast (BroadcastHashJoin where declared)
+- top-k compiles to TakeOrderedAndProject (no global sort)
+
+Prints PASS/WARN per check. Run: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from etl_wikipedia_updates_spark.registry import REGISTRY
+from etl_wikipedia_updates_spark.session import get_spark
+
+# query -> (must_contain, must_not_contain) substrings of the formatted plan
+CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    "q1": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    "q2": (["PushedFilters: [IsNotNull(l_shipdate)"], []),
+    "q3": (["partial_"], []),  # map-side partial aggregation
+    "q5": (["BroadcastHashJoin"], []),
+    "q6": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "q8": (["Window"], []),
+    "q10": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    "q18": (["PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"], []),
+    "q25": (["BroadcastNestedLoopJoin", "row_number"], ["SortMergeJoin"]),
+    "ann_ivf": (["BroadcastHashJoin"], []),
+    "minhash_lsh": (["BroadcastHashJoin"], []),  # dictionary join broadcast
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="explain_audit", shuffle_partitions=8)
+    failures = 0
+    for name, (need, forbid) in CHECKS.items():
+        q = REGISTRY.queries[name]
+        plan = q.builder(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        for frag in need:
+            ok = frag in plan
+            failures += 0 if ok else 1
+            print(f"{'PASS' if ok else 'WARN'} {name}: expects {frag!r}")
+        for frag in forbid:
+            ok = frag not in plan
+            failures += 0 if ok else 1
+            print(f"{'PASS' if ok else 'WARN'} {name}: forbids {frag!r}")
+    print(f"{'ALL OK' if failures == 0 else f'{failures} WARNINGS'}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
