@@ -25,12 +25,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from etl_wikipedia_updates_spark.functions.arrays import cosine_similarity
+from etl_wikipedia_updates_spark.functions.arrays import dot_product, l2_norm
 from etl_wikipedia_updates_spark.functions.deterministic import det_round
 
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _pair_cosine(e1, e2, n1, n2):
+    """cos(e1, e2) with the norms precomputed once per *vector* instead
+    of once per *pair* — the same dot/(n1*n2) arithmetic in the same
+    order as functions.arrays.cosine_similarity (bit-identical), but the
+    per-pair fold work drops from 3 array passes to 1."""
+    return dot_product(e1, e2) / (n1 * n2)
 
 
 def cosine_topk(
@@ -43,12 +51,18 @@ def cosine_topk(
     per-query top-k is a ranked window on q_vec_id (k rows survive per
     query).
     """
-    q = F.broadcast(queries)
-    joined = emb.crossJoin(q)
+    q = F.broadcast(
+        queries.withColumn("q_nrm", l2_norm(_as_double(F.col("q_embedding"))))
+    )
+    base = emb.withColumn("nrm", l2_norm(_as_double(F.col("embedding"))))
+    joined = base.crossJoin(q)
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("q_vec_id"))
-    sim = cosine_similarity(
-        _as_double(F.col("q_embedding")), _as_double(F.col("embedding"))
+    sim = _pair_cosine(
+        _as_double(F.col("q_embedding")),
+        _as_double(F.col("embedding")),
+        F.col("q_nrm"),
+        F.col("nrm"),
     )
     w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -77,13 +91,17 @@ def cosine_topk_ivf(
     q = F.broadcast(
         queries.select(
             "q_vec_id", "q_embedding", F.col(cell_col).alias("q_cell")
-        )
+        ).withColumn("q_nrm", l2_norm(_as_double(F.col("q_embedding"))))
     )
-    joined = emb.join(q, emb[cell_col] == q["q_cell"]).filter(
+    base = emb.withColumn("nrm", l2_norm(_as_double(F.col("embedding"))))
+    joined = base.join(q, base[cell_col] == q["q_cell"]).filter(
         F.col("vec_id") != F.col("q_vec_id")
     )
-    sim = cosine_similarity(
-        _as_double(F.col("q_embedding")), _as_double(F.col("embedding"))
+    sim = _pair_cosine(
+        _as_double(F.col("q_embedding")),
+        _as_double(F.col("embedding")),
+        F.col("q_nrm"),
+        F.col("nrm"),
     )
     w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -108,17 +126,22 @@ def cosine_near_pairs(
     inequality), so the quadratic term is bounded by the largest cell,
     not the corpus. Skewed cells would be salted/sub-clustered at scale.
     """
-    left = emb.select(
+    normed = emb.withColumn("nrm", l2_norm(_as_double(F.col("embedding"))))
+    left = normed.select(
         F.col(cell_col).alias("cell"),
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
     )
-    right = emb.select(
+    right = normed.select(
         F.col(cell_col).alias("cell"),
         F.col("vec_id").alias("vec_id2"),
         F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
     )
-    sim = cosine_similarity(_as_double(F.col("e1")), _as_double(F.col("e2")))
+    sim = _pair_cosine(
+        _as_double(F.col("e1")), _as_double(F.col("e2")), F.col("n1"), F.col("n2")
+    )
     return (
         left.join(right, ["cell"])
         .filter(F.col("vec_id") < F.col("vec_id2"))

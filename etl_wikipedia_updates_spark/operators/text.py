@@ -45,17 +45,29 @@ def shingles_col(text_col: str = "text", k: int = 3):
     representation. Unigram token sets degenerate when the vocabulary is
     small (every doc resembles every doc); k-shingles keep sequence
     context, so only true near-duplicates overlap. Docs with fewer than
-    k tokens have no shingles (empty array)."""
-    t = tokens_col(text_col)
-    n = F.size(t)
+    k tokens have no shingles (empty array).
 
-    def shingle_at(i):
-        return F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+    The token array is bound as a lambda variable (transform over a
+    1-element array) so ``split(lower(text))`` is evaluated ONCE per
+    row. Referencing the split expression directly from every
+    ``element_at`` would re-evaluate it per element access — Catalyst
+    does not common-subexpression-eliminate into lambda bodies — which
+    measured ~12x slower on the documents corpus."""
 
-    return F.when(
-        n >= k,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at)),
-    ).otherwise(F.array().cast("array<string>"))
+    def per_tokens(t):
+        n = F.size(t)
+
+        def shingle_at(i):
+            return F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+
+        return F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens_col(text_col)), per_tokens), 1)
 
 
 def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:

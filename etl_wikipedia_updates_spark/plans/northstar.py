@@ -553,9 +553,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.tokens_col()).cast("bigint").alias("nt"),
         F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+")).cast("bigint").alias("nr"),
     )
+    # Carry source through the explode instead of re-joining the token
+    # rows back on doc_id — one shuffle (the countDistinct) instead of
+    # a join shuffle plus an agg shuffle.
     distinct_terms = (
-        T.doc_tokens(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+        docs.select("source", F.explode(T.tokens_col()).alias("term"))
         .groupBy("source")
         .agg(F.countDistinct("term").alias("n_distinct_terms"))
     )

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Streaming ingest throughput bench (BASELINE.md bench contract).
+
+Replays the events table through the file-replay source into the
+foreachBatch parquet sink and reports sustained events/s. The bar is
+>=100x the Wikimedia recentchange SSE rate (~10-40 ev/s publicly
+observed => >=4000 ev/s; /root/reference/config.py:10).
+
+Prints one JSON line. Run: python tools/stream_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+from etl_wikipedia_updates_spark.session import get_spark
+from etl_wikipedia_updates_spark.sources.replay import (
+    read_replay_stream,
+    write_replay_splits,
+)
+from etl_wikipedia_updates_spark.streaming.ingest import (
+    ingest_with_retention,
+    read_sink,
+)
+from etl_wikipedia_updates_spark.tables import load_table
+
+WIKIMEDIA_EV_S = 40  # upper end of the publicly observed SSE rate
+N_SPLITS = 8  # micro-batches; each batch pays trigger+commit overhead
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="stream_bench", shuffle_partitions=8)
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        replay = f"{tmp}/replay"
+        write_replay_splits(events, replay, N_SPLITS, "ts")
+        stream = read_replay_stream(spark, replay, events.schema)
+        t0 = time.perf_counter()
+        q = ingest_with_retention(stream, f"{tmp}/sink", f"{tmp}/ckpt")
+        q.awaitTermination(600)
+        elapsed = time.perf_counter() - t0
+        sunk = read_sink(spark, f"{tmp}/sink").count()
+    ev_s = sunk / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "stream_ingest_events_per_sec",
+                "value": round(ev_s, 1),
+                "unit": "events/sec",
+                "events": sunk,
+                "expected_events": n_events,
+                "elapsed_sec": round(elapsed, 2),
+                "micro_batches": N_SPLITS,
+                "x_wikimedia": round(ev_s / WIKIMEDIA_EV_S, 1),
+                "meets_100x_bar": ev_s >= 100 * WIKIMEDIA_EV_S,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
