@@ -11,11 +11,19 @@ unary ops. This is also the right call at 100 TB: decimal partial
 aggregates combine associatively, so map-side partial aggregation stays
 correct and reproducible across any shuffle/AQE re-plan.
 
-The matching DuckDB SQL idioms (used in every oracle string):
+The accumulator is a scaled 64-bit integer, not a DECIMAL: each addend
+maps to ``floor(x * 10^scale + 0.5)`` (pure IEEE double ops — identical
+in both engines), the sum runs in codegen'd long arithmetic (exact,
+associative, order-independent), and a single final cast+divide returns
+to double. Spark's ``sum(decimal(18,s))`` escalates partials to a
+precision-28 BigDecimal accumulator (measured ~2x the whole-query cost
+of q3); the long path stays inside whole-stage codegen. Headroom: the
+scaled sum must stay below 2^63 — at scale 6 that is |sum| < 9.2e12,
+ample for the contract tables; a deployment summing past that bumps the
+helper to decimal(38) or aggregates hierarchically (conf-level change).
 
-    ROUND(CAST(SUM(CAST(x       AS DECIMAL(18,4))) AS DOUBLE), 2)
-    ROUND(CAST(SUM(CAST(x * y   AS DECIMAL(18,6))) AS DOUBLE), 2)
-    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2)
+The matching DuckDB SQL comes from the sql_* builders below — always
+generate oracle SQL through them so both engines change together.
 """
 
 from __future__ import annotations
@@ -24,23 +32,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dec_sum(col: Column, scale: int = 4, precision: int = 18) -> Column:
-    """Exact (order-independent) sum: cast to decimal, sum, back to double."""
-    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+def dec_sum(col: Column, scale: int = 4) -> Column:
+    """Exact (order-independent) sum via scaled-long accumulation."""
+    s = float(10**scale)
+    return F.sum(F.floor(col * s + F.lit(0.5)).cast("long")).cast("double") / s
 
 
 def money_sum(col: Column, scale: int = 4, digits: int = 2) -> Column:
     """Rounded exact sum — the standard form for price/value aggregates."""
-    return F.round(dec_sum(col, scale=scale), digits)
+    return det_round(dec_sum(col, scale=scale), digits)
 
 
 def dec_avg(col: Column, scale: int = 4) -> Column:
-    """Order-independent average: exact decimal sum / non-null count."""
+    """Order-independent average: exact scaled sum / non-null count."""
     return dec_sum(col, scale=scale) / F.count(col)
 
 
 def money_avg(col: Column, scale: int = 4, digits: int = 2) -> Column:
-    return F.round(dec_avg(col, scale=scale), digits)
+    return det_round(dec_avg(col, scale=scale), digits)
 
 
 def det_round(col: Column, digits: int) -> Column:
@@ -75,19 +84,19 @@ def ts_str(col: Column, micros: bool = False) -> Column:
 
 
 # DuckDB-side equivalents, for building oracle SQL strings.
-def sql_money_sum(expr: str, scale: int = 4, digits: int = 2) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), {digits})"
-
-
 def sql_dec_sum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    s = float(10**scale)
+    return (
+        f"(CAST(SUM(CAST(floor(({expr}) * {s} + 0.5) AS BIGINT)) AS DOUBLE) / {s})"
+    )
+
+
+def sql_money_sum(expr: str, scale: int = 4, digits: int = 2) -> str:
+    return sql_det_round(sql_dec_sum(expr, scale=scale), digits)
 
 
 def sql_money_avg(expr: str, scale: int = 4, digits: int = 2) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}), {digits})"
-    )
+    return sql_det_round(f"{sql_dec_sum(expr, scale=scale)} / COUNT({expr})", digits)
 
 
 def sql_ts_str(expr: str, micros: bool = False) -> str:

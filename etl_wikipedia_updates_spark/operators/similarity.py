@@ -37,8 +37,20 @@ def _pair_cosine(e1, e2, n1, n2):
     """cos(e1, e2) with the norms precomputed once per *vector* instead
     of once per *pair* — the same dot/(n1*n2) arithmetic in the same
     order as functions.arrays.cosine_similarity (bit-identical), but the
-    per-pair fold work drops from 3 array passes to 1."""
+    per-pair fold work drops from 3 array passes to 1. Callers pass
+    already-double arrays (cast once per vector, below a join boundary
+    so Catalyst can't re-inline it per pair)."""
     return dot_product(e1, e2) / (n1 * n2)
+
+
+def _with_double_and_norm(emb: DataFrame, out_col: str, norm_col: str) -> DataFrame:
+    """Add the double-cast embedding and its L2 norm as columns — one
+    cast pass and one norm pass per vector. Downstream pair expressions
+    read these materialized columns across a join, so the per-pair work
+    is exactly one zip_with+fold."""
+    return emb.withColumn(
+        out_col, _as_double(F.col("embedding"))
+    ).withColumn(norm_col, l2_norm(F.col(out_col)))
 
 
 def cosine_topk(
@@ -52,18 +64,15 @@ def cosine_topk(
     query).
     """
     q = F.broadcast(
-        queries.withColumn("q_nrm", l2_norm(_as_double(F.col("q_embedding"))))
+        queries.withColumn("qe", _as_double(F.col("q_embedding"))).withColumn(
+            "q_nrm", l2_norm(F.col("qe"))
+        )
     )
-    base = emb.withColumn("nrm", l2_norm(_as_double(F.col("embedding"))))
+    base = _with_double_and_norm(emb, "e", "nrm")
     joined = base.crossJoin(q)
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("q_vec_id"))
-    sim = _pair_cosine(
-        _as_double(F.col("q_embedding")),
-        _as_double(F.col("embedding")),
-        F.col("q_nrm"),
-        F.col("nrm"),
-    )
+    sim = _pair_cosine(F.col("qe"), F.col("e"), F.col("q_nrm"), F.col("nrm"))
     w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         joined.select("q_vec_id", "vec_id", sim.alias("sim"))
@@ -91,18 +100,15 @@ def cosine_topk_ivf(
     q = F.broadcast(
         queries.select(
             "q_vec_id", "q_embedding", F.col(cell_col).alias("q_cell")
-        ).withColumn("q_nrm", l2_norm(_as_double(F.col("q_embedding"))))
+        )
+        .withColumn("qe", _as_double(F.col("q_embedding")))
+        .withColumn("q_nrm", l2_norm(F.col("qe")))
     )
-    base = emb.withColumn("nrm", l2_norm(_as_double(F.col("embedding"))))
+    base = _with_double_and_norm(emb, "e", "nrm")
     joined = base.join(q, base[cell_col] == q["q_cell"]).filter(
         F.col("vec_id") != F.col("q_vec_id")
     )
-    sim = _pair_cosine(
-        _as_double(F.col("q_embedding")),
-        _as_double(F.col("embedding")),
-        F.col("q_nrm"),
-        F.col("nrm"),
-    )
+    sim = _pair_cosine(F.col("qe"), F.col("e"), F.col("q_nrm"), F.col("nrm"))
     w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         joined.select("q_vec_id", "vec_id", sim.alias("sim"))
@@ -126,22 +132,20 @@ def cosine_near_pairs(
     inequality), so the quadratic term is bounded by the largest cell,
     not the corpus. Skewed cells would be salted/sub-clustered at scale.
     """
-    normed = emb.withColumn("nrm", l2_norm(_as_double(F.col("embedding"))))
+    normed = _with_double_and_norm(emb, "e", "nrm")
     left = normed.select(
         F.col(cell_col).alias("cell"),
         F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("e1"),
+        F.col("e").alias("e1"),
         F.col("nrm").alias("n1"),
     )
     right = normed.select(
         F.col(cell_col).alias("cell"),
         F.col("vec_id").alias("vec_id2"),
-        F.col("embedding").alias("e2"),
+        F.col("e").alias("e2"),
         F.col("nrm").alias("n2"),
     )
-    sim = _pair_cosine(
-        _as_double(F.col("e1")), _as_double(F.col("e2")), F.col("n1"), F.col("n2")
-    )
+    sim = _pair_cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
     return (
         left.join(right, ["cell"])
         .filter(F.col("vec_id") < F.col("vec_id2"))

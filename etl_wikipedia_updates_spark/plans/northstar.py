@@ -26,9 +26,12 @@ from etl_wikipedia_updates_spark.functions.arrays import (
     sql_cosine_similarity,
 )
 from etl_wikipedia_updates_spark.functions.deterministic import (
+    dec_sum,
     det_round,
     money_sum,
+    sql_dec_sum,
     sql_det_round,
+    sql_money_sum,
 )
 from etl_wikipedia_updates_spark.operators import dedup as D
 from etl_wikipedia_updates_spark.operators import multimodal as M
@@ -253,8 +256,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_members"),
             det_round(
-                F.sum(F.col("dist").cast("decimal(18,8)")).cast("double")
-                / F.count("dist"),
+                dec_sum(F.col("dist"), scale=8) / F.count("dist"),
                 4,
             ).alias("avg_dist"),
         )
@@ -262,7 +264,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q27_SQL = """
+Q27_SQL = f"""
 WITH v AS (
   SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -287,7 +289,7 @@ d AS (
   FROM v JOIN cent ON v.label = cent.label
 )
 SELECT label, COUNT(*) AS n_members,
-       (floor((CAST(SUM(CAST(dist AS DECIMAL(18,8))) AS DOUBLE) / COUNT(dist)) * 10000.0 + 0.5) / 10000.0) AS avg_dist
+       (floor(({sql_dec_sum('dist', scale=8)} / COUNT(dist)) * 10000.0 + 0.5) / 10000.0) AS avg_dist
 FROM d GROUP BY label ORDER BY label
 """
 
@@ -328,10 +330,10 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q28_SQL = """
+Q28_SQL = f"""
 SELECT l_returnflag, COUNT(*) AS n,
        CAST(SUM(l_partkey - l_suppkey) AS BIGINT) AS sum_key_diff,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price
+       {sql_money_sum('l_extendedprice * (1 - l_discount)', scale=6)} AS sum_disc_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -688,6 +690,47 @@ ORDER BY vec_id, vec_id2
 """
 
 
+# --- sample_hash: deterministic hash split (train/test) -----------------------
+# Universal integer hash on the stable doc key: reproducible across runs,
+# engines, and cluster sizes (stateless per-row math — no shuffle until the
+# final audit agg, no RNG). The 100 TB path is the same expression; only
+# the audit aggregation shuffles, on (source, split).
+SAMPLE_A = 1_103_515_245
+SAMPLE_B = 12_345
+SAMPLE_BUCKETS = 1_000
+SAMPLE_TEST_BUCKETS = 100  # 10% eval holdout
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.col("doc_id").cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)
+    ) % F.lit(HASH_P) % F.lit(SAMPLE_BUCKETS)
+    split = F.when(bucket < SAMPLE_TEST_BUCKETS, "test").otherwise("train")
+    return (
+        docs.select("source", split.alias("split"), "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT source,
+       CASE WHEN (doc_id * {SAMPLE_A} + {SAMPLE_B}) % {HASH_P} % {SAMPLE_BUCKETS}
+                 < {SAMPLE_TEST_BUCKETS}
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+
 # --- multimodal_bytes: opaque binary payload + mapInPandas features -----------
 def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column + Arrow-batched byte feature extraction —
@@ -725,6 +768,7 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         "doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "rolling-hash fingerprint"
     ),
     DeclaredQuery("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF cell-probed top-k"),
+    DeclaredQuery("sample_hash", sample_hash, SAMPLE_HASH_SQL, "deterministic hash split"),
     DeclaredQuery("cosine_neardup", cosine_neardup, COSINE_NEARDUP_SQL, "cosine near-dup"),
     DeclaredQuery("multimodal_bytes", multimodal_bytes, MULTIMODAL_SQL, "binary payload features"),
 ]

@@ -13,8 +13,12 @@ from pyspark.sql import functions as F
 
 from etl_wikipedia_updates_spark.functions.deterministic import (
     dec_sum,
+    det_round,
     money_avg,
     money_sum,
+    sql_det_round,
+    sql_money_avg,
+    sql_money_sum,
     ts_str,
 )
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery
@@ -56,9 +60,9 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q2_SQL = """
+Q2_SQL = f"""
 SELECT COUNT(*) AS n_rows,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+       {sql_money_sum('l_extendedprice')} AS sum_price
 FROM lineitem
 WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1994-12-31 00:00:00'
   AND l_discount > 0.05
@@ -80,21 +84,21 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(disc_price, scale=6).alias("sum_disc_price"),
             money_avg(F.col("l_quantity")).alias("avg_qty"),
             money_avg(F.col("l_extendedprice")).alias("avg_price"),
-            F.round(dec_sum(F.col("l_discount")) / F.count("*"), 4).alias("avg_disc"),
+            det_round(dec_sum(F.col("l_discount")) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)       AS sum_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)  AS sum_base_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 2)      AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       {sql_money_sum('l_quantity')}       AS sum_qty,
+       {sql_money_sum('l_extendedprice')}  AS sum_base_price,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)', scale=6)} AS sum_disc_price,
+       {sql_money_avg('l_quantity')}      AS avg_qty,
+       {sql_money_avg('l_extendedprice')} AS avg_price,
+       {sql_det_round("(CAST(SUM(CAST(floor((l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(*)", 4)} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -121,10 +125,10 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q4_SQL = """
+Q4_SQL = f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_totalprice
+       {sql_money_sum('o_totalprice')} AS sum_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -152,9 +156,9 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT n_name,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+       {sql_money_sum('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -252,14 +256,16 @@ ORDER BY o_custkey, rn
 
 # --- Q9: analytic window + frame -------------------------------------------
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag + running sum. The running sum accumulates DECIMAL (exact), so
-    partial results are reproducible regardless of physical row batching."""
+    """lag + running sum. The running sum accumulates scaled longs
+    (exact integer cents), so partial results are reproducible
+    regardless of physical row batching."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = (
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long"))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("double")
+        / 100.0
     )
     return orders.select(
         "o_custkey",
@@ -267,18 +273,18 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("o_orderdate")).alias("o_orderdate_s"),
         "o_totalprice",
         F.lag("o_totalprice").over(w).alias("prev_totalprice"),
-        F.round(running, 2).alias("running_total"),
+        det_round(running, 2).alias("running_total"),
     ).orderBy("o_custkey", "o_orderdate_s", "o_orderkey")
 
 
-Q9_SQL = """
+Q9_SQL = f"""
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
        o_totalprice,
        LAG(o_totalprice) OVER w AS prev_totalprice,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       {sql_det_round('''CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0''', 2)} AS running_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderdate_s, o_orderkey
@@ -478,12 +484,12 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q16_SQL = """
+Q16_SQL = f"""
 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 150000 THEN 'medium'
             ELSE 'large' END AS bucket,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(ABS(o_totalprice - 100000) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_dist
+       {sql_money_sum('ABS(o_totalprice - 100000)')} AS sum_dist
 FROM orders
 GROUP BY 1
 ORDER BY bucket

@@ -7,6 +7,11 @@ Run: python tools/duckdb_bench.py [sf_dir]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 import time

@@ -12,6 +12,11 @@ Prints PASS/WARN per check. Run: python tools/explain_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 from etl_wikipedia_updates_spark.registry import REGISTRY
