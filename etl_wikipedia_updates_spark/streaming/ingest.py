@@ -151,6 +151,17 @@ def sink_metrics(spark: SparkSession, sink_path: str, ts_col: str) -> dict:
     }
 
 
+def metrics_delta(prev: dict, cur: dict) -> dict:
+    """D6: current - previous for every numeric gauge — the dashboard's
+    'sparkline' deltas (/root/reference/dashboard.py:56,63,70) over two
+    sink_metrics() polls. Non-numeric gauges pass through as None."""
+    out = {}
+    for k, v in cur.items():
+        p = prev.get(k)
+        out[k] = (v - p) if isinstance(v, (int, float)) and isinstance(p, (int, float)) else None
+    return out
+
+
 def progress_velocity(query: StreamingQuery) -> float | None:
     """D5: events/minute from the engine's own progress telemetry
     (lastProgress.inputRowsPerSecond), replacing the reference's

@@ -1,0 +1,47 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(SCALE.md) must survive refactors. Mirrors tools/explain_audit.py for
+the load-bearing subset — a wrong plan shape is a perf bug even when
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_wikipedia_updates_spark.registry import REGISTRY
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY.queries[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+CASES = [
+    # top-k compiles to per-partition heaps, never a global sort
+    ("q1", ["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    ("q10", ["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    # predicates reach the parquet reader
+    ("q2", ["PushedFilters: [IsNotNull(l_shipdate)"], []),
+    ("q18", ["PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"], []),
+    # map-side partial aggregation
+    ("q3", ["partial_"], []),
+    # dims broadcast; no sort-merge join of a small side
+    ("q5", ["BroadcastHashJoin"], []),
+    ("q6", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # brute-force top-k: broadcast probe + ranked window
+    ("q25", ["BroadcastNestedLoopJoin", "row_number"], ["SortMergeJoin"]),
+    # dictionary joins broadcast in the near-dup family
+    ("minhash_lsh", ["BroadcastHashJoin"], []),
+    ("ann_ivf", ["BroadcastHashJoin"], []),
+]
+
+
+@pytest.mark.parametrize("name,need,forbid", CASES, ids=[c[0] for c in CASES])
+def test_plan_shape(spark, sf_smoke, name, need, forbid):
+    plan = _plan(spark, name, sf_smoke)
+    for frag in need:
+        assert frag in plan, f"{name}: expected {frag!r} in physical plan"
+    for frag in forbid:
+        assert frag not in plan, f"{name}: forbidden {frag!r} in physical plan"

@@ -17,6 +17,7 @@ from etl_wikipedia_updates_spark.sources.replay import (
 )
 from etl_wikipedia_updates_spark.streaming.ingest import (
     ingest_with_retention,
+    metrics_delta,
     progress_velocity,
     read_sink,
     sink_metrics,
@@ -162,6 +163,9 @@ def test_s4_retention_keeps_newest(spark, events, replay_dir, tmp_path):
     assert oldest_kept >= cutoff
     m = sink_metrics(spark, str(tmp_path / "sink"), "ts")
     assert m["rows"] == sink.count() and m["bytes"] > 0
+    # D6: deltas between two polls of the same gauges
+    d = metrics_delta(m, sink_metrics(spark, str(tmp_path / "sink"), "ts"))
+    assert d["rows"] == 0 and d["bytes"] == 0 and d["max_ts"] is None
 
 
 # --- S5: checkpoint resume (kill/restart) == uninterrupted -----------------------
