@@ -14,6 +14,7 @@ Layout:
 - ``operators``  dedup / similarity / text-analysis / multimodal (north star)
 - ``functions``  reusable column expressions (array math, deterministic aggs)
 - ``pipeline``   wiki recentchange event transform (reference parity, W1-W5)
+- ``sources``    streaming connectors: file-replay, SSE Python DataSource
 - ``streaming``  Structured Streaming ingest, retention, dedup (S1-S5)
 """
 

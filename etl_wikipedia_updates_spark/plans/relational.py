@@ -360,6 +360,27 @@ SELECT
 """
 
 
+# --- Q12 approx variant (bench-only; SURVEY §2.2 "approximate aggregates") ----
+def q12_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap for q12: approx_count_distinct (HLL++) replaces
+    the exact expand+dedup with a fixed-size sketch that merges
+    map-side — one pass, constant memory per partition. Approximate
+    results can't hash-match DuckDB (BASELINE.md excludes them), so this
+    registers without an oracle: the driver records the weaker rows-only
+    check, and the bench records its runtime."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys")
+    )
+    b = lineitem.agg(
+        F.approx_count_distinct(F.struct("l_partkey", "l_suppkey")).alias(
+            "approx_part_supp"
+        )
+    )
+    return a.crossJoin(b)
+
+
 # --- Q13: rollup + grouping markers --------------------------------------------
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup = grouping-sets expansion before the agg; subtotal NULLs are
@@ -509,6 +530,9 @@ RELATIONAL_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery("q10", q10, Q10_SQL, "top-k"),
     DeclaredQuery("q11", q11, Q11_SQL, "set operations"),
     DeclaredQuery("q12", q12, Q12_SQL, "exact distinct"),
+    DeclaredQuery(
+        "q12_approx", q12_approx, None, "approx distinct (HLL++, bench-only)"
+    ),
     DeclaredQuery("q13", q13, Q13_SQL, "rollup + grouping markers"),
     DeclaredQuery("q14", q14, Q14_SQL, "string functions"),
     DeclaredQuery("q15", q15, Q15_SQL, "date/time functions"),

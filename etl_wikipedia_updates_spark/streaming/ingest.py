@@ -72,6 +72,71 @@ def apply_retention(
     return True
 
 
+def retain_newest_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    max_rows: int,
+    ts_col: str,
+    date_col: str = "event_date",
+) -> dict:
+    """R14 at 100 TB: exact keep-newest-N over a date-partitioned sink
+    with partition-level I/O.
+
+    Layout: ``table_path/<date_col>=YYYY-MM-DD/...``. The walk is
+    newest-partition-first: partitions that fit wholly inside the keep
+    budget are left untouched (their files are never read or rewritten),
+    partitions wholly older than the cutoff are deleted as directories,
+    and only the single boundary partition is row-trimmed (rewritten).
+    I/O is O(boundary partition), not O(sink) — the property that makes
+    retention viable when the sink is 100 TB; with Delta the same walk
+    is ``DELETE WHERE`` + ``VACUUM``. Semantics equal the reference's
+    keep-newest-N (pipeline.py:41-51) exactly, because date(ts) ordering
+    is consistent with ts ordering.
+
+    Returns {"kept": .., "dropped_partitions": .., "trimmed": bool}.
+    """
+    parts = sorted(
+        (
+            d
+            for d in os.listdir(table_path)
+            if d.startswith(f"{date_col}=")
+            and os.path.isdir(os.path.join(table_path, d))
+        ),
+        reverse=True,  # newest date first
+    )
+    budget = max_rows
+    dropped = 0
+    trimmed = False
+    boundary_done = False
+    for d in parts:
+        pdir = os.path.join(table_path, d)
+        if boundary_done or budget <= 0:
+            shutil.rmtree(pdir, ignore_errors=True)
+            dropped += 1
+            continue
+        n = spark.read.parquet(pdir).count()  # footer-only row count
+        if n <= budget:
+            budget -= n  # fully kept — files untouched
+            continue
+        # boundary partition: keep only its newest `budget` rows
+        rows = spark.read.parquet(pdir)
+        kept = rows.orderBy(F.col(ts_col).desc()).limit(budget)
+        tmp = pdir + ".trim"
+        kept.write.mode("overwrite").parquet(tmp)
+        rewritten = spark.read.parquet(tmp).localCheckpoint(eager=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+        rewritten.write.mode("overwrite").parquet(pdir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        budget = 0
+        trimmed = True
+        boundary_done = True
+    return {
+        "kept": max_rows - budget,
+        "dropped_partitions": dropped,
+        "trimmed": trimmed,
+    }
+
+
 def ingest_with_retention(
     stream: DataFrame,
     sink_path: str,

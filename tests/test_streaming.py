@@ -168,6 +168,46 @@ def test_s4_retention_keeps_newest(spark, events, replay_dir, tmp_path):
     assert d["rows"] == 0 and d["bytes"] == 0 and d["max_ts"] is None
 
 
+# --- R14 scale path: partition-level retention ---------------------------------
+def test_retention_partitioned_exact_and_io_bounded(spark, events, tmp_path):
+    import os
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        retain_newest_partitioned,
+    )
+
+    table = str(tmp_path / "table")
+    events.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(table)
+    max_rows = 700
+
+    # files of the newest partition must never be rewritten
+    newest = sorted(
+        d for d in os.listdir(table) if d.startswith("event_date=")
+    )[-1]
+    before = {
+        f: os.stat(os.path.join(table, newest, f)).st_mtime_ns
+        for f in os.listdir(os.path.join(table, newest))
+    }
+
+    stats = retain_newest_partitioned(spark, table, max_rows, "ts")
+    assert stats["kept"] == max_rows and stats["dropped_partitions"] > 0
+
+    after = {
+        f: os.stat(os.path.join(table, newest, f)).st_mtime_ns
+        for f in os.listdir(os.path.join(table, newest))
+    }
+    assert after == before, "newest partition was rewritten"
+
+    # exact keep-newest-N semantics end-to-end
+    kept = spark.read.parquet(table).select(*events.columns)
+    expected = events.orderBy(F.col("ts").desc()).limit(max_rows)
+    assert kept.count() == max_rows
+    assert kept.exceptAll(expected).count() == 0
+    assert expected.exceptAll(kept).count() == 0
+
+
 # --- S5: checkpoint resume (kill/restart) == uninterrupted -----------------------
 def test_s5_checkpoint_resume(spark, events, replay_dir, tmp_path):
     sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
