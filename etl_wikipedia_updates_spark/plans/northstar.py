@@ -690,6 +690,40 @@ ORDER BY vec_id, vec_id2
 """
 
 
+# --- dedup_clusters: connected components over the near-dup graph -------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor-selection step of a dedup pipeline: connected
+    components over the exact shingle-Jaccard pair graph (q26), cluster
+    id = min doc_id (the canonical keeper). Iterative min-label
+    propagation — the one genuinely iterative declared operator; the
+    oracle is a recursive CTE computing the same closure."""
+    pairs = q26(spark, sf_dir).select("doc_id", "doc_id2")
+    cc = D.connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("doc_id").alias("member_checksum"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS (SELECT doc_id AS src, doc_id2 AS dst FROM ({Q26_SQL})),
+edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+r AS (
+  SELECT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label FROM r JOIN edges e ON e.src = r.doc_id
+),
+cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id)
+SELECT cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(doc_id) AS BIGINT) AS member_checksum
+FROM cc GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 # --- sample_hash: deterministic hash split (train/test) -----------------------
 # Universal integer hash on the stable doc key: reproducible across runs,
 # engines, and cluster sizes (stateless per-row math — no shuffle until the
@@ -769,6 +803,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     ),
     DeclaredQuery("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF cell-probed top-k"),
     DeclaredQuery("sample_hash", sample_hash, SAMPLE_HASH_SQL, "deterministic hash split"),
+    DeclaredQuery(
+        "dedup_clusters",
+        dedup_clusters,
+        DEDUP_CLUSTERS_SQL,
+        "connected components over near-dup pairs",
+    ),
     DeclaredQuery("cosine_neardup", cosine_neardup, COSINE_NEARDUP_SQL, "cosine near-dup"),
     DeclaredQuery("multimodal_bytes", multimodal_bytes, MULTIMODAL_SQL, "binary payload features"),
 ]
