@@ -195,6 +195,31 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    watermark_delay: str,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """S2 (session variant) / Q21's streaming form: native
+    ``session_window`` gap sessionization. State per open session,
+    closed (emitted) once the watermark passes session end + gap —
+    bounded state at any scale, same sessions as the batch lag-gap
+    formulation."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def sink_metrics(spark: SparkSession, sink_path: str, ts_col: str) -> dict:
     """D1-D4, D7: row count, newest/oldest event time, storage bytes —
     the dashboard's gauges (/root/reference/dashboard.py:37-75) from

@@ -9,6 +9,7 @@ duckdb-hashed; SURVEY §5.2).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_wikipedia_updates_spark.sources.replay import (
@@ -166,6 +167,73 @@ def test_s4_retention_keeps_newest(spark, events, replay_dir, tmp_path):
     # D6: deltas between two polls of the same gauges
     d = metrics_delta(m, sink_metrics(spark, str(tmp_path / "sink"), "ts"))
     assert d["rows"] == 0 and d["bytes"] == 0 and d["max_ts"] is None
+
+
+# --- S2 session variant: native session_window == batch lag-gap -----------------
+def test_session_window_equals_batch(spark, events, tmp_path):
+    import time
+
+    from etl_wikipedia_updates_spark.streaming.ingest import session_counts
+
+    base = events.filter(F.col("user_id") < 20)
+    # one far-future sentinel advances the global watermark past every
+    # real session's end+gap so append mode emits them all
+    sentinel = base.limit(1).select(
+        (F.col("event_id") + 9_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit(-1).alias("user_id"),
+        "event_type", "value", "props",
+    ).select(*base.columns)
+    replay = str(tmp_path / "replay")
+    base.coalesce(1).write.parquet(replay + "/chunk_0001")
+    time.sleep(1.5)
+    sentinel.coalesce(1).write.parquet(replay + "/chunk_0002")
+
+    stream = read_replay_stream(spark, replay, base.schema)
+    q = (
+        session_counts(stream, "ts", "30 minutes", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("s2_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM s2_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+
+    # batch expectation: Q21's lag-gap formulation
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tu = F.unix_micros(F.col("ts"))
+    gapped = base.select(
+        "user_id", "event_id", "ts", tu.alias("tu"),
+        F.lag(tu).over(w).alias("prev_tu"),
+    )
+    is_new = F.when(
+        F.col("prev_tu").isNull()
+        | ((F.col("tu") - F.col("prev_tu")) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessions = (
+        gapped.select(
+            "user_id", "ts",
+            F.sum(is_new).over(
+                W.partitionBy("user_id").orderBy("tu", "event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n_events"))
+    )
+    expected = {
+        (r.user_id, str(r.start), r.n_events) for r in sessions.collect()
+    }
+    assert got == expected
 
 
 # --- R14 scale path: partition-level retention ---------------------------------
