@@ -123,6 +123,54 @@ def cosine_topk_ivf(
     )
 
 
+LSH_LCG_A = 1_103_515_245
+LSH_LCG_C = 12_345
+LSH_LCG_M = 2**31 - 1
+
+
+def lsh_hyperplanes(n: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """n deterministic pseudo-random hyperplanes in [-1, 1]^dim from an
+    LCG — plain 6-decimal floats, so the identical literals embed in
+    both the Spark plan and the DuckDB oracle SQL (repr round-trips to
+    the same double in both engines)."""
+    planes: list[list[float]] = []
+    state = seed
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (LSH_LCG_A * state + LSH_LCG_C) % LSH_LCG_M
+            row.append(round((state % 2_000_001 - 1_000_000) / 1e6, 6))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(emb_col, planes: list[list[float]]):
+    """Sign-bit bucket id: bit h set iff dot(vec, plane_h) > 0. Same
+    fold arithmetic as functions.arrays.dot_product, so the oracle
+    (sql_lsh_bucket) computes identical signs."""
+    bucket = F.lit(0)
+    for h, plane in enumerate(planes):
+        lit = F.array(*[F.lit(v) for v in plane])
+        d = dot_product(_as_double(emb_col), lit)
+        bucket = bucket + F.when(d > 0, F.lit(2**h)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def sql_lsh_bucket(expr: str, planes: list[list[float]]) -> str:
+    from etl_wikipedia_updates_spark.functions.arrays import sql_dot_product
+
+    terms = []
+    for h, plane in enumerate(planes):
+        # 6dp decimal strings: DuckDB's DECIMAL(k,6)->DOUBLE conversion is
+        # a correctly-rounded small-int division, equal to Python's strtod
+        # of the same string — the two engines bind identical doubles.
+        lit = "[" + ", ".join(f"{v:.6f}" for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN {sql_dot_product(expr, lit)} > 0 THEN {2**h} ELSE 0 END)"
+        )
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
 def cosine_near_pairs(
     emb: DataFrame, threshold: float, cell_col: str = "label"
 ) -> DataFrame:

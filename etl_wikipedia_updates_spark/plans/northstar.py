@@ -690,6 +690,54 @@ ORDER BY vec_id, vec_id2
 """
 
 
+# --- ann_lsh: random-hyperplane LSH-bucketed top-k ----------------------------
+# The label-free scale path: when no cluster assignment exists (ann_ivf
+# needs one), sign-bit buckets from fixed pseudo-random hyperplanes give
+# the same equi-join probe shape. Single-probe here; multi-probe = union
+# of bit-flipped buckets.
+ANN_LSH_PLANES = S.lsh_hyperplanes(n=4, dim=64)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", S.lsh_bucket_col(F.col("embedding"), ANN_LSH_PLANES)
+    )
+    queries = bucketed.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("label"),
+    )
+    out = S.cosine_topk_ivf(
+        bucketed.withColumnRenamed("bucket", "lsh_cell"),
+        queries.withColumnRenamed("label", "lsh_cell"),
+        k=ANN_K,
+        cell_col="lsh_cell",
+    )
+    return out.select(
+        "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
+    ).orderBy("q_vec_id", "rk")
+
+
+def _ann_lsh_sql() -> str:
+    bucket = S.sql_lsh_bucket("embedding", ANN_LSH_PLANES)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_vec_id, embedding AS qe, bucket FROM b WHERE vec_id < {ANN_N_QUERIES}),
+pairs AS (
+  SELECT q.q_vec_id, e.vec_id,
+         {sql_cosine_similarity('q.qe', 'e.embedding')} AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id != q.q_vec_id
+)
+SELECT q_vec_id,
+       CAST(row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+       vec_id, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+FROM pairs
+QUALIFY rk <= {ANN_K}
+ORDER BY q_vec_id, rk
+"""
+
+
 # --- dedup_clusters: connected components over the near-dup graph -------------
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The survivor-selection step of a dedup pipeline: connected
@@ -803,6 +851,7 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     ),
     DeclaredQuery("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF cell-probed top-k"),
     DeclaredQuery("sample_hash", sample_hash, SAMPLE_HASH_SQL, "deterministic hash split"),
+    DeclaredQuery("ann_lsh", ann_lsh, _ann_lsh_sql(), "LSH-bucketed top-k"),
     DeclaredQuery(
         "dedup_clusters",
         dedup_clusters,
