@@ -66,6 +66,45 @@ def byte_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_SCHEMA = "doc_id long, n_frames long, frames array<binary>"
+
+
+def _frame_sample_batches(
+    frame_len: int, stride: int
+) -> "callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = pdf["payload"].map(
+                lambda b: [
+                    bytes(b[i : i + frame_len])
+                    for i in range(0, max(len(b) - frame_len + 1, 0), stride)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": frames.map(len),
+                    "frames": frames,
+                }
+            )
+
+    return gen
+
+
+def frame_sample(
+    with_payload: DataFrame, frame_len: int = 16, stride: int = 64
+) -> DataFrame:
+    """Deterministic every-Nth-frame sampling over a binary payload —
+    the video-frame-sample plumbing (fixed-size windows at a stride)
+    with a *nested* Arrow schema (array<binary> per row), the batch
+    shape a real codec-backed sampler produces. Decode itself stays
+    stubbed (decode_image below); the sampler is real and tested.
+    """
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batches(frame_len, stride), schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
 def decode_image(with_payload: DataFrame) -> DataFrame:
     """STUB — image decode (no codec libraries in this container).
 

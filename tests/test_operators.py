@@ -89,6 +89,34 @@ def test_byte_features_schema_and_values(spark):
     assert out[2].byte_len == 3 and out[2].n_space == 0
 
 
+def test_frame_sample_windows_and_nested_schema(spark):
+    text = "x" * 100
+    docs = spark.createDataFrame(
+        [(1, text), (2, "tiny")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in M.frame_sample(
+            M.with_binary_payload(docs), frame_len=16, stride=32
+        ).collect()
+    }
+    # 100 bytes, windows at 0/32/64 (96+16 > 100): 3 frames of 16 bytes
+    assert out[1].n_frames == 3
+    assert all(len(f) == 16 for f in out[1].frames)
+    assert bytes(out[1].frames[0]) == b"x" * 16
+    # shorter than one frame -> no frames
+    assert out[2].n_frames == 0 and list(out[2].frames) == []
+
+
+def test_connected_components_merges_chains(spark):
+    # 1-2, 2-3 chain plus isolated pair 10-11: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id long, doc_id2 long"
+    )
+    cc = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_decode_image_is_stubbed(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
