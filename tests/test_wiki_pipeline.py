@@ -73,6 +73,61 @@ def test_w5_dedup_natural_key(spark):
     assert out.filter(F.col("username") == "alice2").count() == 1
 
 
+def test_wiki_streaming_end_to_end(spark, tmp_path):
+    """The reference's production path as a stream: payload lines →
+    parse → transform → watermarked streaming dedup → sink, asserted
+    against the batch wiki_pipeline over the same fixture. The batch
+    path dedups to the min-raw_json survivor while streaming keeps
+    first-arrival, so equality is checked on the natural keys plus all
+    non-duplicated columns."""
+    lines = _lines_df(spark).withColumn(
+        "arrival", F.lit("2026-01-08 22:00:00").cast("timestamp")
+    )
+    replay = str(tmp_path / "replay")
+    lines.coalesce(1).write.parquet(replay + "/chunk_0001")
+
+    from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
+    from etl_wikipedia_updates_spark.streaming.ingest import streaming_dedup
+
+    stream = read_replay_stream(
+        spark, replay, lines.schema
+    )
+    transformed = transform(parse_raw(stream))
+    deduped = streaming_dedup(
+        transformed,
+        ["event_timestamp", "username", "title"],
+        "event_timestamp",
+        "1 hour",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wiki_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r.event_timestamp), r.username, r.title, r.length_diff_bytes)
+        for r in spark.sql("SELECT * FROM wiki_stream").collect()
+        if r.username != "alice" or r.title != "Alpha"  # dup key: survivor differs
+    }
+    batch = wiki_transform(_lines_df(spark))
+    expected = {
+        (str(r.event_timestamp), r.username, r.title, r.length_diff_bytes)
+        for r in batch.collect()
+        if r.username != "alice" or r.title != "Alpha"
+    }
+    assert got == expected
+    # the duplicated natural key appears exactly once in both paths
+    n_stream = spark.sql(
+        "SELECT COUNT(*) n FROM wiki_stream WHERE username='alice' AND title='Alpha'"
+    ).first()["n"]
+    assert n_stream == 1
+    assert batch.filter("username='alice' AND title='Alpha'").count() == 1
+
+
 def test_wiki_pipeline_matches_duckdb_oracle(spark):
     spark_pdf = wiki_pipeline(spark, "").toPandas()
     con = duckdb.connect()
