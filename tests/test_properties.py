@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+Each property is the algebraic fact the 100 TB design depends on —
+order-independence of the deterministic sums, permutation-invariance of
+signatures, dedup idempotence — checked over generated inputs rather
+than one fixture. Spark round-trips are expensive, so properties that
+are pure column math run through a single reused DataFrame per example
+batch where possible.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.operators import dedup as D
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+prices = st.lists(
+    st.floats(
+        min_value=0.0, max_value=100_000.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(xs=prices)
+@SLOW
+def test_scaled_long_sum_is_order_independent(spark, xs):
+    """dec_sum must give bit-identical results under any input order —
+    the property that makes map-side partials safe under AQE re-plans."""
+    from etl_wikipedia_updates_spark.functions.deterministic import dec_sum
+
+    def run(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        return df.agg(dec_sum(F.col("x")).alias("s")).first()["s"]
+
+    assert run(xs) == run(list(reversed(xs)))
+
+
+@given(xs=prices)
+@SLOW
+def test_scaled_long_sum_matches_exact_decimal(spark, xs):
+    """The scaled-long sum equals the exact decimal sum of the rounded
+    addends (the scaling maps each double to its 4dp floor-half-up)."""
+    from etl_wikipedia_updates_spark.functions.deterministic import dec_sum
+
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    got = df.agg(dec_sum(F.col("x")).alias("s")).first()["s"]
+    exact = sum(math.floor(v * 10_000.0 + 0.5) for v in xs)
+    assert got == float(exact) / 10_000.0
+
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=0, max_value=5),  # sub-key
+        st.integers(min_value=0, max_value=1_000),  # order col
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(data=rows)
+@SLOW
+def test_exact_dedup_idempotent_and_minimal(spark, data):
+    df = spark.createDataFrame(data, "k int, g int, v int")
+    once = D.exact_dedup(df, ["k", "g"], ["v"])
+    got = {(r.k, r.g, r.v) for r in once.collect()}
+    # survivor = min v per key (ties collapse to the same row value)
+    expected = {}
+    for k, g, v in data:
+        key = (k, g)
+        expected[key] = min(expected.get(key, v), v)
+    assert got == {(k, g, v) for (k, g), v in expected.items()}
+    # idempotent
+    assert {(r.k, r.g, r.v) for r in D.exact_dedup(once, ["k", "g"], ["v"]).collect()} == got
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy)
+@SLOW
+def test_minhash_signature_is_set_function(spark, docs):
+    """Signatures depend only on the token-id SET: shuffling row order
+    or duplicating rows never changes any h_i (min is idempotent and
+    commutative) — the invariant LSH correctness rests on."""
+    tids = [
+        (doc_id, "en", tid)
+        for doc_id, text in docs
+        for tid in {hash(w) % 1000 + 1 for w in text.split()}
+    ]
+    if not tids:
+        return
+    params = D.hash_params(8)
+    base = spark.createDataFrame(tids, "doc_id long, lang string, tid long")
+    dup = base.unionByName(base)  # duplicated rows
+    sig_a = {
+        tuple(r) for r in D.minhash_signatures(base, params).collect()
+    }
+    sig_b = {tuple(r) for r in D.minhash_signatures(dup, params).collect()}
+    assert sig_a == sig_b
