@@ -813,6 +813,111 @@ ORDER BY source, split
 """
 
 
+# --- text_normalize: cleaning pass (URL scrub + whitespace collapse) ----------
+URL_RE = r"https?://\S+"
+WS_RE = r"\s+"
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-tokenization cleaning pass: lowercase, URL
+    scrub, whitespace collapse, trim — all JVM regex expressions (Java
+    and RE2 agree on these patterns), verified cross-engine by an md5 of
+    every normalized document. Stateless per-row → embarrassingly
+    parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), URL_RE, " "), WS_RE, " "
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars_raw"),
+            F.length(norm).cast("bigint").alias("n_chars_norm"),
+            F.regexp_count(F.col("text"), F.lit(URL_RE)).cast("bigint").alias("n_urls"),
+            F.md5(F.encode(norm, "UTF-8")).alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '{URL_RE}', ' ', 'g'), '{WS_RE}', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+       CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '{URL_RE}', ' ', 'g'), '{WS_RE}', ' ', 'g'))) AS norm_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- contamination: cross-corpus n-gram overlap --------------------------------
+# Benchmark-contamination check: training docs sharing >= K distinct
+# shingles with any doc of the held-out corpus (source 'src0' plays the
+# benchmark). Same inverted-index shape as q26, but a two-corpus join —
+# candidates only materialize on shared shingles, never a cross join.
+CONTAM_BENCH_SOURCE = "src0"
+CONTAM_MIN_SHARED = 3
+
+
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.doc_shingles(docs)
+    dictionary = T.term_dictionary(sh)
+    ids = (
+        sh.join(F.broadcast(dictionary), "term")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "lang", "tid", "source")
+        .persist()
+    )
+    bench = ids.filter(F.col("source") == CONTAM_BENCH_SOURCE).select(
+        "lang", "tid", F.col("doc_id").alias("bench_doc")
+    )
+    train = ids.filter(F.col("source") != CONTAM_BENCH_SOURCE).select(
+        "lang", "tid", F.col("doc_id").alias("train_doc")
+    )
+    counts = (
+        train.join(bench, ["lang", "tid"])
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= CONTAM_MIN_SHARED)
+    )
+    w = W.partitionBy("train_doc").orderBy(
+        F.col("shared").desc(), F.col("bench_doc")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("train_doc").alias("doc_id"),
+            F.col("bench_doc"),
+            F.col("shared"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS ({SQL_SH}),
+ids AS (SELECT s.doc_id, s.lang, s.term, d.source
+        FROM sh s JOIN documents d USING (doc_id)),
+counts AS (
+  SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS shared
+  FROM ids t JOIN ids b ON t.term = b.term AND t.lang = b.lang
+  WHERE t.source != '{CONTAM_BENCH_SOURCE}' AND b.source = '{CONTAM_BENCH_SOURCE}'
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+)
+SELECT train_doc AS doc_id, bench_doc, shared
+FROM (SELECT *, row_number() OVER (PARTITION BY train_doc
+                                   ORDER BY shared DESC, bench_doc) AS rk
+      FROM counts)
+WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
 # --- multimodal_bytes: opaque binary payload + mapInPandas features -----------
 def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column + Arrow-batched byte feature extraction —
@@ -852,6 +957,15 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF cell-probed top-k"),
     DeclaredQuery("sample_hash", sample_hash, SAMPLE_HASH_SQL, "deterministic hash split"),
     DeclaredQuery("ann_lsh", ann_lsh, _ann_lsh_sql(), "LSH-bucketed top-k"),
+    DeclaredQuery(
+        "text_normalize", text_normalize, TEXT_NORMALIZE_SQL, "cleaning pass"
+    ),
+    DeclaredQuery(
+        "contamination",
+        contamination,
+        CONTAMINATION_SQL,
+        "cross-corpus shingle overlap",
+    ),
     DeclaredQuery(
         "dedup_clusters",
         dedup_clusters,
