@@ -1,0 +1,137 @@
+"""CLI — the engine's analog of the reference's ``main.py`` entry point
+(/root/reference/main.py:114-175: config from env+args, run the
+pipeline, graceful shutdown).
+
+    python -m etl_wikipedia_updates_spark list
+    python -m etl_wikipedia_updates_spark run q5 [--sf-dir DIR] [--limit N]
+    python -m etl_wikipedia_updates_spark ingest --replay DIR --sink DIR
+        [--max-rows N]            # file-replay ingest with retention (R11-R14)
+    python -m etl_wikipedia_updates_spark sse --url URL --sink DIR
+        [--max-batches N]         # live SSE ingest (R1-R3, R15)
+
+Config precedence mirrors the reference: CLI flag > environment
+(SPARK_GRAFT_SF_DIR, ETL_USER_AGENT) > default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark():
+    from etl_wikipedia_updates_spark.session import get_spark
+
+    return get_spark(app_name="etl_wikipedia_updates_spark.cli")
+
+
+def cmd_list(_args) -> int:
+    from etl_wikipedia_updates_spark.registry import REGISTRY
+
+    for name, q in REGISTRY.queries.items():
+        oracle = "oracle" if q.oracle else "rows-only"
+        print(f"{name:18s} {oracle:9s} {q.doc}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from etl_wikipedia_updates_spark.registry import REGISTRY
+
+    if args.query not in REGISTRY.queries:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = REGISTRY.queries[args.query].builder(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        ingest_with_retention,
+        sink_metrics,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    spark = _spark()
+    schema = load_table(spark, args.sf_dir, "events").schema
+    stream = read_replay_stream(spark, args.replay, schema)
+    q = ingest_with_retention(
+        stream,
+        args.sink,
+        args.checkpoint or args.sink.rstrip("/") + ".ckpt",
+        max_rows=args.max_rows,
+        ts_col="ts",
+    )
+    q.awaitTermination(args.timeout)
+    print(sink_metrics(spark, args.sink, "ts"))
+    return 0
+
+
+def cmd_sse(args) -> int:
+    from etl_wikipedia_updates_spark.sources.sse import register_sse_source
+    from etl_wikipedia_updates_spark.streaming.ingest import ingest_with_retention
+
+    spark = _spark()
+    if not register_sse_source(spark):
+        print("SSE source needs the Spark 4 Python Data Source API", file=sys.stderr)
+        return 2
+    stream = (
+        spark.readStream.format("sse")
+        .option("url", args.url)
+        .option("userAgent", os.environ.get("ETL_USER_AGENT", "etl-wikipedia-updates-spark"))
+        .load()
+    )
+    q = ingest_with_retention(
+        stream,
+        args.sink,
+        args.checkpoint or args.sink.rstrip("/") + ".ckpt",
+        available_now=False,
+    )
+    try:
+        q.awaitTermination(args.timeout)
+    except KeyboardInterrupt:  # R16: graceful shutdown
+        pass
+    finally:
+        q.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    sf_default = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    p = argparse.ArgumentParser(prog="etl_wikipedia_updates_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list declared queries")
+
+    runp = sub.add_parser("run", help="run a declared query")
+    runp.add_argument("query")
+    runp.add_argument("--sf-dir", default=sf_default)
+    runp.add_argument("--limit", type=int, default=20)
+
+    ing = sub.add_parser("ingest", help="file-replay ingest with retention")
+    ing.add_argument("--replay", required=True)
+    ing.add_argument("--sink", required=True)
+    ing.add_argument("--checkpoint")
+    ing.add_argument("--sf-dir", default=sf_default)
+    ing.add_argument("--max-rows", type=int)
+    ing.add_argument("--timeout", type=int, default=600)
+
+    sse = sub.add_parser("sse", help="live SSE ingest")
+    sse.add_argument(
+        "--url", default="https://stream.wikimedia.org/v2/stream/recentchange"
+    )
+    sse.add_argument("--sink", required=True)
+    sse.add_argument("--checkpoint")
+    sse.add_argument("--timeout", type=int, default=0)
+
+    args = p.parse_args(argv)
+    return {"list": cmd_list, "run": cmd_run, "ingest": cmd_ingest, "sse": cmd_sse}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
