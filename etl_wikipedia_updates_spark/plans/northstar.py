@@ -148,14 +148,10 @@ ORDER BY q_vec_id, rk
 
 
 # --- Q26: Jaccard near-dup ---------------------------------------------------
-def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard over distinct 3-token shingles via an
-    inverted-index equi-join on (lang, shingle) — pair candidates only
-    materialize where a shingle is shared, never a cross join.
-    Shingling (vs unigram token sets) is what keeps the index
-    selective: with a small vocabulary every doc shares most tokens,
-    but only true near-duplicates share token *sequences*. The
-    sub-quadratic scale path is minhash_lsh below."""
+def _q26_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, doc_id2, jaccard) pairs above threshold —
+    shared by q26 (which adds rounding + total order) and
+    dedup_clusters (which only needs the edges, so no sort)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = T.doc_shingles(docs)
     # Join on dense integer shingle ids, not shingle strings: the
@@ -191,6 +187,19 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over distinct 3-token shingles via an
+    inverted-index equi-join on (lang, shingle) — pair candidates only
+    materialize where a shingle is shared, never a cross join.
+    Shingling (vs unigram token sets) is what keeps the index
+    selective: with a small vocabulary every doc shares most tokens,
+    but only true near-duplicates share token *sequences*. The
+    sub-quadratic scale path is minhash_lsh below."""
+    return (
+        _q26_pairs(spark, sf_dir)
         .select("doc_id", "doc_id2", det_round(F.col("jaccard"), 4).alias("jaccard"))
         .orderBy("doc_id", "doc_id2")
     )
@@ -745,7 +754,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     id = min doc_id (the canonical keeper). Iterative min-label
     propagation — the one genuinely iterative declared operator; the
     oracle is a recursive CTE computing the same closure."""
-    pairs = q26(spark, sf_dir).select("doc_id", "doc_id2")
+    pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
     cc = D.connected_components(pairs)
     return (
         cc.groupBy("cluster_id")

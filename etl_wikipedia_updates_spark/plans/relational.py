@@ -381,6 +381,60 @@ def q12_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b)
 
 
+# --- percentiles: exact discrete quantiles via rank selection -----------------
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of o_totalprice per priority as *discrete* quantiles:
+    the value at rank ceil(q*n), computed with pure integer arithmetic
+    (ceil(a*n/b) = (a*n + b - 1) div b) — no FP interpolation, so both
+    engines select the identical row. One shuffle on the group key
+    serves the ranking window, the count window, and the aggregation.
+    At 100 TB the same selection runs on approx ranks (percentile_approx)
+    when exactness isn't contractual."""
+    orders = load_table(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def at_rank(num: int, den: int):
+        target = F.expr(f"({num} * n + {den} - 1) div {den}")
+        return F.max(F.when(F.col("rn") == target, F.col("o_totalprice")))
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            at_rank(1, 2).alias("p50"),
+            at_rank(9, 10).alias("p90"),
+            at_rank(99, 100).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN o_totalprice END) AS p99
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- Q13: rollup + grouping markers --------------------------------------------
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup = grouping-sets expansion before the agg; subtotal NULLs are
@@ -532,6 +586,9 @@ RELATIONAL_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery("q12", q12, Q12_SQL, "exact distinct"),
     DeclaredQuery(
         "q12_approx", q12_approx, None, "approx distinct (HLL++, bench-only)"
+    ),
+    DeclaredQuery(
+        "percentiles", percentiles, PERCENTILES_SQL, "exact discrete quantiles"
     ),
     DeclaredQuery("q13", q13, Q13_SQL, "rollup + grouping markers"),
     DeclaredQuery("q14", q14, Q14_SQL, "string functions"),
