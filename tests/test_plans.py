@@ -35,6 +35,10 @@ CASES = [
     # dictionary joins broadcast in the near-dup family
     ("minhash_lsh", ["BroadcastHashJoin"], []),
     ("ann_ivf", ["BroadcastHashJoin"], []),
+    # one ranking window + partial aggregation, no extra exchange layers
+    ("percentiles", ["Window", "partial_"], []),
+    # cross-corpus join keys stay integer shingle ids (dictionary broadcast)
+    ("contamination", ["BroadcastHashJoin"], []),
 ]
 
 
