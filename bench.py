@@ -22,6 +22,7 @@ knobs production would use.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -54,10 +55,12 @@ def main() -> None:
     for name, build in builders.items():
         run(build)  # warm: classload, codegen, page cache (untimed)
         spark.catalog.clearCache()
+        gc.collect()  # release DF refs so localCheckpoint blocks free up
         t0 = time.perf_counter()
         run(build)
         timings[name] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     print(
