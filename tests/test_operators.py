@@ -117,6 +117,24 @@ def test_connected_components_merges_chains(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_operators_on_empty_input(spark):
+    """Empty-input behavior (SURVEY §5.2): no operator should throw on
+    an empty frame, and outputs must be empty with the right schema."""
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    assert T.doc_tokens(empty_docs).count() == 0
+    assert T.doc_shingles(empty_docs).count() == 0
+    assert T.token_dictionary(empty_docs).count() == 0
+    empty_rows = spark.createDataFrame([], "k int, g int, v int")
+    assert D.exact_dedup(empty_rows, ["k", "g"], ["v"]).count() == 0
+    empty_tids = spark.createDataFrame([], "doc_id long, lang string, tid long")
+    sig = D.minhash_signatures(empty_tids, D.hash_params(4))
+    assert sig.count() == 0 and len(sig.columns) == 2 + 4
+    empty_pairs = spark.createDataFrame([], "doc_id long, doc_id2 long")
+    assert D.connected_components(empty_pairs).count() == 0
+
+
 def test_decode_image_is_stubbed(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):

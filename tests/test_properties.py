@@ -87,6 +87,31 @@ def test_exact_dedup_idempotent_and_minimal(spark, data):
     assert {(r.k, r.g, r.v) for r in D.exact_dedup(once, ["k", "g"], ["v"]).collect()} == got
 
 
+small_frames = st.lists(
+    st.integers(min_value=0, max_value=8), min_size=0, max_size=20
+)
+
+
+@given(xs=small_frames, ys=small_frames)
+@SLOW
+def test_set_algebra(spark, xs, ys):
+    """unionAll preserves multiset cardinality; exceptAll is a true
+    multiset difference; intersect ⊆ both sides — the algebra Q11
+    (set ops) relies on."""
+    a = spark.createDataFrame([(x,) for x in xs], "v int")
+    b = spark.createDataFrame([(y,) for y in ys], "v int")
+    assert a.unionAll(b).count() == len(xs) + len(ys)
+    assert a.exceptAll(a).count() == 0
+    got_diff = sorted(r.v for r in a.exceptAll(b).collect())
+    expect = list(xs)
+    for y in ys:
+        if y in expect:
+            expect.remove(y)
+    assert got_diff == sorted(expect)
+    inter = {r.v for r in a.intersect(b).collect()}
+    assert inter == set(xs) & set(ys)
+
+
 docs_strategy = st.lists(
     st.tuples(
         st.integers(min_value=1, max_value=30),
