@@ -1,0 +1,140 @@
+"""Distributed k-means (Lloyd's) over an embedding column.
+
+Reference parity: the reference app has no clustering, but a
+training-data pipeline needs learned cells for IVF-style similarity
+search and corpus topic maps; this is the standard distributed recipe
+(same shape as Spark MLlib's KMeans): the driver holds only the
+k x dim centroid matrix between iterations (a few KB), every
+data-sized step is a DataFrame op. Assignment is a pure projection —
+centroids are embedded as literal arrays, each vector computes its k
+distances and takes the (d2, cid) struct-min, so no join and no
+shuffle touches the corpus. The update is one shuffle keyed on
+(cid, dim-position): k*dim cells, independent of corpus size.
+
+Determinism (oracle hash-matching):
+- init = the k vectors with the smallest vec_id, in vec_id order.
+- distances fold sequentially in array order from a 0.0 seed on both
+  engines (functions.arrays conventions) -> bit-identical doubles;
+  assignment ties break toward the lowest cid via struct-min.
+- the centroid update is an exact scaled-long mean
+  (functions.deterministic.dec_sum), so partial-aggregation order can
+  never change it; a cluster that loses every member keeps its
+  previous centroid.
+- iteration count is fixed (no data-dependent convergence loop), so
+  the oracle is expressible as unrolled SQL and the job count is
+  bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.functions.deterministic import dec_sum
+
+MEAN_SCALE = 6  # scaled-long mean precision (1e-6) for centroid updates
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def squared_l2_to(emb_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from a (float) embedding column to a literal
+    centroid. The cast happens per element inside the lambda — never
+    reference a computed array from inside a lambda body (Catalyst
+    re-evaluates it per element access)."""
+    return F.aggregate(
+        F.zip_with(
+            emb_col,
+            _lit_vec(centroid),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_squared_l2(e: str, c: str) -> str:
+    """DuckDB twin of squared_l2_to for centroid arrays already cast to
+    double — identical IEEE op sequence (cast, subtract, square, left
+    fold from 0.0)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({e}, {c}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def assignment(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, cid, d2): nearest centroid per vector, ties to lowest
+    cid. Pure projection (struct-min over k literal distances) — scales
+    map-side at any corpus size."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    squared_l2_to(F.col("embedding"), c).alias("d2"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "embedding",
+        best.getField("cid").alias("cid"),
+        best.getField("d2").alias("d2"),
+    )
+
+
+def init_centroids(emb: DataFrame, k: int) -> list[list[float]]:
+    """The k vectors with the smallest vec_id, in vec_id order."""
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def update_centroids(
+    assigned: DataFrame, prev: list[list[float]]
+) -> list[list[float]]:
+    """Exact scaled-long per-dimension means; one shuffle on
+    (cid, pos) = k*dim cells. Empty clusters keep their previous
+    centroid."""
+    dims = (
+        assigned.select(
+            "cid", F.posexplode(F.col("embedding")).alias("pos", "x")
+        )
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                dec_sum(F.col("x").cast("double"), scale=MEAN_SCALE)
+                / F.count("x")
+            ).alias("m")
+        )
+        .collect()
+    )
+    cents = [list(c) for c in prev]
+    for r in dims:
+        cents[r.cid][r.pos] = r.m
+    return cents
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int, iters: int
+) -> list[list[float]]:
+    """Lloyd's with fixed iteration count; returns the final centroid
+    matrix (driver-side, k x dim)."""
+    cents = init_centroids(emb, k)
+    for _ in range(iters):
+        cents = update_centroids(assignment(emb, cents), cents)
+    return cents
+
+
+def centroid_frame(
+    spark: SparkSession, cents: list[list[float]]
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        schema="cid INT, cent ARRAY<DOUBLE>",
+    )
