@@ -68,7 +68,8 @@ def _assign_sql(cents: str) -> str:
     )
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """CTE chain c0 .. c{iters} (fit) + af (final assignment)."""
     parts = [
         "WITH c0 AS ("
         "SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, "
@@ -93,11 +94,15 @@ def _kmeans_sql(k: int, iters: int) -> str:
             f"FROM c{i - 1} p LEFT JOIN n{i} q USING (cid))"
         )
     parts.append(f"af AS ({_assign_sql(f'c{iters}')})")
+    return parts
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
     mean_d2 = sql_det_round(
         f"{sql_dec_sum('af.d2', scale=C.MEAN_SCALE)} / COUNT(af.d2)", 4
     )
     return (
-        ",\n".join(parts)
+        ",\n".join(_kmeans_ctes(k, iters))
         + f"\nSELECT af.cid AS cid, COUNT(*) AS n_members, {mean_d2} AS mean_dist2, "
         + sql_det_round("max(c.cent[1])", 4)
         + f" AS cent1\nFROM af JOIN c{iters} c USING (cid) "
@@ -107,11 +112,70 @@ def _kmeans_sql(k: int, iters: int) -> str:
 
 KMEANS_SQL = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
 
+
+# --- ann_kmeans: IVF top-k over the LEARNED cells -----------------------------
+# Same probe shape as ann_ivf, but the cells come from kmeans_fit instead
+# of the fixture's label column — the full "train cells, then search"
+# loop of a production vector index.
+ANN_KMEANS_K = 3
+ANN_KMEANS_N_QUERIES = 5
+
+
+def ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_wikipedia_updates_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = C.kmeans_fit(emb, KMEANS_K, KMEANS_ITERS)
+    cells = C.assignment(emb, cents).select("vec_id", "embedding", "cid")
+    queries = cells.filter(F.col("vec_id") < ANN_KMEANS_N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        "cid",
+    )
+    out = S.cosine_topk_ivf(cells, queries, k=ANN_KMEANS_K, cell_col="cid")
+    return out.select(
+        "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
+    ).orderBy("q_vec_id", "rk")
+
+
+def _ann_kmeans_sql(k: int, iters: int) -> str:
+    from etl_wikipedia_updates_spark.functions.arrays import sql_cosine_similarity
+
+    cos = sql_cosine_similarity("q.qe", "e.embedding")
+    return (
+        ",\n".join(_kmeans_ctes(k, iters))
+        + f""",
+q AS (
+  SELECT vec_id AS q_vec_id, embedding AS qe, cid
+  FROM af WHERE vec_id < {ANN_KMEANS_N_QUERIES}
+),
+pairs AS (
+  SELECT q.q_vec_id, e.vec_id, {cos} AS cos
+  FROM af e JOIN q ON e.cid = q.cid AND e.vec_id != q.q_vec_id
+)
+SELECT q_vec_id,
+       CAST(row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+       vec_id, {sql_det_round('cos', 4)} AS cos_sim
+FROM pairs
+QUALIFY rk <= {ANN_KMEANS_K}
+ORDER BY q_vec_id, rk
+"""
+    )
+
+
+ANN_KMEANS_SQL = _ann_kmeans_sql(KMEANS_K, KMEANS_ITERS)
+
 CLUSTERING_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "kmeans_clusters",
         kmeans_clusters,
         KMEANS_SQL,
         "distributed k-means (learned IVF cells)",
+    ),
+    DeclaredQuery(
+        "ann_kmeans",
+        ann_kmeans,
+        ANN_KMEANS_SQL,
+        "IVF top-k over learned k-means cells",
     ),
 ]
