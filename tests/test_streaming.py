@@ -61,6 +61,24 @@ def test_s1_replay_ingest_equals_batch(spark, events, replay_dir, tmp_path):
     assert velocity is None or velocity >= 0
 
 
+def test_compact_sink_preserves_rows_and_merges_files(
+    spark, events, replay_dir, tmp_path
+):
+    """Per-batch appends fragment the sink; compaction must merge files
+    without changing the data."""
+    from etl_wikipedia_updates_spark.streaming.ingest import compact_sink
+
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    sink = str(tmp_path / "sink")
+    q = ingest_with_retention(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    before = _checksum(read_sink(spark, sink))
+    stats = compact_sink(spark, sink, target_files=2)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2
+    assert _checksum(read_sink(spark, sink)) == before
+
+
 # --- S2: watermark drops late rows --------------------------------------------
 def test_s2_watermark_drops_late_rows(spark, events, tmp_path):
     """Spark's semantics (verified on 4.1): rows later than the
