@@ -205,6 +205,19 @@ def ingest_with_retention(
     return writer.start()
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    (small) dimension table — the streaming analog of the reference
+    joining nothing because SQLite holds one table. The static side is
+    broadcast, so enrichment is map-side per batch: no shuffle of the
+    stream, no streaming state, and the dim snapshot is re-resolved per
+    micro-batch (a dim update is picked up at the next trigger). At
+    100 TB of stream this is the only join shape that keeps up; a big
+    static side becomes a pre-bucketed table instead
+    (operators/layout.py)."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
 def streaming_dedup(
     stream: DataFrame, keys: list[str], ts_col: str, watermark_delay: str
 ) -> DataFrame:

@@ -139,3 +139,35 @@ def test_decode_image_is_stubbed(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
         M.decode_image(M.with_binary_payload(docs))
+
+
+def test_kmeans_assignment_is_argmin(spark):
+    """Every vector lands on its true nearest centroid, ties to the
+    lowest cid."""
+    from etl_wikipedia_updates_spark.operators import clustering as C
+
+    vecs = [(i, [float(i % 4), float(i % 3)]) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = [[0.0, 0.0], [3.0, 2.0], [0.0, 0.0]]  # cid 2 duplicates cid 0
+    got = {r.vec_id: (r.cid, r.d2) for r in C.assignment(df, cents).collect()}
+    for i, v in vecs:
+        dists = [sum((x - y) ** 2 for x, y in zip(v, c)) for c in cents]
+        best = min(range(len(cents)), key=lambda j: (dists[j], j))
+        assert got[i][0] == best, f"vec {i}"
+        assert abs(got[i][1] - dists[best]) < 1e-12
+
+
+def test_kmeans_fit_deterministic_and_total(spark):
+    from etl_wikipedia_updates_spark.operators import clustering as C
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = C.kmeans_fit(emb, k=4, iters=2)
+    b = C.kmeans_fit(emb, k=4, iters=2)
+    assert a == b  # bit-identical across runs
+    sizes = (
+        C.assignment(emb, a).groupBy("cid").count().agg(F.sum("count")).first()[0]
+    )
+    assert sizes == emb.count()  # assignment partitions the corpus

@@ -79,6 +79,31 @@ def test_compact_sink_preserves_rows_and_merges_files(
     assert _checksum(read_sink(spark, sink)) == before
 
 
+def test_enrich_stream_equals_batch_join(spark, events, replay_dir, tmp_path):
+    """Stream-static broadcast enrichment must equal the batch join."""
+    from etl_wikipedia_updates_spark.streaming.ingest import enrich_stream
+
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).alias("cohort"))
+    )
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    enriched = enrich_stream(stream, dim, "user_id")
+    sink = str(tmp_path / "sink")
+    q = ingest_with_retention(enriched, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    got = read_sink(spark, sink)
+    expected = events.join(F.broadcast(dim), "user_id", "left")
+    g = got.agg(
+        F.count("*").alias("n"), F.sum(F.col("event_id") * F.col("cohort")).alias("s")
+    ).first()
+    e = expected.agg(
+        F.count("*").alias("n"), F.sum(F.col("event_id") * F.col("cohort")).alias("s")
+    ).first()
+    assert (g["n"], g["s"]) == (e["n"], e["s"])
+
+
 # --- S2: watermark drops late rows --------------------------------------------
 def test_s2_watermark_drops_late_rows(spark, events, tmp_path):
     """Spark's semantics (verified on 4.1): rows later than the
