@@ -347,6 +347,82 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --- grouped_zscore: the grouped-map (applyInPandas) UDF surface -------------
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label z-score of the first embedding coordinate via
+    ``applyInPandas`` — the grouped-map Python surface (Q28 covers
+    scalar pandas_udf, multimodal_bytes covers mapInPandas). Each label
+    group crosses to Python ONCE as an Arrow batch; group stats use
+    exact scaled-long moments (integer sums are order-independent, so
+    the nondeterministic row order inside the pandas group cannot
+    change them), and the per-row (x-mean)/std is the same IEEE
+    sequence the oracle's window form computes. At scale the shuffle is
+    one hash partitioning on the group key; group size must fit an
+    Arrow batch (labels here; salted sub-groups if a group outgrows
+    memory)."""
+    import math
+
+    import numpy as np
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype="float64")
+        n = len(x)
+        s1 = int(np.floor(x * 1e6 + 0.5).astype(np.int64).sum())
+        mean = (float(s1) / 1e6) / n
+        s2 = int(np.floor((x * x) * 1e6 + 0.5).astype(np.int64).sum())
+        msq = (float(s2) / 1e6) / n
+        var = msq - mean * mean
+        std = math.sqrt(var) if var > 0 else 0.0
+        z = (x - mean) / std if std != 0.0 else np.zeros_like(x)
+        return pd.DataFrame(
+            {"label": pdf["label"], "vec_id": pdf["vec_id"], "z": z}
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", "vec_id", F.element_at("embedding", 1).cast("double").alias("x")
+    )
+    z = x.groupBy("label").applyInPandas(_z, "label int, vec_id long, z double")
+    return (
+        z.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            det_round(
+                dec_sum(F.abs(F.col("z")), scale=6) / F.count("*"), 4
+            ).alias("mean_abs_z"),
+            det_round(F.max("z"), 4).alias("max_z"),
+        )
+        .orderBy("label")
+    )
+
+
+GROUPED_ZSCORE_SQL = f"""
+WITH x AS (
+  SELECT label, vec_id, CAST(embedding[1] AS DOUBLE) AS x FROM embeddings
+),
+st AS (
+  SELECT label,
+         ((CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(*)) AS mean,
+         ((CAST(SUM(CAST(floor((x * x) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(*)) AS msq
+  FROM x GROUP BY label
+),
+sd AS (
+  SELECT label, mean,
+         CASE WHEN msq - mean * mean > 0 THEN sqrt(msq - mean * mean) ELSE 0.0 END AS std
+  FROM st
+),
+z AS (
+  SELECT x.label, x.vec_id,
+         CASE WHEN sd.std = 0 THEN 0.0 ELSE (x.x - sd.mean) / sd.std END AS z
+  FROM x JOIN sd USING (label)
+)
+SELECT label, COUNT(*) AS n,
+       {sql_det_round(sql_dec_sum('abs(z)', scale=6) + ' / COUNT(*)', 4)} AS mean_abs_z,
+       {sql_det_round('max(z)', 4)} AS max_z
+FROM z GROUP BY label ORDER BY label
+"""
+
+
 # --- minhash_lsh: MinHash + LSH near-dup (scale path for Q26) -----------------
 MINHASH_H = 16
 MINHASH_BANDS = 4
@@ -955,6 +1031,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery("q26", q26, Q26_SQL, "Jaccard near-dup (inverted index)"),
     DeclaredQuery("q27", q27, Q27_SQL, "label centroid distance"),
     DeclaredQuery("q28", q28, Q28_SQL, "pandas_udf surface"),
+    DeclaredQuery(
+        "grouped_zscore",
+        grouped_zscore,
+        GROUPED_ZSCORE_SQL,
+        "applyInPandas grouped-map surface",
+    ),
     DeclaredQuery("minhash_lsh", minhash_lsh, MINHASH_SQL, "MinHash+LSH near-dup"),
     DeclaredQuery("simhash_pairs", simhash_pairs, SIMHASH_SQL, "SimHash near-dup"),
     DeclaredQuery("lang_id", lang_id, LANG_ID_SQL, "language-ID confusion matrix"),
