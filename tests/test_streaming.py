@@ -104,6 +104,53 @@ def test_enrich_stream_equals_batch_join(spark, events, replay_dir, tmp_path):
     assert (g["n"], g["s"]) == (e["n"], e["s"])
 
 
+def test_stateful_running_counts_equal_batch(spark, events, replay_dir, tmp_path):
+    """applyInPandasWithState: the last emitted running count per user
+    must equal the batch count, and alarms fire exactly once for users
+    crossing the threshold."""
+    from etl_wikipedia_updates_spark.streaming.stateful import running_counts
+
+    threshold = 20
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    out = running_counts(stream, "user_id", alarm_threshold=threshold)
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                f"{sink}/b{bid:05d}"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(sink)
+    # running counts only grow, so max(cnt) per user == final total
+    finals = {
+        r.user_id: r.total
+        for r in emitted.groupBy("user_id")
+        .agg(F.max("cnt").alias("total"))
+        .collect()
+    }
+    batch = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert finals == batch
+    alarms = {
+        r.user_id: r.n
+        for r in emitted.filter("alarm")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expected_alarm_users = {u for u, c in batch.items() if c >= threshold}
+    assert set(alarms) == expected_alarm_users
+    assert all(n == 1 for n in alarms.values()), "alarm must fire exactly once"
+
+
 # --- S2: watermark drops late rows --------------------------------------------
 def test_s2_watermark_drops_late_rows(spark, events, tmp_path):
     """Spark's semantics (verified on 4.1): rows later than the
