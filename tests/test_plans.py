@@ -39,6 +39,14 @@ CASES = [
     ("percentiles", ["Window", "partial_"], []),
     # cross-corpus join keys stay integer shingle ids (dictionary broadcast)
     ("contamination", ["BroadcastHashJoin"], []),
+    # k-means: assignment is a projection; only the tiny centroid frame joins
+    ("kmeans_clusters", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # learned-cell probe: broadcast queries + ranked window, no merge join
+    ("ann_kmeans", ["BroadcastHashJoin", "row_number"], ["SortMergeJoin"]),
+    # grouped-map crosses to Python exactly once; aggregation stays two-phase
+    ("grouped_zscore", ["FlatMapGroupsInPandas", "partial_"], []),
+    # scalar pandas_udf runs as Arrow-batched eval, not row-at-a-time Python
+    ("q28", ["ArrowEvalPython"], ["BatchEvalPython"]),
 ]
 
 
