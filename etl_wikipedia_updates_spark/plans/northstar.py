@@ -898,6 +898,157 @@ ORDER BY source, split
 """
 
 
+# --- stratified_sample: per-stratum deterministic sampling --------------------
+# Different keep-rates per language stratum (the "rebalance the corpus
+# mix" operation of a training pipeline), same universal-hash bucketing
+# as sample_hash so membership is stateless and reproducible at any
+# scale / row order.
+STRATA_BUCKETS = {"en": 500, "de": 250, "fr": 250, "es": 125, "it": 125}
+STRATA_DEFAULT_BUCKETS = 50  # long-tail languages: 5%
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.col("doc_id").cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)
+    ) % F.lit(HASH_P) % F.lit(SAMPLE_BUCKETS)
+    keep_buckets = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(b))
+            for lang, b in STRATA_BUCKETS.items()
+        ],
+        F.lit(STRATA_DEFAULT_BUCKETS),
+    )
+    kept = docs.filter(bucket < keep_buckets)
+    pop = docs.groupBy("lang").agg(F.count("*").alias("n_pop"))
+    samp = kept.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return (
+        pop.join(samp, "lang", "left")
+        .select(
+            "lang",
+            "n_pop",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _strata_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {b}" for lang, b in STRATA_BUCKETS.items()
+    )
+    return f"CASE {whens} ELSE {STRATA_DEFAULT_BUCKETS} END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH kept AS (
+  SELECT lang, doc_id FROM documents
+  WHERE (doc_id * {SAMPLE_A} + {SAMPLE_B}) % {HASH_P} % {SAMPLE_BUCKETS}
+        < {_strata_case()}
+),
+pop AS (SELECT lang, COUNT(*) AS n_pop FROM documents GROUP BY lang),
+samp AS (
+  SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+  FROM kept GROUP BY lang
+)
+SELECT pop.lang, pop.n_pop,
+       coalesce(samp.n_sampled, 0) AS n_sampled,
+       coalesce(samp.id_checksum, 0) AS id_checksum
+FROM pop LEFT JOIN samp USING (lang)
+ORDER BY lang
+"""
+
+
+# --- quantize_embeddings: int8 symmetric quantization -------------------------
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4x storage/IO
+    compression a 100 TB vector corpus ships with (float32 -> int8 +
+    one float scale per vector). scale = 127/max|x|; q_i =
+    floor(x_i*scale + 0.5). All JVM-side folds; the per-row scale is
+    bound once via the single-element-array lambda trick (Catalyst does
+    not CSE into lambda bodies — binding prevents re-evaluating the
+    max|x| fold per element). Output: per label, the quantized-value
+    checksum (exact integer) and the mean squared reconstruction error
+    (exact scaled-long mean)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    absmax = F.aggregate(
+        F.transform(arr, lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda a, v: F.greatest(a, v),
+    )
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+
+    def _per_row(s):
+        qsum = F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda a, v: a
+            + F.floor(v.cast("double") * s + F.lit(0.5)).cast("long"),
+        )
+        def _err(v):
+            d = v.cast("double") - F.floor(v.cast("double") * s + F.lit(0.5)) / s
+            return d * d
+        sse = F.when(
+            s > 0,
+            F.aggregate(arr, F.lit(0.0), lambda a, v: a + _err(v)),
+        ).otherwise(F.lit(0.0))
+        return F.struct(qsum.alias("qsum"), sse.alias("sse"))
+
+    per_row = F.element_at(F.transform(F.array(scale), _per_row), 1)
+    rows = emb.select(
+        "label",
+        per_row.getField("qsum").alias("qsum"),
+        per_row.getField("sse").alias("sse"),
+    )
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("qsum").alias("q_checksum"),
+            det_round(
+                dec_sum(F.col("sse"), scale=8) / F.count("*"), 6
+            ).alias("mean_sse"),
+        )
+        .orderBy("label")
+    )
+
+
+_QE_Q = "CAST(floor(CAST(v AS DOUBLE) * s + 0.5) AS BIGINT)"
+_QE_D = "(CAST(v AS DOUBLE) - floor(CAST(v AS DOUBLE) * s + 0.5) / s)"
+
+QUANTIZE_SQL = f"""
+WITH sc AS (
+  SELECT label, embedding,
+         CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS s
+  FROM (
+    SELECT label, embedding,
+           list_reduce(list_prepend(0.0, list_transform(embedding,
+             v -> abs(CAST(v AS DOUBLE)))), (a, v) -> greatest(a, v)) AS am
+    FROM embeddings
+  )
+),
+q AS (
+  SELECT label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding,
+           v -> {_QE_Q})), (a, v) -> a + v) AS qsum,
+         CASE WHEN s = 0 THEN 0.0
+              ELSE list_reduce(list_prepend(0.0, list_transform(embedding,
+                v -> {_QE_D} * {_QE_D})), (a, v) -> a + v)
+         END AS sse
+  FROM sc
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(qsum) AS BIGINT) AS q_checksum,
+       {sql_det_round(sql_dec_sum('sse', scale=8) + ' / COUNT(*)', 6)} AS mean_sse
+FROM q GROUP BY label ORDER BY label
+"""
+
+
 # --- text_normalize: cleaning pass (URL scrub + whitespace collapse) ----------
 URL_RE = r"https?://\S+"
 WS_RE = r"\s+"
@@ -1047,6 +1198,18 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     ),
     DeclaredQuery("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF cell-probed top-k"),
     DeclaredQuery("sample_hash", sample_hash, SAMPLE_HASH_SQL, "deterministic hash split"),
+    DeclaredQuery(
+        "stratified_sample",
+        stratified_sample,
+        STRATIFIED_SAMPLE_SQL,
+        "per-stratum deterministic sampling",
+    ),
+    DeclaredQuery(
+        "quantize_embeddings",
+        quantize_embeddings,
+        QUANTIZE_SQL,
+        "int8 symmetric quantization",
+    ),
     DeclaredQuery("ann_lsh", ann_lsh, _ann_lsh_sql(), "LSH-bucketed top-k"),
     DeclaredQuery(
         "text_normalize", text_normalize, TEXT_NORMALIZE_SQL, "cleaning pass"
