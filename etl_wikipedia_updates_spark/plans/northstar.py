@@ -898,6 +898,83 @@ ORDER BY source, split
 """
 
 
+# --- tfidf_topterms: TF-IDF term relevance ------------------------------------
+TFIDF_N_DOCS = 20
+TFIDF_K = 3
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most distinctive terms per document by TF-IDF. The
+    contract form uses the exact rational idf (tf * N / df — one double
+    division with an exact integer numerator, bit-identical across
+    engines); a deployment swaps in log-idf, which only rescales the
+    ranking monotonically for fixed tf. Corpus stats (df, N) come from
+    the FULL corpus; only the reported documents are filtered. Scale
+    shape: tf = one (doc_id, term) shuffle, df = one term shuffle whose
+    vocabulary-sized result broadcasts back, top-k = ranked window per
+    doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.doc_tokens(docs)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < TFIDF_N_DOCS)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            det_round(F.col("score"), 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS ({SQL_TOK}),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df_t.df AS DOUBLE) AS score
+  FROM tf JOIN df_t USING (term) CROSS JOIN n
+  WHERE tf.doc_id < {TFIDF_N_DOCS}
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk,
+       term, {sql_det_round('score', 4)} AS tfidf
+FROM scored
+QUALIFY rk <= {TFIDF_K}
+ORDER BY doc_id, rk
+"""
+
+
 # --- stratified_sample: per-stratum deterministic sampling --------------------
 # Different keep-rates per language stratum (the "rebalance the corpus
 # mix" operation of a training pipeline), same universal-hash bucketing
@@ -1203,6 +1280,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         stratified_sample,
         STRATIFIED_SAMPLE_SQL,
         "per-stratum deterministic sampling",
+    ),
+    DeclaredQuery(
+        "tfidf_topterms",
+        tfidf_topterms,
+        TFIDF_SQL,
+        "TF-IDF top terms per document",
     ),
     DeclaredQuery(
         "quantize_embeddings",
