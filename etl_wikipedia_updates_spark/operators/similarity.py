@@ -171,6 +171,49 @@ def sql_lsh_bucket(expr: str, planes: list[list[float]]) -> str:
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
+def cosine_topk_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cell_col: str = "label",
+    probe_cells_col: str = "probe_cells",
+) -> DataFrame:
+    """IVF top-k with n_probes > 1: each query carries an ARRAY of cell
+    ids to probe (typically its nearest n centroid cells); the array
+    explodes into one equi-join probe per cell and candidates from all
+    probed cells compete in one ranked window. Recall rises with every
+    added cell at linearly more candidates — the standard IVF recall
+    lever (SCALE.md); n_probes = total cells degenerates to exact
+    brute force."""
+    q = F.broadcast(
+        queries.select(
+            "q_vec_id",
+            "q_embedding",
+            F.explode(F.col(probe_cells_col)).alias("q_cell"),
+        )
+        .withColumn("qe", _as_double(F.col("q_embedding")))
+        .withColumn("q_nrm", l2_norm(F.col("qe")))
+    )
+    base = _with_double_and_norm(emb, "e", "nrm")
+    joined = base.join(q, base[cell_col] == q["q_cell"]).filter(
+        F.col("vec_id") != F.col("q_vec_id")
+    )
+    sim = _pair_cosine(F.col("qe"), F.col("e"), F.col("q_nrm"), F.col("nrm"))
+    w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.select("q_vec_id", "vec_id", sim.alias("sim"))
+        .distinct()  # a vector probed via two cells must count once
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_vec_id",
+            "rank",
+            "vec_id",
+            det_round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
 def cosine_near_pairs(
     emb: DataFrame, threshold: float, cell_col: str = "label"
 ) -> DataFrame:

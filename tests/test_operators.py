@@ -171,3 +171,71 @@ def test_kmeans_fit_deterministic_and_total(spark):
         C.assignment(emb, a).groupBy("cid").count().agg(F.sum("count")).first()[0]
     )
     assert sizes == emb.count()  # assignment partitions the corpus
+
+
+def test_multiprobe_ivf_recall_and_exhaustive_equivalence(spark):
+    """n_probes recall lever: more probed cells never lowers top-k
+    quality, and probing every cell equals brute force exactly."""
+    from etl_wikipedia_updates_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    all_cells = [r.label for r in emb.select("label").distinct().collect()]
+    qbase = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        "label",
+    )
+    k = 3
+
+    def topk_sims(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.q_vec_id, []).append(r.cos_sim)
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    one = topk_sims(
+        S.cosine_topk_multiprobe(
+            emb, qbase.select("q_vec_id", "q_embedding",
+                              F.array("label").alias("probe_cells")), k
+        )
+    )
+    two = topk_sims(
+        S.cosine_topk_multiprobe(
+            emb,
+            qbase.select(
+                "q_vec_id", "q_embedding",
+                F.array("label", (F.col("label") + 1) % 10).alias("probe_cells"),
+            ),
+            k,
+        )
+    )
+    for q in one:
+        assert two[q] >= one[q], "adding a probe cell lowered top-k quality"
+    exhaustive = topk_sims(
+        S.cosine_topk_multiprobe(
+            emb,
+            qbase.select(
+                "q_vec_id", "q_embedding",
+                F.array(*[F.lit(c) for c in all_cells]).alias("probe_cells"),
+            ),
+            k,
+        )
+    )
+    brute = topk_sims(S.cosine_topk(emb, qbase.select("q_vec_id", "q_embedding"), k))
+    assert exhaustive == brute
+
+
+def test_quantization_error_bound(spark):
+    """int8 symmetric quantization: per-element reconstruction error is
+    bounded by half a quantization step (0.5/scale)."""
+    from etl_wikipedia_updates_spark.plans.northstar import quantize_embeddings
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first().embedding)
+    out = quantize_embeddings(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_vecs for r in out) == emb.count()
+    # mean sse <= dim * (0.5/scale)^2; scale >= 127/max|x| with |x|<=~4
+    # for the synthetic unit-ish embeddings -> bound ~ dim*(2/127)^2
+    bound = dim * (4.0 / 127.0) ** 2
+    for r in out:
+        assert 0.0 <= r.mean_sse <= bound, f"label {r.label}: {r.mean_sse}"
