@@ -35,23 +35,21 @@ from etl_wikipedia_updates_spark.functions.deterministic import dec_sum
 MEAN_SCALE = 6  # scaled-long mean precision (1e-6) for centroid updates
 
 
-def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+def _matrix_sql(cents: list[list[float]]) -> str:
+    """The k x dim centroid matrix as ONE SQL array-of-arrays literal.
 
-
-def squared_l2_to(emb_col: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance from a (float) embedding column to a literal
-    centroid. The cast happens per element inside the lambda — never
-    reference a computed array from inside a lambda body (Catalyst
-    re-evaluates it per element access)."""
-    return F.aggregate(
-        F.zip_with(
-            emb_col,
-            _lit_vec(centroid),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    Built as a string and parsed JVM-side by ``F.expr``: constructing the
+    same literal through k*dim ``F.lit`` py4j calls costs ~0.4s of driver
+    time per call site at k=8, dim=64 (measured), which multiplies across
+    Lloyd's iterations. ``repr(float)`` round-trips doubles exactly, so
+    the parsed literal is bit-identical to the Python value."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in cents
+        )
+        + ")"
     )
 
 
@@ -68,24 +66,25 @@ def sql_squared_l2(e: str, c: str) -> str:
 
 def assignment(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, cid, d2): nearest centroid per vector, ties to lowest
-    cid. Pure projection (struct-min over k literal distances) — scales
-    map-side at any corpus size."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    squared_l2_to(F.col("embedding"), c).alias("d2"),
-                    F.lit(cid).cast("int").alias("cid"),
-                )
-                for cid, c in enumerate(centroids)
-            ]
-        )
+    cid. Pure projection (struct-min over the per-centroid distances) —
+    scales map-side at any corpus size. The whole expression is one SQL
+    string (single py4j call + JVM parse; see _matrix_sql). The distance
+    keeps the cross-engine op sequence: per element cast-to-double,
+    subtract, square, then a sequential left fold from a 0.0 seed
+    (sql_squared_l2 is the DuckDB twin). The cast happens per element
+    inside the lambda — never reference a computed array from inside a
+    lambda body (Catalyst re-evaluates it per element access)."""
+    best = (
+        f"array_min(transform({_matrix_sql(centroids)}, (c, i) -> "
+        "named_struct('d2', aggregate(zip_with(embedding, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v), 'cid', CAST(i AS INT))))"
     )
     return emb.select(
         "vec_id",
         "embedding",
-        best.getField("cid").alias("cid"),
-        best.getField("d2").alias("d2"),
+        F.expr(best + ".cid").alias("cid"),
+        F.expr(best + ".d2").alias("d2"),
     )
 
 
