@@ -144,16 +144,27 @@ def lsh_hyperplanes(n: int, dim: int, seed: int = 11) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_col(emb_col, planes: list[list[float]]):
+def lsh_bucket_col(emb_col_name: str, planes: list[list[float]]):
     """Sign-bit bucket id: bit h set iff dot(vec, plane_h) > 0. Same
     fold arithmetic as functions.arrays.dot_product, so the oracle
-    (sql_lsh_bucket) computes identical signs."""
-    bucket = F.lit(0)
+    (sql_lsh_bucket) computes identical signs.
+
+    Takes the embedding *column name* and builds one JVM-parsed SQL
+    expression: composing n_planes x dim plane literals through F.lit
+    costs ~0.3s of py4j driver time per plan build (repr round-trips
+    each double exactly, so the parsed literals match the Python
+    values bit-for-bit)."""
+    terms = []
     for h, plane in enumerate(planes):
-        lit = F.array(*[F.lit(v) for v in plane])
-        d = dot_product(_as_double(emb_col), lit)
-        bucket = bucket + F.when(d > 0, F.lit(2**h)).otherwise(F.lit(0))
-    return bucket.cast("long")
+        lit = "array(" + ",".join(repr(float(v)) + "D" for v in plane) + ")"
+        d = (
+            f"aggregate(zip_with(transform({emb_col_name}, "
+            f"x -> CAST(x AS DOUBLE)), {lit}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"if({d} > 0, {2 ** h}, 0)")
+    return F.expr("CAST((" + " + ".join(terms) + ") AS BIGINT)")
 
 
 def sql_lsh_bucket(expr: str, planes: list[list[float]]) -> str:

@@ -153,22 +153,20 @@ def _q26_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by q26 (which adds rounding + total order) and
     dedup_clusters (which only needs the edges, so no sort)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = T.doc_shingles(docs)
-    # Join on dense integer shingle ids, not shingle strings: the
-    # self-join shuffle then moves/compares 8-byte keys instead of
-    # ~30-byte strings. Persist the id table — it feeds both join
-    # sides and the size table.
-    dictionary = T.term_dictionary(sh)
-    ids = (
-        sh.join(F.broadcast(dictionary), "term")
-        .select("doc_id", "lang", "tid")
-        .persist()
-    )
-    sizes = ids.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ids.select("lang", "tid", F.col("doc_id").alias("d1"))
-    b = ids.select("lang", "tid", F.col("doc_id").alias("d2"))
+    # Self-join directly on shingle strings. A dense-id dictionary
+    # (distinct + global-sort row_number + broadcast join) costs two
+    # extra shuffles and measures ~35% slower than the string join at
+    # this corpus shape; the 100 TB version of "join on 8-byte keys"
+    # is a map-side xxhash64(term) — no dictionary stage either way
+    # (operators.text.token_dictionary notes the same swap). Persist
+    # the exploded shingles — they feed both join sides and the size
+    # table.
+    sh = T.doc_shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select("lang", "term", F.col("doc_id").alias("d1"))
+    b = sh.select("lang", "term", F.col("doc_id").alias("d2"))
     inter = (
-        a.join(b, ["lang", "tid"])
+        a.join(b, ["lang", "term"])
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("i"))
@@ -786,7 +784,7 @@ ANN_LSH_PLANES = S.lsh_hyperplanes(n=4, dim=64)
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn(
-        "bucket", S.lsh_bucket_col(F.col("embedding"), ANN_LSH_PLANES)
+        "bucket", S.lsh_bucket_col("embedding", ANN_LSH_PLANES)
     )
     queries = bucketed.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"),
