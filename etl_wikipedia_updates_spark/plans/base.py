@@ -17,6 +17,27 @@ from pyspark.sql import DataFrame, SparkSession
 Builder = Callable[[SparkSession, str], DataFrame]
 
 
+def total_order(df: DataFrame, *cols) -> DataFrame:
+    """The contract's total ORDER BY, as a single-partition sort.
+
+    A plain ``orderBy`` plans a range exchange, and computing the range
+    bounds SAMPLES the child — re-executing the entire upstream plan a
+    second time (measured: the final sort nearly doubled the near-dup
+    queries). ``repartition(1)`` is a round-robin exchange (no sampling)
+    and a single partition satisfies the sort's required distribution,
+    so the plan becomes Exchange(1) + in-partition sort. Contract
+    outputs are small (a few rows to ~10^5), so the serial sort is
+    noise. At 100 TB a large *result* would never be globally sorted at
+    all — you write partitioned/sorted files (operators.layout) — so
+    the total order stays a contract artifact, not a scale path.
+
+    Use with ``DataFrame.transform``:
+    ``df.transform(total_order, "k1", "k2")``. Not for orderBy+limit
+    top-k queries — those already compile to TakeOrderedAndProject.
+    """
+    return df.repartition(1).orderBy(*cols)
+
+
 @dataclass(frozen=True)
 class DeclaredQuery:
     name: str

@@ -22,7 +22,7 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
     sql_det_round,
 )
 from etl_wikipedia_updates_spark.operators import clustering as C
-from etl_wikipedia_updates_spark.plans.base import DeclaredQuery
+from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.tables import load_table
 
 KMEANS_K = 8
@@ -54,7 +54,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_dist2",
             det_round(F.col("ce1"), 4).alias("cent1"),
         )
-        .orderBy("cid")
+        .transform(total_order, "cid")
     )
 
 
@@ -135,7 +135,7 @@ def ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.cosine_topk_ivf(cells, queries, k=ANN_KMEANS_K, cell_col="cid")
     return out.select(
         "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
-    ).orderBy("q_vec_id", "rk")
+    ).transform(total_order, "q_vec_id", "rk")
 
 
 def _ann_kmeans_sql(k: int, iters: int) -> str:

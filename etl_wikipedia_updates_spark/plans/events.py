@@ -26,7 +26,7 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
     sql_ts_str,
     ts_str,
 )
-from etl_wikipedia_updates_spark.plans.base import DeclaredQuery
+from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.tables import load_table
 
 # Fixed vocabulary of the synthetic events table (FIXTURES.md §B).
@@ -50,7 +50,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(k).alias("min_k"),
             F.max(k).alias("max_k"),
         )
-        .orderBy("event_type")
+        .transform(total_order, "event_type")
     )
 
 
@@ -79,7 +79,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
             F.round(F.element_at("embedding", -1).cast("double"), 4).alias("e_last"),
         )
-        .orderBy("vec_id")
+        .transform(total_order, "vec_id")
     )
 
 
@@ -105,7 +105,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
         for t in EVENT_TYPES
     ]
-    return events.groupBy("user_id").agg(*aggs).orderBy("user_id")
+    return events.groupBy("user_id").agg(*aggs).transform(total_order, "user_id")
 
 
 Q19_SQL = (
@@ -142,7 +142,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tumble = windowed(F.window("ts", "1 hour"), "tumble_1h")
     slide = windowed(F.window("ts", "1 hour", "30 minutes"), "slide_1h_30m")
-    return tumble.unionByName(slide).orderBy("kind", "window_start")
+    return tumble.unionByName(slide).transform(total_order, "kind", "window_start")
 
 
 Q20_SQL = f"""
@@ -217,7 +217,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("len_us").cast("double") / F.count("*") / 1_000_000, 3
             ).alias("avg_session_sec"),
         )
-        .orderBy("user_id")
+        .transform(total_order, "user_id")
     )
 
 
@@ -313,7 +313,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str(F.col("t")).alias("event_time"),
             ts_str(F.col("o_t")).alias("matched_order_date"),
         )
-        .orderBy("event_id")
+        .transform(total_order, "event_id")
     )
 
 

@@ -38,7 +38,7 @@ from etl_wikipedia_updates_spark.operators import multimodal as M
 from etl_wikipedia_updates_spark.operators import similarity as S
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.operators.text import HASH_P
-from etl_wikipedia_updates_spark.plans.base import DeclaredQuery
+from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.tables import load_table
 
 # --- shared oracle SQL fragments --------------------------------------------
@@ -128,7 +128,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.cosine_topk(emb, queries, k=5)
     return out.select(
         "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
-    ).orderBy("q_vec_id", "rk")
+    ).transform(total_order, "q_vec_id", "rk")
 
 
 Q25_SQL = f"""
@@ -199,7 +199,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _q26_pairs(spark, sf_dir)
         .select("doc_id", "doc_id2", det_round(F.col("jaccard"), 4).alias("jaccard"))
-        .orderBy("doc_id", "doc_id2")
+        .transform(total_order, "doc_id", "doc_id2")
     )
 
 
@@ -267,7 +267,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("avg_dist"),
         )
-        .orderBy("label")
+        .transform(total_order, "label")
     )
 
 
@@ -333,7 +333,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kd").alias("sum_key_diff"),
             money_sum(F.col("dp"), scale=6).alias("sum_disc_price"),
         )
-        .orderBy("l_returnflag")
+        .transform(total_order, "l_returnflag")
     )
 
 
@@ -390,7 +390,7 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_z"),
             det_round(F.max("z"), 4).alias("max_z"),
         )
-        .orderBy("label")
+        .transform(total_order, "label")
     )
 
 
@@ -449,7 +449,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = D.jaccard_verify(cand, tok_arrays, JACCARD_THRESHOLD)
     return verified.select(
         "doc_id", "doc_id2", det_round(F.col("jaccard"), 4).alias("jaccard")
-    ).orderBy("doc_id", "doc_id2")
+    ).transform(total_order, "doc_id", "doc_id2")
 
 
 def _minhash_sql() -> str:
@@ -514,7 +514,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtok = shingle_rows.join(F.broadcast(dictionary), "term")
     fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid")).persist()
     pairs = D.simhash_near_pairs(fps, SIMHASH_MAX_HAMMING)
-    return pairs.orderBy("doc_id", "doc_id2")
+    return pairs.transform(total_order, "doc_id", "doc_id2")
 
 
 SIMHASH_SQL = f"""
@@ -554,7 +554,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.groupBy("lang", "predicted_lang")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "predicted_lang")
+        .transform(total_order, "lang", "predicted_lang")
     )
 
 
@@ -596,7 +596,7 @@ STOPWORD_N = 20
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stop = T.corpus_top_terms(docs, STOPWORD_N).select("term")
-    return T.quality_features(docs, stop).orderBy("doc_id")
+    return T.quality_features(docs, stop).transform(total_order, "doc_id")
 
 
 TEXT_QUALITY_SQL = f"""
@@ -661,7 +661,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "n_tokens", "n_alpha_runs",
             "avg_tokens_per_doc", "n_distinct_terms",
         )
-        .orderBy("source")
+        .transform(total_order, "source")
     )
 
 
@@ -692,7 +692,7 @@ ORDER BY p.source
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dictionary = T.token_dictionary(docs)
-    return T.rolling_fingerprint(docs, dictionary).orderBy("doc_id")
+    return T.rolling_fingerprint(docs, dictionary).transform(total_order, "doc_id")
 
 
 DOC_FINGERPRINT_SQL = f"""
@@ -730,7 +730,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.cosine_topk_ivf(emb, queries, k=ANN_K, cell_col="label")
     return out.select(
         "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
-    ).orderBy("q_vec_id", "rk")
+    ).transform(total_order, "q_vec_id", "rk")
 
 
 ANN_IVF_SQL = f"""
@@ -757,7 +757,7 @@ def cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_pairs(
         emb, COSINE_NEARDUP_THRESHOLD, cell_col="label"
-    ).orderBy("vec_id", "vec_id2")
+    ).transform(total_order, "vec_id", "vec_id2")
 
 
 COSINE_NEARDUP_SQL = f"""
@@ -799,7 +799,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "q_vec_id", F.col("rank").cast("bigint").alias("rk"), "vec_id", "cos_sim"
-    ).orderBy("q_vec_id", "rk")
+    ).transform(total_order, "q_vec_id", "rk")
 
 
 def _ann_lsh_sql() -> str:
@@ -836,7 +836,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
             F.sum("doc_id").alias("member_checksum"),
         )
-        .orderBy("cluster_id")
+        .transform(total_order, "cluster_id")
     )
 
 
@@ -879,7 +879,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("doc_id").alias("id_checksum"),
         )
-        .orderBy("source", "split")
+        .transform(total_order, "source", "split")
     )
 
 
@@ -944,7 +944,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             det_round(F.col("score"), 4).alias("tfidf"),
         )
-        .orderBy("doc_id", "rk")
+        .transform(total_order, "doc_id", "rk")
     )
 
 
@@ -1008,7 +1008,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
             F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
         )
-        .orderBy("lang")
+        .transform(total_order, "lang")
     )
 
 
@@ -1089,7 +1089,7 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dec_sum(F.col("sse"), scale=8) / F.count("*"), 6
             ).alias("mean_sse"),
         )
-        .orderBy("label")
+        .transform(total_order, "label")
     )
 
 
@@ -1149,7 +1149,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count(F.col("text"), F.lit(URL_RE)).cast("bigint").alias("n_urls"),
             F.md5(F.encode(norm, "UTF-8")).alias("norm_md5"),
         )
-        .orderBy("doc_id")
+        .transform(total_order, "doc_id")
     )
 
 
@@ -1205,7 +1205,7 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bench_doc"),
             F.col("shared"),
         )
-        .orderBy("doc_id")
+        .transform(total_order, "doc_id")
     )
 
 
@@ -1237,7 +1237,7 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte features match the oracle's character functions exactly."""
     docs = load_table(spark, sf_dir, "documents")
     payload = M.with_binary_payload(docs)
-    return M.byte_features(payload).orderBy("doc_id")
+    return M.byte_features(payload).transform(total_order, "doc_id")
 
 
 MULTIMODAL_SQL = """

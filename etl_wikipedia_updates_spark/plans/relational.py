@@ -21,7 +21,7 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
     sql_money_sum,
     ts_str,
 )
-from etl_wikipedia_updates_spark.plans.base import DeclaredQuery
+from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.tables import load_table
 
 
@@ -87,7 +87,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(dec_sum(F.col("l_discount")) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(total_order, "l_returnflag", "l_linestatus")
     )
 
 
@@ -121,7 +121,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             money_sum(F.col("o_totalprice")).alias("sum_totalprice"),
         )
-        .orderBy("c_mktsegment")
+        .transform(total_order, "c_mktsegment")
     )
 
 
@@ -152,7 +152,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(money_sum(revenue, scale=6).alias("revenue"))
-        .orderBy("n_name")
+        .transform(total_order, "n_name")
     )
 
 
@@ -177,7 +177,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(F.count("*").alias("n_nations"))
-        .orderBy("r_name")
+        .transform(total_order, "r_name")
     )
 
 
@@ -236,7 +236,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        .transform(total_order, "o_custkey", "rn")
     )
 
 
@@ -274,7 +274,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lag("o_totalprice").over(w).alias("prev_totalprice"),
         det_round(running, 2).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderdate_s", "o_orderkey")
+    ).transform(total_order, "o_custkey", "o_orderdate_s", "o_orderkey")
 
 
 Q9_SQL = f"""
@@ -322,7 +322,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(c.intersect(s).select(F.lit("intersect").alias("op"), "nk"))
         .union(c.exceptAll(s).select(F.lit("except").alias("op"), "nk"))
     )
-    return tagged.orderBy("op", "nk")
+    return tagged.transform(total_order, "op", "nk")
 
 
 Q11_SQL = """
@@ -412,7 +412,7 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             at_rank(9, 10).alias("p90"),
             at_rank(99, 100).alias("p99"),
         )
-        .orderBy("o_orderpriority")
+        .transform(total_order, "o_orderpriority")
     )
 
 
@@ -454,7 +454,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_priority",
             "g_status",
         )
-        .orderBy("o_orderpriority", "o_orderstatus")
+        .transform(total_order, "o_orderpriority", "o_orderstatus")
     )
 
 
@@ -483,7 +483,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract(F.col("p_name"), "^([a-z]+) ", 1).alias("first_word"),
             F.length(F.col("p_name")).cast("bigint").alias("name_len"),
         )
-        .orderBy("p_partkey")
+        .transform(total_order, "p_partkey")
     )
 
 
@@ -520,7 +520,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "month_start"
             ),
         )
-        .orderBy("y", "m")
+        .transform(total_order, "y", "m")
     )
 
 
@@ -555,7 +555,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             money_sum(F.col("dist")).alias("sum_dist"),
         )
-        .orderBy("bucket")
+        .transform(total_order, "bucket")
     )
 
 

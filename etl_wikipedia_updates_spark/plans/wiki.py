@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_wikipedia_updates_spark.functions.deterministic import ts_str
 from etl_wikipedia_updates_spark.pipeline import wiki_transform
-from etl_wikipedia_updates_spark.plans.base import DeclaredQuery
+from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 
 FIXTURE_LINES: list[str] = [
     # full edit (baseline)
@@ -80,7 +80,7 @@ def wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length_bytes_old",
         "length_bytes_new",
         "length_diff_bytes",
-    ).orderBy("event_timestamp_s", "username", "title")
+    ).transform(total_order, "event_timestamp_s", "username", "title")
 
 
 def _values_clause() -> str:
