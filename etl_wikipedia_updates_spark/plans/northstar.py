@@ -435,7 +435,9 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only bucket-colliding docs ever pair up, and shingling keeps the
     buckets selective (SURVEY §4.3(3))."""
     docs = load_table(spark, sf_dir, "documents")
-    shingle_rows = T.doc_shingles(docs)
+    # Persist the shingle explode: it feeds both the dictionary build
+    # and the id join, which otherwise re-explode the corpus twice.
+    shingle_rows = T.doc_shingles(docs).persist()
     dictionary = T.term_dictionary(shingle_rows)
     dtok = shingle_rows.join(F.broadcast(dictionary), "term")
     sig = D.minhash_signatures(
@@ -509,7 +511,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hamming <= 3 over 4 chunks => some chunk equal => candidates come
     from 4 equi-joins, never a cross join)."""
     docs = load_table(spark, sf_dir, "documents")
-    shingle_rows = T.doc_shingles(docs)
+    # Persist the shingle explode: it feeds both the dictionary build
+    # and the id join, which otherwise re-explode the corpus twice.
+    shingle_rows = T.doc_shingles(docs).persist()
     dictionary = T.term_dictionary(shingle_rows)
     dtok = shingle_rows.join(F.broadcast(dictionary), "term")
     fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid")).persist()
@@ -1174,22 +1178,24 @@ CONTAM_MIN_SHARED = 3
 
 def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Join on raw shingle strings (same reasoning as _q26_pairs: the
+    # dense-id dictionary costs two extra shuffles; the 100 TB 8-byte
+    # key is map-side xxhash64). The tiny (doc_id, source) side is
+    # broadcast onto the exploded shingles.
     sh = T.doc_shingles(docs)
-    dictionary = T.term_dictionary(sh)
     ids = (
-        sh.join(F.broadcast(dictionary), "term")
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "lang", "tid", "source")
+        sh.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .select("doc_id", "lang", "term", "source")
         .persist()
     )
     bench = ids.filter(F.col("source") == CONTAM_BENCH_SOURCE).select(
-        "lang", "tid", F.col("doc_id").alias("bench_doc")
+        "lang", "term", F.col("doc_id").alias("bench_doc")
     )
     train = ids.filter(F.col("source") != CONTAM_BENCH_SOURCE).select(
-        "lang", "tid", F.col("doc_id").alias("train_doc")
+        "lang", "term", F.col("doc_id").alias("train_doc")
     )
     counts = (
-        train.join(bench, ["lang", "tid"])
+        train.join(bench, ["lang", "term"])
         .groupBy("train_doc", "bench_doc")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= CONTAM_MIN_SHARED)

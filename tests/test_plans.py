@@ -37,7 +37,7 @@ CASES = [
     ("ann_ivf", ["BroadcastHashJoin"], []),
     # one ranking window + partial aggregation, no extra exchange layers
     ("percentiles", ["Window", "partial_"], []),
-    # cross-corpus join keys stay integer shingle ids (dictionary broadcast)
+    # the tiny (doc_id, source) side broadcasts onto the exploded shingles
     ("contamination", ["BroadcastHashJoin"], []),
     # k-means: assignment is a projection; only the tiny centroid frame joins
     ("kmeans_clusters", ["BroadcastHashJoin"], ["SortMergeJoin"]),
