@@ -1256,7 +1256,161 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- corpus_stats: the per-(source, lang) dataset card -----------------------
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus profile: doc count, char/token totals,
+    char-length extremes, mean tokens/doc — the dataset-card numbers a
+    corpus release ships with. One scan, one small-key shuffle; the
+    token count is size(split(...)), computed map-side without an
+    explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(T.tokens_col()).alias("n_tokens"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            det_round(
+                F.sum(F.col("n_tokens").cast("long")).cast("double")
+                / F.count("*"),
+                3,
+            ).alias("avg_tokens"),
+        )
+        .transform(total_order, "source", "lang")
+    )
+
+
+CORPUS_STATS_SQL = f"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       {sql_det_round("CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE) / COUNT(*)", 3)} AS avg_tokens
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+# --- bm25_rank: query-term document ranking -----------------------------------
+BM25_TERMS = ("hash", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1P1 = BM25_K1 + 1.0
+BM25_1MB = 1.0 - BM25_B
+BM25_TOPK = 10
+BM25_SCALE = 6
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents for a fixed query-term set under BM25 with the
+    exact *rational* idf, (N - df + 0.5) / (df + 0.5) — log-free so
+    every arithmetic step is plain IEEE doubles shared with the oracle
+    (same reasoning as tfidf_topterms; log-idf is a monotone rescale a
+    deployment can swap in). Per-term contributions round to scaled
+    longs before summing, so the per-doc score is an exact integer —
+    ranking ties cannot flip across engines. Scale shape: dl/tf are one
+    (doc_id[, term]) shuffle each over tokens filtered to the query
+    terms (predicate reaches the explode), df + corpus stats broadcast
+    back, final top-k is one ranked window over matched docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.doc_tokens(docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("total_len"), F.count("*").alias("n_docs")
+    )
+    qt = tok.filter(F.col("term").isin(*BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = (
+        qt.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(BM25_1MB) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = idf * (F.col("tf").cast("double") * F.lit(BM25_K1P1)) / denom
+    scaled = F.floor(contrib * F.lit(float(10**BM25_SCALE)) + F.lit(0.5)).cast(
+        "long"
+    )
+    per_doc = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", scaled.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("s"))
+    )
+    w = W.orderBy(F.col("s").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            (F.col("s").cast("double") / float(10**BM25_SCALE)).alias("bm25"),
+        )
+        .transform(total_order, "rk")
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    s = float(10**BM25_SCALE)
+    avgdl = "(CAST(st.total_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE))"
+    idf = (
+        "((CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) "
+        "/ (CAST(d.df AS DOUBLE) + 0.5))"
+    )
+    denom = (
+        f"(CAST(t.tf AS DOUBLE) + {BM25_K1!r} * ({BM25_1MB!r} + {BM25_B!r} "
+        f"* (CAST(l.dl AS DOUBLE) / {avgdl})))"
+    )
+    contrib = f"{idf} * (CAST(t.tf AS DOUBLE) * {BM25_K1P1!r}) / {denom}"
+    return f"""
+WITH tok AS ({SQL_TOK}),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_len, COUNT(*) AS n_docs FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE term IN ({terms}) GROUP BY term),
+sums AS (
+  SELECT t.doc_id,
+         SUM(CAST(floor(({contrib}) * {s} + 0.5) AS BIGINT)) AS s
+  FROM tf t JOIN dft d USING (term) JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN st
+  GROUP BY t.doc_id
+)
+SELECT rk, doc_id, bm25 FROM (
+  SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rk,
+         doc_id, CAST(s AS DOUBLE) / {s} AS bm25
+  FROM sums
+) WHERE rk <= {BM25_TOPK} ORDER BY rk
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+
 NORTHSTAR_QUERIES: list[DeclaredQuery] = [
+    DeclaredQuery(
+        "corpus_stats", corpus_stats, CORPUS_STATS_SQL, "per-(source,lang) dataset card"
+    ),
+    DeclaredQuery(
+        "bm25_rank", bm25_rank, BM25_SQL, "BM25 ranking (rational idf)"
+    ),
     DeclaredQuery("q23", q23, Q23_SQL, "word count (text analysis)"),
     DeclaredQuery("q24", q24, Q24_SQL, "exact dedup (R10)"),
     DeclaredQuery("q25", q25, Q25_SQL, "cosine top-k (brute force)"),

@@ -386,3 +386,43 @@ def test_s5_checkpoint_resume(spark, events, replay_dir, tmp_path):
     q2 = ingest_with_retention(stream2, sink, ckpt, available_now=True)
     q2.awaitTermination(300)
     assert _checksum(read_sink(spark, sink)) == _checksum(events)
+
+
+# --- incremental rollup: streamed partials == batch aggregate ----------------
+def test_rollup_maintenance_equals_batch(spark, events, replay_dir, tmp_path):
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        compact_rollup,
+        ingest_with_rollup,
+        rollup_view,
+    )
+
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    q = ingest_with_rollup(
+        stream,
+        str(tmp_path / "sink"),
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    def normalize(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n"], round(r["sum_value"], 4))
+            for r in df.collect()
+        )
+
+    expected = normalize(
+        events.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got = normalize(rollup_view(spark, str(tmp_path / "rollup")))
+    assert got == expected
+    # partials folded down -> view unchanged, one partial per (day, key)
+    compact_rollup(spark, str(tmp_path / "rollup"))
+    assert normalize(rollup_view(spark, str(tmp_path / "rollup"))) == expected
