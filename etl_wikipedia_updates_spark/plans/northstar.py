@@ -39,7 +39,7 @@ from etl_wikipedia_updates_spark.operators import similarity as S
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.operators.text import HASH_P
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
-from etl_wikipedia_updates_spark.tables import load_table
+from etl_wikipedia_updates_spark.tables import load_table, spread
 
 # --- shared oracle SQL fragments --------------------------------------------
 SQL_TOK = (
@@ -152,7 +152,9 @@ def _q26_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (doc_id, doc_id2, jaccard) pairs above threshold —
     shared by q26 (which adds rounding + total order) and
     dedup_clusters (which only needs the edges, so no sort)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: see cosine_neardup — the shingle explode is the heavy
+    # pre-shuffle compute (measured ~2x on this pipeline).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Self-join directly on shingle strings. A dense-id dictionary
     # (distinct + global-sort row_number + broadcast join) costs two
     # extra shuffles and measures ~35% slower than the string join at
@@ -434,7 +436,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are verified with exact shingle-Jaccard. Sub-quadratic:
     only bucket-colliding docs ever pair up, and shingling keeps the
     buckets selective (SURVEY §4.3(3))."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # see cosine_neardup
     # Persist the shingle explode: it feeds both the dictionary build
     # and the id join, which otherwise re-explode the corpus twice.
     shingle_rows = T.doc_shingles(docs).persist()
@@ -510,7 +512,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over shingle ids + pigeonhole-bucketed pair search
     (hamming <= 3 over 4 chunks => some chunk equal => candidates come
     from 4 equi-joins, never a cross join)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # see cosine_neardup
     # Persist the shingle explode: it feeds both the dictionary build
     # and the id join, which otherwise re-explode the corpus twice.
     shingle_rows = T.doc_shingles(docs).persist()
@@ -758,7 +760,11 @@ ORDER BY q_vec_id, rk
 
 # --- cosine_neardup: embedding near-dup pairs --------------------------------
 def cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the per-pair zip_with folds (|cell|^2 x dim) run before
+    # any shuffle, so an under-partitioned scan would serialize them on
+    # one core (measured 3x on this query; spread is a measured LOSS on
+    # cheap-per-row queries, so it is applied per-site, not blanket).
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return S.cosine_near_pairs(
         emb, COSINE_NEARDUP_THRESHOLD, cell_col="label"
     ).transform(total_order, "vec_id", "vec_id2")
@@ -1177,7 +1183,10 @@ CONTAM_MIN_SHARED = 3
 
 
 def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: shingle construction (k concat_ws per token position) is
+    # the heavy pre-shuffle compute here; measured win (see
+    # cosine_neardup note on why spread is per-site).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Join on raw shingle strings (same reasoning as _q26_pairs: the
     # dense-id dictionary costs two extra shuffles; the 100 TB 8-byte
     # key is map-side xxhash64). The tiny (doc_id, source) side is

@@ -57,6 +57,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+SPREAD_PARTITIONS = 16
+
+
+def spread(df: DataFrame, partitions: int = SPREAD_PARTITIONS) -> DataFrame:
+    """Give an under-partitioned input compute parallelism.
+
+    The driver's tables are single-row-group parquet files, so a scan
+    yields ONE partition and everything up to the first shuffle —
+    shingle explodes, per-pair zip_with folds, distance projections —
+    runs on one core (measured: cosine_neardup 1.0s -> 0.33s with the
+    input spread across 16). The repartition shuffles only the tiny
+    input table. Guarded: sources that already arrive well-partitioned
+    (any real deployment; 100 TB inputs carry thousands of partitions)
+    pass through untouched, so this never adds a shuffle at scale.
+    """
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
+    return df.repartition(partitions)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view (for the SQL-form queries).
 
