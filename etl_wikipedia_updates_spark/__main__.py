@@ -8,6 +8,8 @@ pipeline, graceful shutdown).
         [--max-rows N]            # file-replay ingest with retention (R11-R14)
     python -m etl_wikipedia_updates_spark sse --url URL --sink DIR
         [--max-batches N]         # live SSE ingest (R1-R3, R15)
+    python -m etl_wikipedia_updates_spark dashboard --sink DIR
+        [--interval S] [--polls N]  # D1-D7 gauges + deltas + velocity
 
 Config precedence mirrors the reference: CLI flag > environment
 (SPARK_GRAFT_SF_DIR, ETL_USER_AGENT) > default.
@@ -99,6 +101,51 @@ def cmd_sse(args) -> int:
     return 0
 
 
+def cmd_dashboard(args) -> int:
+    """D1-D7 as a terminal poll loop — the engine's analog of the
+    reference's Streamlit dashboard (/root/reference/dashboard.py:
+    gauges at :37-74, 5 s refresh at :75, delta 'sparklines' at
+    :56,63,70). Prints one JSON line per poll: rows, newest/oldest
+    event time, bytes on disk, deltas vs the previous poll, and the
+    events/min velocity the reference derives from row-count deltas
+    (dashboard.py:47-49)."""
+    import json
+    import time as _time
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        metrics_delta,
+        sink_metrics,
+    )
+
+    spark = _spark()
+    prev: dict | None = None
+    prev_t = None
+    for _ in range(args.polls) if args.polls else iter(int, 1):
+        cur = sink_metrics(spark, args.sink, args.ts_col)
+        now = _time.monotonic()
+        out = {
+            "rows": cur["rows"],
+            "max_ts": str(cur["max_ts"]),
+            "min_ts": str(cur["min_ts"]),
+            "bytes": cur["bytes"],
+        }
+        if prev is not None:
+            delta = metrics_delta(prev, cur)
+            out["delta"] = {k: v for k, v in delta.items() if v is not None}
+            dt = now - prev_t
+            if dt > 0 and delta.get("rows") is not None:
+                out["events_per_min"] = round(delta["rows"] / dt * 60.0, 1)
+        print(json.dumps(out), flush=True)
+        prev, prev_t = cur, now
+        if args.polls and _ == args.polls - 1:
+            break
+        try:
+            _time.sleep(args.interval)
+        except KeyboardInterrupt:
+            break
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     sf_default = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     p = argparse.ArgumentParser(prog="etl_wikipedia_updates_spark")
@@ -127,10 +174,22 @@ def main(argv: list[str] | None = None) -> int:
     sse.add_argument("--checkpoint")
     sse.add_argument("--timeout", type=int, default=0)
 
+    dash = sub.add_parser(
+        "dashboard", help="poll sink metrics (D1-D7), one JSON line per poll"
+    )
+    dash.add_argument("--sink", required=True)
+    dash.add_argument("--ts-col", default="ts")
+    dash.add_argument("--interval", type=float, default=5.0)
+    dash.add_argument("--polls", type=int, default=0, help="0 = until Ctrl-C")
+
     args = p.parse_args(argv)
-    return {"list": cmd_list, "run": cmd_run, "ingest": cmd_ingest, "sse": cmd_sse}[
-        args.cmd
-    ](args)
+    return {
+        "list": cmd_list,
+        "run": cmd_run,
+        "ingest": cmd_ingest,
+        "sse": cmd_sse,
+        "dashboard": cmd_dashboard,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -45,3 +45,27 @@ def test_cli_ingest_replay(spark, sf_smoke, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert f"'rows': {events.count()}" in out
+
+
+def test_cli_dashboard(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    sink = str(tmp_path / "sink")
+    events.write.mode("overwrite").parquet(sink)
+    assert (
+        main(
+            ["dashboard", "--sink", sink, "--interval", "0", "--polls", "2"]
+        )
+        == 0
+    )
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(lines) == 2
+    assert lines[0]["rows"] == events.count()
+    assert lines[1]["delta"]["rows"] == 0  # static sink between polls
+    assert lines[1]["events_per_min"] == 0.0
+    assert lines[0]["bytes"] > 0
