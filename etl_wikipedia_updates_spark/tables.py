@@ -38,9 +38,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Correctness-critical session confs. The engine's own factory
+# (session.py) sets all of these at build time; this guard exists for
+# FOREIGN sessions — the driver's correctness gate calls
+# __spark_entry__.queries() with a SparkSession we didn't build. Without
+# nanosAsLong the events.parquet read fails outright (TIMESTAMP(NANOS));
+# a non-UTC session timezone flips every timestamp-string output. The
+# set is guarded (only when the value differs), so the engine's own
+# sessions are never redundantly mutated.
+_REQUIRED_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+}
+
+
+def _ensure_required_conf(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            current = spark.conf.get(k)
+        except Exception:
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _ensure_required_conf(spark)
     # events.parquet stores ts as Parquet TIMESTAMP(NANOS), which the Spark
     # reader rejects. The session factory sets
     # spark.sql.legacy.parquet.nanosAsLong so nanos arrive as long; we

@@ -26,3 +26,23 @@ def test_embedding_schema(spark, sf_smoke):
     emb = dfs["embeddings"]
     field = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
     assert field["embedding"] == "array<float>"
+
+
+def test_load_table_repairs_foreign_session_conf(spark, sf_smoke):
+    """The driver's gate calls queries() with a session the engine did
+    not build; load_table must restore the correctness-critical confs
+    (events.parquet is unreadable without nanosAsLong, and timestamp
+    strings flip outside UTC)."""
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    original_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        df = load_table(spark, sf_smoke, "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original_tz)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
