@@ -865,6 +865,65 @@ FROM cc GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
+# --- dedup_corpus: the deduplicated corpus itself -----------------------------
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end output a dedup pipeline exists for: the corpus
+    with non-canonical near-duplicates REMOVED. A doc is dropped iff its
+    connected-component label is a different (smaller) doc_id; every
+    unclustered doc survives untouched. One summary row per source:
+    docs in, docs kept, docs dropped, kept-id checksum — the audit
+    numbers a corpus release records next to the filtered data. Scale
+    shape: CC labels are |clustered docs| rows (tiny vs corpus); the
+    drop set broadcasts into an anti-join against the full corpus."""
+    pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
+    labels = D.connected_components(pairs)
+    dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+    n_in = docs.groupBy("source").agg(F.count("*").alias("docs_in"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("doc_id").alias("kept_checksum"),
+        )
+        .join(n_in, "source")
+        .select(
+            "source",
+            "docs_in",
+            "docs_kept",
+            (F.col("docs_in") - F.col("docs_kept")).alias("docs_dropped"),
+            F.col("kept_checksum").cast("bigint").alias("kept_checksum"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+DEDUP_CORPUS_SQL = f"""
+WITH RECURSIVE p AS (SELECT doc_id AS src, doc_id2 AS dst FROM ({Q26_SQL})),
+edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+r AS (
+  SELECT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label FROM r JOIN edges e ON e.src = r.doc_id
+),
+cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id),
+dropped AS (SELECT doc_id FROM cc WHERE cluster_id != doc_id),
+kept AS (
+  SELECT d.source, d.doc_id FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT k.source,
+       (SELECT COUNT(*) FROM documents d2 WHERE d2.source = k.source) AS docs_in,
+       COUNT(*) AS docs_kept,
+       (SELECT COUNT(*) FROM documents d2 WHERE d2.source = k.source) - COUNT(*) AS docs_dropped,
+       CAST(SUM(k.doc_id) AS BIGINT) AS kept_checksum
+FROM kept k GROUP BY k.source ORDER BY k.source
+"""
+
+
 # --- sample_hash: deterministic hash split (train/test) -----------------------
 # Universal integer hash on the stable doc key: reproducible across runs,
 # engines, and cluster sizes (stateless per-row math — no shuffle until the
@@ -1475,6 +1534,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         dedup_clusters,
         DEDUP_CLUSTERS_SQL,
         "connected components over near-dup pairs",
+    ),
+    DeclaredQuery(
+        "dedup_corpus",
+        dedup_corpus,
+        DEDUP_CORPUS_SQL,
+        "end-to-end dedup: corpus minus non-canonical near-dups",
     ),
     DeclaredQuery("cosine_neardup", cosine_neardup, COSINE_NEARDUP_SQL, "cosine near-dup"),
     DeclaredQuery("multimodal_bytes", multimodal_bytes, MULTIMODAL_SQL, "binary payload features"),

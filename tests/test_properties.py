@@ -144,3 +144,57 @@ def test_minhash_signature_is_set_function(spark, docs):
     }
     sig_b = {tuple(r) for r in D.minhash_signatures(dup, params).collect()}
     assert sig_a == sig_b
+
+
+def test_dedup_corpus_partition_invariants(spark, sf_smoke):
+    """kept + dropped = in, per source and in total; every near-dup
+    cluster keeps exactly its minimum doc_id (the canonical survivor)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _q26_pairs,
+        dedup_corpus,
+    )
+
+    rows = dedup_corpus(spark, sf_smoke).collect()
+    assert rows, "at least one source group"
+    for r in rows:
+        assert r.docs_kept + r.docs_dropped == r.docs_in
+        assert r.docs_kept >= 1
+    pairs = _q26_pairs(spark, sf_smoke).select("doc_id", "doc_id2")
+    labels = D.connected_components(pairs)
+    per_cluster = (
+        labels.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("min_id"), F.count("*").alias("n"))
+        .collect()
+    )
+    total_dropped = sum(r.docs_dropped for r in rows)
+    assert total_dropped == sum(r.n - 1 for r in per_cluster)
+    for r in per_cluster:
+        assert r.cluster_id == r.min_id  # survivor = min label
+
+
+def test_bm25_scores_positive_and_rank_consistent(spark, sf_smoke):
+    """BM25 with rational idf: idf > 0 whenever df < N, so scores of
+    matched docs are strictly positive; ranks are 1..k without gaps and
+    ordered by (score desc, doc_id)."""
+    from etl_wikipedia_updates_spark.plans.northstar import bm25_rank
+
+    rows = bm25_rank(spark, sf_smoke).collect()
+    assert rows
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.bm25, -a.doc_id) >= (b.bm25, -b.doc_id)
+        assert a.bm25 > 0
+
+
+def test_corpus_stats_totals_match_docs(spark, sf_smoke):
+    """corpus_stats group totals must re-aggregate to whole-corpus
+    numbers (no row lost to grouping)."""
+    from etl_wikipedia_updates_spark.plans.northstar import corpus_stats
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    rows = corpus_stats(spark, sf_smoke).collect()
+    docs = load_table(spark, sf_smoke, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.total_chars for r in rows) == docs.agg(
+        F.sum("n_chars")
+    ).first()[0]
