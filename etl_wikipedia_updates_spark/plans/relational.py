@@ -416,6 +416,34 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- percentiles_approx (bench-only; the 100 TB quantile path) ----------------
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale swap the exact-percentiles docstring points at:
+    percentile_approx (KLL-style sketch) — single pass, fixed sketch
+    memory per partition, sketches merge map-side, no ranking window and
+    no per-group sort. Approximate, so (like q12_approx) it registers
+    without an oracle: the driver records the rows-only check and the
+    bench records its runtime next to the exact variant's."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.percentile_approx(
+                "o_totalprice", [0.5, 0.9, 0.99], 10_000
+            ).alias("p"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.element_at("p", 1).alias("p50"),
+            F.element_at("p", 2).alias("p90"),
+            F.element_at("p", 3).alias("p99"),
+        )
+        .transform(total_order, "o_orderpriority")
+    )
+
+
 PERCENTILES_SQL = """
 WITH ranked AS (
   SELECT o_orderpriority, o_totalprice,
@@ -586,6 +614,12 @@ RELATIONAL_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery("q12", q12, Q12_SQL, "exact distinct"),
     DeclaredQuery(
         "q12_approx", q12_approx, None, "approx distinct (HLL++, bench-only)"
+    ),
+    DeclaredQuery(
+        "percentiles_approx",
+        percentiles_approx,
+        None,
+        "approx quantile sketch (bench-only)",
     ),
     DeclaredQuery(
         "percentiles", percentiles, PERCENTILES_SQL, "exact discrete quantiles"
