@@ -1324,6 +1324,109 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- lang_id_chargram: language-ID over character trigrams --------------------
+CHARGRAM_PROFILE_N = 40
+
+# Lowered text is bound as a lambda variable (transform over a 1-element
+# array) so it is evaluated once per row — referencing lower(text) from
+# inside the per-position lambda would re-evaluate it per trigram
+# (operators.text.shingles_col documents the same Catalyst behavior).
+_CHARGRAM_EXPR = (
+    "CASE WHEN length(text) >= 3 THEN "
+    "element_at(transform(array(lower(text)), s -> "
+    "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))), 1) "
+    "ELSE array() END"
+)
+
+
+def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by CHARACTER-trigram profile overlap — the classic
+    n-gram heuristic (token-free, so it works on unsegmented scripts),
+    beside the token-profile variant (lang_id). Model = top-N trigrams
+    per language, data-derived and broadcast; each doc takes the argmax
+    overlap over its distinct trigrams, ties to the smallest language.
+    Scale shape mirrors lang_id: one trigram-keyed shuffle for the
+    profile, one doc-keyed shuffle for the argmax; the explode is heavy
+    per-row (one substring per character), hence spread."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_CHARGRAM_EXPR)).alias("term")
+    ).persist()
+    counts = grams.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    wp = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    prof = (
+        counts.select(
+            F.col("lang").alias("cand_lang"),
+            "term",
+            F.row_number().over(wp).alias("rk"),
+        )
+        .filter(F.col("rk") <= CHARGRAM_PROFILE_N)
+        .drop("rk")
+    )
+    ov = (
+        grams.select("doc_id", "term")
+        .distinct()
+        .join(F.broadcast(prof), "term")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    wb = W.partitionBy("doc_id").orderBy(
+        F.col("n_overlap").desc(), F.col("cand_lang")
+    )
+    best = (
+        ov.select("doc_id", "cand_lang", F.row_number().over(wb).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .groupBy(
+            "lang",
+            F.coalesce("predicted_lang", F.lit("unknown")).alias(
+                "predicted_lang"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+        .transform(total_order, "lang", "predicted_lang")
+    )
+
+
+LANG_ID_CHARGRAM_SQL = f"""
+WITH cg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(lower(text)) - 1, 1)),
+                               i -> substr(lower(text), i, 3))) AS term
+  FROM documents
+),
+counts AS (SELECT lang, term, COUNT(*) AS cnt FROM cg GROUP BY lang, term),
+prof AS (
+  SELECT lang AS cand_lang, term
+  FROM (SELECT lang, term,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+        FROM counts)
+  WHERE rk <= {CHARGRAM_PROFILE_N}
+),
+ov AS (
+  SELECT d.doc_id, p.cand_lang, COUNT(*) AS n_overlap
+  FROM (SELECT DISTINCT doc_id, term FROM cg) d
+  JOIN prof p USING (term)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang
+  FROM (SELECT doc_id, cand_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_overlap DESC, cand_lang) AS rk
+        FROM ov)
+  WHERE rk = 1
+)
+SELECT d.lang, COALESCE(b.cand_lang, 'unknown') AS predicted_lang, COUNT(*) AS n
+FROM documents d LEFT JOIN best b USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- corpus_stats: the per-(source, lang) dataset card -----------------------
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus profile: doc count, char/token totals,
@@ -1494,6 +1597,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery("minhash_lsh", minhash_lsh, MINHASH_SQL, "MinHash+LSH near-dup"),
     DeclaredQuery("simhash_pairs", simhash_pairs, SIMHASH_SQL, "SimHash near-dup"),
     DeclaredQuery("lang_id", lang_id, LANG_ID_SQL, "language-ID confusion matrix"),
+    DeclaredQuery(
+        "lang_id_chargram",
+        lang_id_chargram,
+        LANG_ID_CHARGRAM_SQL,
+        "language-ID via char-trigram profiles",
+    ),
     DeclaredQuery("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     DeclaredQuery("token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),
     DeclaredQuery(
