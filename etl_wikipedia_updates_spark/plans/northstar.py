@@ -1324,6 +1324,141 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- ann_sq8: quantized-scan + exact-rescore top-k ----------------------------
+ANN_SQ8_K = 3
+ANN_SQ8_OVERFETCH = 10
+ANN_SQ8_N_QUERIES = 5
+
+# Symmetric int8 dequantized corpus vector (same math as
+# quantize_embeddings): s = 127/max|x|, dq_i = floor(x_i*s + 0.5)/s.
+# The absmax fold binds as a lambda variable via the 1-element-array
+# trick (Catalyst does not CSE into lambda bodies), and the whole
+# expression is one JVM-parsed SQL string (py4j build cost).
+_SQ8_DQ = (
+    "element_at(transform(array("
+    "aggregate(transform(embedding, v -> abs(CAST(v AS DOUBLE))), 0.0D, "
+    "(a, v) -> greatest(a, v))"
+    "), am -> IF(am > 0.0D, "
+    "transform(embedding, v -> floor(CAST(v AS DOUBLE) * (127.0D / am) + 0.5D)"
+    " / (127.0D / am)), "
+    "transform(embedding, v -> 0.0D))), 1)"
+)
+
+
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 vector-index pattern: scan the int8-DEQUANTIZED corpus
+    for cheap approximate cosine, overfetch candidates, then rescore
+    only those against the exact float vectors. At 100 TB the
+    quantized copy is what lives hot (4x smaller scan, here: the dq
+    column); exact vectors are touched for |queries| x overfetch rows
+    only. Output keeps both scores so the audit (approx vs exact) is
+    visible per neighbor. Deterministic end to end: quantization is
+    integer math, both cosines follow the shared fold conventions, and
+    both rank cuts tie-break on vec_id."""
+    from etl_wikipedia_updates_spark.functions.arrays import (
+        dot_product,
+        l2_norm,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    base = emb.select(
+        "vec_id", "embedding", F.expr(_SQ8_DQ).alias("dq")
+    ).withColumn("dqn", l2_norm(F.col("dq")))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < ANN_SQ8_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+        )
+        .withColumn("qn", l2_norm(F.col("qe")))
+    )
+    cand = base.crossJoin(q).filter(F.col("vec_id") != F.col("q_vec_id"))
+    approx = dot_product(F.col("qe"), F.col("dq")) / (
+        F.col("qn") * F.col("dqn")
+    )
+    wa = W.partitionBy("q_vec_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    )
+    cut = (
+        cand.select("q_vec_id", "vec_id", "embedding", "qe", "qn", approx.alias("approx"))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= ANN_SQ8_OVERFETCH)
+    )
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    exact = dot_product(F.col("qe"), ed) / (F.col("qn") * l2_norm(ed))
+    wr = W.partitionBy("q_vec_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cut.select("q_vec_id", "vec_id", "approx", exact.alias("cos"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= ANN_SQ8_K)
+        .select(
+            "q_vec_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "vec_id",
+            det_round(F.col("approx"), 4).alias("approx_sim"),
+            det_round(F.col("cos"), 4).alias("cos_sim"),
+        )
+        .transform(total_order, "q_vec_id", "rk")
+    )
+
+
+def _ann_sq8_sql() -> str:
+    from etl_wikipedia_updates_spark.functions.arrays import (
+        sql_dot_product,
+        sql_l2_norm,
+    )
+
+    approx = (
+        f"({sql_dot_product('q.qe', 'e.dq')} / "
+        f"({sql_l2_norm('q.qe')} * {sql_l2_norm('e.dq')}))"
+    )
+    exact = (
+        f"({sql_dot_product('qe', 'embedding')} / "
+        f"({sql_l2_norm('qe')} * {sql_l2_norm('embedding')}))"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(0.0, list_transform(embedding,
+           v -> abs(CAST(v AS DOUBLE)))), (a, v) -> greatest(a, v)) AS am
+  FROM embeddings
+),
+bq AS (
+  SELECT vec_id, embedding,
+         CASE WHEN am > 0.0 THEN list_transform(embedding,
+                v -> floor(CAST(v AS DOUBLE) * (127.0 / am) + 0.5) / (127.0 / am))
+              ELSE list_transform(embedding, v -> 0.0) END AS dq
+  FROM b
+),
+q AS (SELECT vec_id AS q_vec_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {ANN_SQ8_N_QUERIES}),
+cand AS (
+  SELECT q.q_vec_id, e.vec_id, e.embedding, q.qe, {approx} AS approx
+  FROM bq e CROSS JOIN q WHERE e.vec_id != q.q_vec_id
+),
+cut AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY approx DESC, vec_id) AS arn
+    FROM cand) WHERE arn <= {ANN_SQ8_OVERFETCH}
+)
+SELECT q_vec_id,
+       CAST(row_number() OVER (PARTITION BY q_vec_id
+                               ORDER BY {exact} DESC, vec_id) AS BIGINT) AS rk,
+       vec_id,
+       {sql_det_round('approx', 4)} AS approx_sim,
+       {sql_det_round(exact, 4)} AS cos_sim
+FROM cut
+QUALIFY rk <= {ANN_SQ8_K}
+ORDER BY q_vec_id, rk
+"""
+
+
+ANN_SQ8_SQL = _ann_sq8_sql()
+
+
 # --- lang_id_chargram: language-ID over character trigrams --------------------
 CHARGRAM_PROFILE_N = 40
 
@@ -1602,6 +1737,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         lang_id_chargram,
         LANG_ID_CHARGRAM_SQL,
         "language-ID via char-trigram profiles",
+    ),
+    DeclaredQuery(
+        "ann_sq8",
+        ann_sq8,
+        ANN_SQ8_SQL,
+        "int8-quantized scan + exact rescore top-k",
     ),
     DeclaredQuery("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     DeclaredQuery("token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),
