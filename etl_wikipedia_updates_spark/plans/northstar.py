@@ -1324,6 +1324,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- grouped_agg_udf: the pandas_udf GROUPED-AGG surface ----------------------
+def grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the Python-UDF surface matrix: pandas_udf as a grouped
+    AGGREGATE (q28 = scalar, grouped_zscore = grouped-map applyInPandas,
+    multimodal_bytes = mapInPandas, streaming.stateful =
+    applyInPandasWithState). The UDAF receives each group's column as
+    one Arrow-backed pandas Series and returns one scalar; integer
+    accumulation (scaled-long sum) makes the result independent of row
+    order within the group — the same property the JVM-side dec_sum
+    relies on, proven here across the Python boundary."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def scaled_mean(x: pd.Series) -> float:
+        v = x.to_numpy(dtype="float64")
+        s = int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
+        return (float(s) / 1e6) / len(v)
+
+    # Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the group count is
+    # a pandas UDAF too.
+    @pandas_udf("long")
+    def group_count(x: pd.Series) -> int:
+        return len(x)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.element_at("embedding", 2).cast("double").alias("x")
+    )
+    return (
+        x.groupBy("label")
+        .agg(
+            group_count(F.col("x")).alias("n"),
+            det_round(scaled_mean(F.col("x")), 4).alias("scaled_mean_x"),
+        )
+        .transform(total_order, "label")
+    )
+
+
+GROUPED_AGG_UDF_SQL = f"""
+SELECT label, COUNT(*) AS n,
+       {sql_det_round(
+           "((CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+           " / 1000000.0) / COUNT(*))", 4)} AS scaled_mean_x
+FROM (SELECT label, CAST(embedding[2] AS DOUBLE) AS x FROM embeddings)
+GROUP BY label ORDER BY label
+"""
+
+
 # --- ann_sq8: quantized-scan + exact-rescore top-k ----------------------------
 ANN_SQ8_K = 3
 ANN_SQ8_OVERFETCH = 10
@@ -1743,6 +1792,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         ann_sq8,
         ANN_SQ8_SQL,
         "int8-quantized scan + exact rescore top-k",
+    ),
+    DeclaredQuery(
+        "grouped_agg_udf",
+        grouped_agg_udf,
+        GROUPED_AGG_UDF_SQL,
+        "pandas_udf grouped-aggregate surface",
     ),
     DeclaredQuery("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     DeclaredQuery("token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),

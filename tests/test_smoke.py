@@ -46,3 +46,32 @@ def test_load_table_repairs_foreign_session_conf(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.session.timeZone", original_tz)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_spark_sql_frontend_matches_dataframe_plan(spark, sf_smoke):
+    """The engine's tables register as temp views, so users can drive
+    the same data through spark.sql(); a Spark-SQL twin of q4 must
+    produce exactly the DataFrame plan's rows."""
+    from etl_wikipedia_updates_spark.registry import REGISTRY
+    from etl_wikipedia_updates_spark.tables import register_views
+
+    register_views(spark, sf_smoke)
+    sql_rows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   floor((CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE)
+                              * 10000.0D + 0.5D) AS BIGINT)) AS DOUBLE)
+                          / 10000.0D) * 100.0D + 0.5D) / 100.0D
+                     AS sum_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+            """
+        ).collect()
+    )
+    df_rows = sorted(
+        tuple(r)
+        for r in REGISTRY.queries["q4"].builder(spark, sf_smoke).collect()
+    )
+    assert sql_rows == df_rows
