@@ -47,6 +47,14 @@ CASES = [
     ("grouped_zscore", ["FlatMapGroupsInPandas", "partial_"], []),
     # scalar pandas_udf runs as Arrow-batched eval, not row-at-a-time Python
     ("q28", ["ArrowEvalPython"], ["BatchEvalPython"]),
+    # grouped-agg pandas UDAF plans as its dedicated Arrow aggregate
+    ("grouped_agg_udf", ["ArrowAggregatePython"], ["BatchEvalPython"]),
+    # total_order = round-robin Exchange(1) + sort: a range exchange
+    # would SAMPLE (re-execute) the whole upstream plan
+    ("q3", [], ["Exchange rangepartitioning"]),
+    ("q26", [], ["Exchange rangepartitioning"]),
+    ("cosine_neardup", [], ["Exchange rangepartitioning"]),
+    ("bm25_rank", [], ["Exchange rangepartitioning"]),
 ]
 
 
