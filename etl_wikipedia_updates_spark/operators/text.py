@@ -77,6 +77,35 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+TERM_HASH_BASE = 131
+
+
+def term_hash_col(term_col: str = "term"):
+    """Stateless term -> integer id: polynomial char fold
+    ``fold((a*131 + ascii(c)) % (2^31-1))`` — a pure map-side
+    expression, no distinct, no global sort, no broadcast join. This is
+    the 100 TB id path the dictionary docstrings point at, usable in
+    the CONTRACT too because ``sql_term_hash`` replays the identical
+    integer sequence in DuckDB (verified bit-equal): hash collisions
+    are possible but occur identically in both engines, and
+    MinHash/SimHash tolerate them by construction. ``token_dictionary``
+    remains for operators that need *dense, sorted* ids."""
+    return F.expr(
+        f"aggregate(split({term_col}, ''), 0L, "
+        f"(a, c) -> (a * {TERM_HASH_BASE} + ascii(c)) % {HASH_P})"
+    )
+
+
+def sql_term_hash(expr: str = "term") -> str:
+    """DuckDB twin of term_hash_col — identical fold sequence."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, v) -> (a * {TERM_HASH_BASE} + v) % {HASH_P})"
+    )
+
+
 def term_dictionary(term_rows: DataFrame) -> DataFrame:
     """(term, tid) dense ids for any exploded (.., term) rows — the
     shingle/token-agnostic core of token_dictionary. Same oracle-parity
@@ -189,20 +218,19 @@ def predict_language(docs: DataFrame, profiles: DataFrame) -> DataFrame:
 
 
 def rolling_fingerprint(
-    docs: DataFrame, dictionary: DataFrame, base: int = 131, mod: int = HASH_P
+    docs: DataFrame, base: int = 131, mod: int = HASH_P
 ) -> DataFrame:
     """Per-doc polynomial rolling hash over ordered token ids:
     fp = fold(acc * base + tid) mod P.
 
     Position-sensitive (unlike set-based MinHash/SimHash), so it
     fingerprints *exact* token sequences — the cheap first pass of
-    exact-dup detection on a corpus. One explode + broadcast dict join +
-    one shuffle on doc_id; the fold itself is a JVM higher-order
-    function over the re-collected id array.
+    exact-dup detection on a corpus. Token ids are the stateless
+    char-fold hash (term_hash_col), so the whole id step is map-side;
+    one explode + one shuffle on doc_id, and the fold itself is a JVM
+    higher-order function over the re-collected id array.
     """
-    with_ids = doc_tokens_with_pos(docs).join(
-        F.broadcast(dictionary), "term"
-    )
+    with_ids = doc_tokens_with_pos(docs).withColumn("tid", term_hash_col())
     ordered = (
         with_ids.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("pt"))

@@ -6,10 +6,11 @@ doc_fingerprint, ann_ivf, cosine_neardup, multimodal_bytes) are the
 first-class LLM-data-pipeline operator surface — each is a thin plan
 over ``operators/`` with a DuckDB oracle.
 
-Determinism: token->id mappings come from a sorted dictionary
-(operators.text.token_dictionary) and all hashing is integer
-arithmetic with constants shared verbatim between the Spark plans and
-the oracle SQL, so both engines compute identical values. Vector math
+Determinism: token->id mappings are the stateless char-fold hash
+(operators.text.term_hash_col — map-side, no dictionary stage) and all
+hashing is integer arithmetic with constants shared verbatim between
+the Spark plans and the oracle SQL, so both engines compute identical
+values. Vector math
 folds sequentially with the same seed on both engines
 (functions.arrays).
 """
@@ -50,19 +51,11 @@ SQL_DTOK = (
     "SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) "
     "AS term FROM documents"
 )
-SQL_DICT = (
-    "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid "
-    "FROM (SELECT DISTINCT term FROM dtok)"
-)
 # Distinct 3-token shingles (w-shingling) — the near-dup representation.
 SQL_SH = (
     "SELECT doc_id, lang, unnest(list_distinct(list_transform("
     "range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS term "
     "FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS l FROM documents)"
-)
-SQL_SHDICT = (
-    "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid "
-    "FROM (SELECT DISTINCT term FROM sh)"
 )
 
 JACCARD_THRESHOLD = 0.5
@@ -437,11 +430,11 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only bucket-colliding docs ever pair up, and shingling keeps the
     buckets selective (SURVEY §4.3(3))."""
     docs = spread(load_table(spark, sf_dir, "documents"))  # see cosine_neardup
-    # Persist the shingle explode: it feeds both the dictionary build
-    # and the id join, which otherwise re-explode the corpus twice.
-    shingle_rows = T.doc_shingles(docs).persist()
-    dictionary = T.term_dictionary(shingle_rows)
-    dtok = shingle_rows.join(F.broadcast(dictionary), "term")
+    # Shingle ids are the stateless char-fold hash (term_hash_col): a
+    # map-side expression with no dictionary stage (distinct + global
+    # sort + broadcast) — the contract path IS the 100 TB path.
+    shingle_rows = T.doc_shingles(docs)
+    dtok = shingle_rows.withColumn("tid", T.term_hash_col())
     sig = D.minhash_signatures(
         dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
     ).persist()
@@ -473,8 +466,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH sh AS ({SQL_SH}),
-dict AS ({SQL_SHDICT}),
-dt AS (SELECT t.doc_id, t.lang, d.tid FROM sh t JOIN dict d USING (term)),
+dt AS (SELECT doc_id, lang, {T.sql_term_hash('term')} AS tid FROM sh),
 sig AS (SELECT doc_id, lang, {sig_cols} FROM dt GROUP BY doc_id, lang),
 banded AS ({bands}),
 cand AS (
@@ -513,11 +505,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hamming <= 3 over 4 chunks => some chunk equal => candidates come
     from 4 equi-joins, never a cross join)."""
     docs = spread(load_table(spark, sf_dir, "documents"))  # see cosine_neardup
-    # Persist the shingle explode: it feeds both the dictionary build
-    # and the id join, which otherwise re-explode the corpus twice.
-    shingle_rows = T.doc_shingles(docs).persist()
-    dictionary = T.term_dictionary(shingle_rows)
-    dtok = shingle_rows.join(F.broadcast(dictionary), "term")
+    # Shingle ids via the stateless char-fold hash — no dictionary
+    # stage (see minhash_lsh).
+    shingle_rows = T.doc_shingles(docs)
+    dtok = shingle_rows.withColumn("tid", T.term_hash_col())
     fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid")).persist()
     pairs = D.simhash_near_pairs(fps, SIMHASH_MAX_HAMMING)
     return pairs.transform(total_order, "doc_id", "doc_id2")
@@ -525,8 +516,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_SQL = f"""
 WITH sh AS ({SQL_SH}),
-dict AS ({SQL_SHDICT}),
-dt AS (SELECT t.doc_id, t.lang, d.tid FROM sh t JOIN dict d USING (term)),
+dt AS (SELECT doc_id, lang, {T.sql_term_hash('term')} AS tid FROM sh),
 bits AS (
   SELECT doc_id, lang, b.b,
          SUM(CASE WHEN ((({D.SIMHASH_A} * tid + {D.SIMHASH_B}) % {D.SIMHASH_MOD}) >> b.b) & 1 = 1
@@ -697,20 +687,17 @@ ORDER BY p.source
 # --- doc_fingerprint: rolling-hash document fingerprints ----------------------
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dictionary = T.token_dictionary(docs)
-    return T.rolling_fingerprint(docs, dictionary).transform(total_order, "doc_id")
+    return T.rolling_fingerprint(docs).transform(total_order, "doc_id")
 
 
 DOC_FINGERPRINT_SQL = f"""
-WITH dtok AS ({SQL_DTOK}),
-dict AS ({SQL_DICT}),
-pt AS (
+WITH pt AS (
   SELECT doc_id,
          unnest(string_split(lower(text), ' ')) AS term,
          unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
   FROM documents
 ),
-wi AS (SELECT pt.doc_id, pt.pos, d.tid FROM pt JOIN dict d USING (term)),
+wi AS (SELECT doc_id, pos, {T.sql_term_hash('term')} AS tid FROM pt),
 seqs AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM wi GROUP BY doc_id)
 SELECT doc_id,
        list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
