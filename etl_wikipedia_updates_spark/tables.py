@@ -82,12 +82,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    # events.parquet stores ts as Parquet TIMESTAMP(NANOS), which the Spark
-    # reader rejects. The session factory sets
-    # spark.sql.legacy.parquet.nanosAsLong so nanos arrive as long; we
-    # floor-convert to microsecond timestamps — floor (not truncate-toward-
-    # zero) so pre-epoch nanos match DuckDB's conversion too. ts - pmod is
-    # exactly divisible by 1000, so integer div is a true floor here.
+    # events.parquet stores ts as Parquet TIMESTAMP(NANOS). Readers differ
+    # by Spark version: older readers reject it unless
+    # spark.sql.legacy.parquet.nanosAsLong makes nanos arrive as long
+    # (then we floor-convert to microsecond timestamps — floor, not
+    # truncate-toward-zero, so pre-epoch nanos match DuckDB; ts - pmod is
+    # exactly divisible by 1000, so integer div is a true floor). Newer
+    # readers (4.1.x) read NANOS natively as timestamp_ntz, which we cast
+    # to the session (UTC, _ensure_required_conf) timestamp so every
+    # downstream plan sees one ts type regardless of reader version.
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
@@ -95,6 +98,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
             )
+        elif ts_type.get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
