@@ -30,8 +30,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_wikipedia_updates_spark.functions.deterministic import dec_sum
-
 MEAN_SCALE = 6  # scaled-long mean precision (1e-6) for centroid updates
 
 
@@ -64,28 +62,36 @@ def sql_squared_l2(e: str, c: str) -> str:
     )
 
 
-def assignment(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(vec_id, cid, d2): nearest centroid per vector, ties to lowest
-    cid. Pure projection (struct-min over the per-centroid distances) —
-    scales map-side at any corpus size. The whole expression is one SQL
-    string (single py4j call + JVM parse; see _matrix_sql). The distance
-    keeps the cross-engine op sequence: per element cast-to-double,
-    subtract, square, then a sequential left fold from a 0.0 seed
-    (sql_squared_l2 is the DuckDB twin). The cast happens per element
-    inside the lambda — never reference a computed array from inside a
-    lambda body (Catalyst re-evaluates it per element access)."""
-    best = (
+def _best_expr(centroids: list[list[float]]) -> str:
+    return (
         f"array_min(transform({_matrix_sql(centroids)}, (c, i) -> "
         "named_struct('d2', aggregate(zip_with(embedding, c, "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "0.0D, (acc, v) -> acc + v), 'cid', CAST(i AS INT))))"
     )
-    return emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(best + ".cid").alias("cid"),
-        F.expr(best + ".d2").alias("d2"),
+
+
+def assignment(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, cid, d2): nearest centroid per vector, ties to lowest
+    cid. Pure projection (struct-min over the per-centroid distances) —
+    scales map-side at any corpus size. One selectExpr call (single
+    py4j round trip; see _matrix_sql). The distance keeps the
+    cross-engine op sequence: per element cast-to-double, subtract,
+    square, then a sequential left fold from a 0.0 seed
+    (sql_squared_l2 is the DuckDB twin). The cast happens per element
+    inside the lambda — never reference a computed array from inside a
+    lambda body (Catalyst re-evaluates it per element access)."""
+    best = _best_expr(centroids)
+    return emb.selectExpr(
+        "vec_id", "embedding", f"{best}.cid AS cid", f"{best}.d2 AS d2"
     )
+
+
+def assign_cids(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Update-path assignment: (embedding, cid) only. Omitting d2
+    halves the struct-min tree the optimizer carries through each
+    Lloyd's round (the update never reads d2)."""
+    return emb.selectExpr("embedding", f"{_best_expr(centroids)}.cid AS cid")
 
 
 def init_centroids(emb: DataFrame, k: int) -> list[list[float]]:
@@ -97,25 +103,33 @@ def init_centroids(emb: DataFrame, k: int) -> list[list[float]]:
 def update_centroids(
     assigned: DataFrame, prev: list[list[float]]
 ) -> list[list[float]]:
-    """Exact scaled-long per-dimension means; one shuffle on
-    (cid, pos) = k*dim cells. Empty clusters keep their previous
-    centroid."""
-    dims = (
-        assigned.select(
-            "cid", F.posexplode(F.col("embedding")).alias("pos", "x")
-        )
-        .groupBy("cid", "pos")
-        .agg(
-            (
-                dec_sum(F.col("x").cast("double"), scale=MEAN_SCALE)
-                / F.count("x")
-            ).alias("m")
-        )
-        .collect()
+    """Exact scaled-long per-dimension means. One grouped aggregation
+    straight on the vectors — dim sum-columns + a count per cid, so the
+    shuffle carries k rows of (dim+1) longs and there is NO row
+    explosion (the earlier posexplode shape shuffled |corpus|*dim rows
+    on (cid, pos); same multiset of scaled addends, so results are
+    bit-identical — the oracle SQL is unchanged). Map-side partials
+    keep it one pass at any corpus size. Empty clusters keep their
+    previous centroid."""
+    dim = len(prev[0])
+    s = float(10**MEAN_SCALE)
+    sums = ",".join(
+        f"'s{i}', sum(cast(floor(cast(element_at(embedding, {i + 1}) as double)"
+        f" * {s!r}D + 0.5D) as bigint))"
+        for i in range(dim)
     )
+    # one named_struct holding every aggregate = ONE F.expr (a single
+    # py4j round trip instead of dim+1 of them — measured ~0.3s of
+    # driver time per round at dim=64 the other way).
+    st = F.expr(f"named_struct('n', count(*), {sums})").alias("st")
+    rows = assigned.groupBy("cid").agg(st).collect()
     cents = [list(c) for c in prev]
-    for r in dims:
-        cents[r.cid][r.pos] = r.m
+    for r in rows:
+        n = float(r.st.n)
+        # same IEEE sequence as the dec_sum/count column math: long sum
+        # -> double, / 10^scale, / count. Scaled sums stay < 2^53, so
+        # the double conversion is exact.
+        cents[r.cid] = [(float(r.st[f"s{i}"]) / s) / n for i in range(dim)]
     return cents
 
 
@@ -123,10 +137,17 @@ def kmeans_fit(
     emb: DataFrame, k: int, iters: int
 ) -> list[list[float]]:
     """Lloyd's with fixed iteration count; returns the final centroid
-    matrix (driver-side, k x dim)."""
-    cents = init_centroids(emb, k)
-    for _ in range(iters):
-        cents = update_centroids(assignment(emb, cents), cents)
+    matrix (driver-side, k x dim). The training set is cached for the
+    duration of the fit — init + every update re-reads it (MLlib's
+    KMeans caches the same way); the cache is dropped before returning
+    so the caller's final assignment plan owns its own scan."""
+    emb = emb.persist()
+    try:
+        cents = init_centroids(emb, k)
+        for _ in range(iters):
+            cents = update_centroids(assign_cids(emb, cents), cents)
+    finally:
+        emb.unpersist()
     return cents
 
 

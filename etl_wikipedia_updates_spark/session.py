@@ -41,7 +41,12 @@ def get_spark(
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # --- adaptive execution: the main scale lever ---
-        .config("spark.sql.adaptive.enabled", "true")
+        # SPARK_GRAFT_AQE lets bench experiments toggle it; default on
+        # (production posture: runtime re-planning, skew-join splitting).
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing: initial parallelism ~= cores locally; AQE
