@@ -61,6 +61,46 @@ SQL_SH = (
 JACCARD_THRESHOLD = 0.5
 COSINE_NEARDUP_THRESHOLD = 0.35
 
+# Document-frequency cap for the near-dup shingle universe (q26,
+# dedup_clusters/dedup_corpus via _q26_pairs, contamination). A shingle
+# shared by more than this many documents carries no near-duplicate
+# signal (it's boilerplate: "in the of ...", license headers) but makes
+# the inverted-index self-join quadratic in its df — ONE ultra-common
+# shingle at web scale produces a candidate block of df^2 pairs. Capping
+# df bounds every shingle's pair contribution at CAP^2 and is the
+# standard trade in production near-dup pipelines. Semantics: Jaccard
+# over the df<=CAP shingle universe — the cap is applied identically in
+# the oracle SQL (same constant, same anti-join), so both engines agree
+# bit-for-bit. At the test tiers the cap never binds (max df at sf0.1 is
+# 14), so results equal uncapped Jaccard there; at 100 TB it is the
+# difference between a bounded join and a runaway stage.
+SHINGLE_DF_CAP = 1000
+
+# Hot-shingle exclusion CTE shared by the q26 family and contamination.
+SQL_SH_CAPPED = (
+    "SELECT s.doc_id, s.lang, s.term FROM sh s ANTI JOIN "
+    f"(SELECT lang, term FROM sh GROUP BY lang, term "
+    f"HAVING COUNT(*) > {SHINGLE_DF_CAP}) h USING (lang, term)"
+)
+
+
+def capped_shingles(sh: DataFrame) -> DataFrame:
+    """Drop shingles whose document frequency exceeds SHINGLE_DF_CAP.
+
+    The hot set is an aggregation on (lang, term) — the same key the
+    downstream self-join shuffles on, so the exchange is reusable — and
+    the exclusion is an anti-join with NO forced broadcast: the hot set
+    is tiny under any sane cap, and AQE will broadcast it when it is,
+    but a forced hint would gamble executor memory on that assumption.
+    """
+    hot = (
+        sh.groupBy("lang", "term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("lang", "term")
+    )
+    return sh.join(hot, ["lang", "term"], "left_anti")
+
 
 # --- Q23: word count ---------------------------------------------------------
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,9 +194,12 @@ def _q26_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this corpus shape; the 100 TB version of "join on 8-byte keys"
     # is a map-side xxhash64(term) — no dictionary stage either way
     # (operators.text.token_dictionary notes the same swap). Persist
-    # the exploded shingles — they feed both join sides and the size
-    # table.
-    sh = T.doc_shingles(docs).persist()
+    # the raw exploded shingles (feeding the df-cap aggregation and the
+    # anti-join's left side) AND the capped result (feeding both join
+    # sides and the size table) — at 100 TB the capped shingle table is
+    # the artifact you'd materialize once for the whole dedup pipeline.
+    raw = T.doc_shingles(docs).persist()
+    sh = capped_shingles(raw).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select("lang", "term", F.col("doc_id").alias("d1"))
     b = sh.select("lang", "term", F.col("doc_id").alias("d2"))
@@ -200,10 +243,11 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q26_SQL = f"""
 WITH sh AS ({SQL_SH}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shk AS ({SQL_SH_CAPPED}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-  FROM sh a JOIN sh b
+  FROM shk a JOIN shk b
     ON a.term = b.term AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -860,15 +904,18 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     unclustered doc survives untouched. One summary row per source:
     docs in, docs kept, docs dropped, kept-id checksum — the audit
     numbers a corpus release records next to the filtered data. Scale
-    shape: CC labels are |clustered docs| rows (tiny vs corpus); the
-    drop set broadcasts into an anti-join against the full corpus."""
+    shape: CC labels are |clustered docs| rows; the drop set anti-joins
+    against the full corpus with NO forced broadcast — at a web-corpus
+    dup rate (30-80%) the drop set is corpus-scale and a broadcast hint
+    would OOM the executors. AQE broadcasts it at runtime when it
+    measures small; the shuffle anti-join is the safe default."""
     pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
     labels = D.connected_components(pairs)
     dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
         "doc_id"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+    kept = docs.join(dropped, "doc_id", "left_anti")
     n_in = docs.groupBy("source").agg(F.count("*").alias("docs_in"))
     return (
         kept.groupBy("source")
@@ -1236,8 +1283,12 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join on raw shingle strings (same reasoning as _q26_pairs: the
     # dense-id dictionary costs two extra shuffles; the 100 TB 8-byte
     # key is map-side xxhash64). The tiny (doc_id, source) side is
-    # broadcast onto the exploded shingles.
-    sh = T.doc_shingles(docs)
+    # broadcast onto the exploded shingles. The shingle universe is
+    # df-capped (SHINGLE_DF_CAP) exactly like the q26 family — a
+    # benchmark-boilerplate shingle would otherwise multiply the
+    # train×bench join quadratically.
+    raw = T.doc_shingles(docs).persist()
+    sh = capped_shingles(raw)
     ids = (
         sh.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
         .select("doc_id", "lang", "term", "source")
@@ -1272,8 +1323,9 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAMINATION_SQL = f"""
 WITH sh AS ({SQL_SH}),
+shk AS ({SQL_SH_CAPPED}),
 ids AS (SELECT s.doc_id, s.lang, s.term, d.source
-        FROM sh s JOIN documents d USING (doc_id)),
+        FROM shk s JOIN documents d USING (doc_id)),
 counts AS (
   SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS shared
   FROM ids t JOIN ids b ON t.term = b.term AND t.lang = b.lang
