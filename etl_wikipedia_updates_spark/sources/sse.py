@@ -82,9 +82,14 @@ class SSEStreamReader(DataSourceStreamReader):
     """Offsets = last delivered event timestamp (meta.dt), mirroring the
     reference's MAX(event_timestamp) resume lookup (pipeline.py:226-227).
 
-    Each micro-batch drains up to max_events_per_batch events from the
-    live connection; on failure Spark retries the batch and the ?since=
-    reconnect replays the overlap (at-least-once; dedup downstream)."""
+    ONE persistent connection serves every trigger — the generator stays
+    suspended between micro-batches with the HTTP response open, exactly
+    the reference's long-lived ``EventSource`` (pipeline.py:53-58). The
+    ``?since=`` resume parameter is the RECOVERY path only: it is sent
+    when (re)connecting — first trigger, server EOF, or socket error —
+    never per trigger. Each micro-batch drains up to max_events_per_batch
+    events; on failure Spark retries the batch and the ?since= reconnect
+    replays the overlap (at-least-once; dedup downstream absorbs it)."""
 
     def __init__(self, options: dict):
         self._url = options.get(
@@ -94,18 +99,33 @@ class SSEStreamReader(DataSourceStreamReader):
         self._max_per_batch = int(options.get("maxEventsPerBatch", "1000"))
         self._since = options.get("since") or None
         self._buffer: list[tuple[str, str]] = []
+        self._it: Iterator[dict] | None = None
+        self.connect_count = 0  # observable for tests/diagnostics
+
+    def _connect(self) -> None:
+        self._it = _iter_sse_lines(self._url, self._user_agent, self._since)
+        self.connect_count += 1
+
+    def _disconnect(self) -> None:
+        if self._it is not None:
+            close = getattr(self._it, "close", None)
+            if close is not None:
+                close()  # GeneratorExit -> urlopen context manager exits
+            self._it = None
 
     def initialOffset(self) -> dict:
         return {"since": self._since or ""}
 
     def latestOffset(self) -> dict:
-        # Drain up to max_per_batch events from the stream; the newest
-        # event time seen becomes the new offset.
+        # Drain up to max_per_batch events from the live connection; the
+        # newest event time seen becomes the new offset.
         last = self._since or ""
         self._buffer = []
         try:
-            it = _iter_sse_lines(self._url, self._user_agent, self._since)
-            for msg in it:
+            if self._it is None:
+                self._connect()
+            stream_open = False
+            for msg in self._it:
                 data = msg.get("data", "")
                 self._buffer.append((data, msg.get("event", "")))
                 try:
@@ -115,9 +135,17 @@ class SSEStreamReader(DataSourceStreamReader):
                 except (json.JSONDecodeError, AttributeError):
                     pass
                 if len(self._buffer) >= self._max_per_batch:
+                    stream_open = True  # generator suspends, socket stays up
                     break
+            if not stream_open:
+                # server closed the stream (EOF): reconnect next trigger
+                # with ?since= so the overlap replays
+                self._disconnect()
         except OSError:
-            pass  # keep offset; Spark will retry next trigger (R15)
+            # connection died mid-drain: whatever was buffered still
+            # ships this batch; next trigger reconnects with ?since=
+            # (reference's backoff+resume, pipeline.py:53-58/74-76)
+            self._disconnect()
         return {"since": last}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -128,6 +156,9 @@ class SSEStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._since = end.get("since") or None
+
+    def stop(self) -> None:
+        self._disconnect()
 
 
 class SSEDataSource(DataSource):

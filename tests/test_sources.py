@@ -86,6 +86,106 @@ def test_sse_end_to_end_loopback(spark, tmp_path):
         srv.shutdown()
 
 
+def _sse_server(handler_cls):
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_sse_one_connection_across_triggers():
+    """The reader must hold ONE persistent stream across micro-batches
+    (reference parity: the long-lived EventSource, pipeline.py:53-58) —
+    not reconnect per trigger."""
+    import http.server
+
+    connections = {"n": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - stdlib naming
+            connections["n"] += 1
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            try:
+                for i in range(10_000):
+                    self.wfile.write(
+                        f'event: message\ndata: {{"meta": {{"dt": "t{i:05d}"}}}}\n\n'.encode()
+                    )
+                    self.wfile.flush()
+            except OSError:
+                pass  # reader closed the socket
+
+        def log_message(self, *args):
+            pass
+
+    srv = _sse_server(Handler)
+    try:
+        r = SSEStreamReader(
+            {
+                "url": f"http://127.0.0.1:{srv.server_address[1]}/stream",
+                "maxEventsPerBatch": "5",
+            }
+        )
+        seen = []
+        for _ in range(4):  # 4 triggers
+            off = r.latestOffset()
+            rows = list(r.read(r.partitions(r.initialOffset(), off)[0]))
+            assert len(rows) == 5
+            seen.extend(rows)
+            r.commit(off)
+        assert connections["n"] == 1  # one connection served all triggers
+        assert len({v for v, _ in seen}) == 20  # no replay between triggers
+        r.stop()
+    finally:
+        srv.shutdown()
+
+
+def test_sse_reconnects_with_since_after_eof():
+    """When the server CLOSES the stream, the next trigger reconnects
+    and passes the last delivered timestamp as ?since= (reference resume
+    semantics, pipeline.py:74-76)."""
+    import http.server
+
+    paths = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - stdlib naming
+            paths.append(self.path)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            # 3 events then EOF — forces the recovery path
+            for i in range(3):
+                self.wfile.write(
+                    f'event: message\ndata: {{"meta": {{"dt": "2026-01-08T0{i}:00:00Z"}}}}\n\n'.encode()
+                )
+
+        def log_message(self, *args):
+            pass
+
+    srv = _sse_server(Handler)
+    try:
+        r = SSEStreamReader(
+            {
+                "url": f"http://127.0.0.1:{srv.server_address[1]}/stream",
+                "maxEventsPerBatch": "100",
+            }
+        )
+        off = r.latestOffset()  # drains 3, hits EOF -> disconnects
+        assert off == {"since": "2026-01-08T02:00:00Z"}
+        r.commit(off)
+        r.latestOffset()  # reconnects with the committed offset
+        assert r.connect_count == 2
+        assert paths[0] == "/stream"
+        assert paths[1] == "/stream?since=2026-01-08T02:00:00Z"
+        r.stop()
+    finally:
+        srv.shutdown()
+
+
 def test_replay_splits_cover_input(spark, sf_smoke, tmp_path):
     events = load_table(spark, sf_smoke, "events")
     chunks = write_replay_splits(events, str(tmp_path), 3, "ts")
