@@ -47,6 +47,28 @@ def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
 
 
+def _swap_dirs(new_dir: str, live_dir: str) -> None:
+    """Publish a fully-written ``new_dir`` at ``live_dir``.
+
+    Two same-filesystem renames: the live dir steps aside, the new dir
+    takes its path, then the old data is deleted. A concurrent reader
+    can never observe an EMPTY or HALF-WRITTEN sink (the failure mode of
+    rmtree-then-rewrite, where the sink path held a parquet write in
+    progress for whole seconds): every state of this sequence has a
+    complete dataset at ``live_dir`` except the microsecond gap between
+    the renames, which surfaces as transient path-not-found — the same
+    class of blip any direct-to-filesystem table has and a retry
+    absorbs. Readers that listed the OLD files keep reading them
+    (POSIX: open fds survive unlink) unless they open after the final
+    rmtree; closing that last hole needs a table format with snapshot
+    isolation (Delta/Iceberg), which is the declared 100 TB path."""
+    old = live_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live_dir, old)
+    os.rename(new_dir, live_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_sink(
     spark: SparkSession, sink_path: str, target_files: int
 ) -> dict:
@@ -73,14 +95,14 @@ def compact_sink(
     )
     sink = read_sink(spark, sink_path)
     tmp = sink_path.rstrip("/") + ".compacting"
-    sink.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    rewritten = spark.read.parquet(tmp).localCheckpoint(eager=True)
-    rows = rewritten.count()
-    shutil.rmtree(sink_path, ignore_errors=True)
-    rewritten.write.mode("overwrite").parquet(
-        os.path.join(sink_path, "compacted")
-    )
     shutil.rmtree(tmp, ignore_errors=True)
+    sink.coalesce(target_files).write.mode("overwrite").parquet(
+        os.path.join(tmp, "compacted")
+    )
+    rows = spark.read.parquet(os.path.join(tmp, "compacted")).count()
+    # the new sink is COMPLETE on disk before it takes the live path —
+    # one write, no checkpoint/rewrite pass, no empty-sink window
+    _swap_dirs(tmp, sink_path)
     after = sum(
         1
         for root, _dirs, files in os.walk(sink_path)
@@ -105,13 +127,11 @@ def apply_retention(
         return False
     kept = sink.orderBy(F.col(ts_col).desc()).limit(max_rows)
     tmp = sink_path.rstrip("/") + ".retained"
-    kept.write.mode("overwrite").parquet(tmp)
-    rewritten = spark.read.parquet(tmp)
-    shutil.rmtree(sink_path, ignore_errors=True)
-    rewritten.write.mode("overwrite").parquet(
-        os.path.join(sink_path, "batch_retained")
-    )
     shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(
+        os.path.join(tmp, "batch_retained")
+    )
+    _swap_dirs(tmp, sink_path)
     return True
 
 
@@ -165,11 +185,9 @@ def retain_newest_partitioned(
         rows = spark.read.parquet(pdir)
         kept = rows.orderBy(F.col(ts_col).desc()).limit(budget)
         tmp = pdir + ".trim"
-        kept.write.mode("overwrite").parquet(tmp)
-        rewritten = spark.read.parquet(tmp).localCheckpoint(eager=True)
-        shutil.rmtree(pdir, ignore_errors=True)
-        rewritten.write.mode("overwrite").parquet(pdir)
         shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        _swap_dirs(tmp, pdir)
         budget = 0
         trimmed = True
         boundary_done = True
@@ -258,13 +276,9 @@ def compact_rollup(
         F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
     )
     tmp = rollup_path.rstrip("/") + ".compacting"
-    merged.write.mode("overwrite").parquet(tmp)
-    rewritten = spark.read.parquet(tmp).localCheckpoint(eager=True)
-    shutil.rmtree(rollup_path, ignore_errors=True)
-    rewritten.write.mode("overwrite").parquet(
-        os.path.join(rollup_path, "compacted")
-    )
     shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "compacted"))
+    _swap_dirs(tmp, rollup_path)
 
 
 def ingest_with_rollup(

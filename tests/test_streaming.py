@@ -79,6 +79,56 @@ def test_compact_sink_preserves_rows_and_merges_files(
     assert _checksum(read_sink(spark, sink)) == before
 
 
+def test_compaction_never_exposes_partial_sink(
+    spark, events, replay_dir, tmp_path
+):
+    """A reader polling the sink THROUGHOUT repeated compactions must
+    only ever parse the complete dataset. The rmtree-then-rewrite shape
+    this guards against held an empty/half-written sink for the full
+    duration of a Spark write job; the swap-via-rename publish makes
+    every readable state complete (transient path-not-found during the
+    rename pair is retried, like any direct-filesystem table)."""
+    import threading
+
+    import duckdb
+
+    from etl_wikipedia_updates_spark.streaming.ingest import compact_sink
+
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    sink = str(tmp_path / "sink")
+    q = ingest_with_retention(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    n_full = read_sink(spark, sink).count()
+
+    observed: set[int] = set()
+    retries = {"n": 0}
+    stop = threading.Event()
+
+    def poll():
+        con = duckdb.connect()
+        while not stop.is_set():
+            try:
+                observed.add(
+                    con.sql(
+                        f"SELECT COUNT(*) FROM read_parquet('{sink}/**/*.parquet')"
+                    ).fetchone()[0]
+                )
+            except Exception:
+                retries["n"] += 1  # transient rename blip: retry
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        for target in (4, 3, 2):
+            compact_sink(spark, sink, target_files=target)
+    finally:
+        stop.set()
+        t.join(30)
+    assert observed, "poller never completed a read"
+    assert observed == {n_full}  # never empty, never partial
+    assert read_sink(spark, sink).count() == n_full
+
+
 def test_enrich_stream_equals_batch_join(spark, events, replay_dir, tmp_path):
     """Stream-static broadcast enrichment must equal the batch join."""
     from etl_wikipedia_updates_spark.streaming.ingest import enrich_stream
