@@ -135,10 +135,75 @@ def test_operators_on_empty_input(spark):
     assert D.connected_components(empty_pairs).count() == 0
 
 
-def test_decode_image_is_stubbed(spark):
-    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
-    with pytest.raises(NotImplementedError):
-        M.decode_image(M.with_binary_payload(docs))
+def _ppm_bytes(w, h, pixels):
+    """Binary PPM (P6) from [(r,g,b), ...] row-major pixels."""
+    body = b"".join(bytes(p) for p in pixels)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def _bmp_bytes(w, h, pixels):
+    """24-bit BI_RGB BMP (bottom-up) from row-major RGB pixels."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = b"".join(
+            bytes((pixels[y * w + x][2], pixels[y * w + x][1], pixels[y * w + x][0]))
+            for x in range(w)
+        )
+        rows.append(row + b"\0" * (stride - len(row)))
+    data = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + info + data
+
+
+def test_decode_image_ppm_and_bmp(spark):
+    """decode_image really decodes: dimensions, channel means, and the
+    nearest-neighbor thumbnail all come from parsed pixels, and the two
+    container formats agree on identical image content."""
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]  # 2x2
+    rows = [
+        (1, bytearray(_ppm_bytes(2, 2, px))),
+        (2, bytearray(_bmp_bytes(2, 2, px))),
+        (3, bytearray(b"GIF89a not supported")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in M.decode_image(df).collect()}
+
+    for doc, fmt in ((1, "ppm"), (2, "bmp")):
+        r = out[doc]
+        assert r.format == fmt and r.error is None
+        assert (r.width, r.height, r.channels) == (2, 2, 3)
+        # mean of [255,0,0,255] = 127.5 per channel
+        assert (r.mean_r, r.mean_g, r.mean_b) == (127.5, 127.5, 127.5)
+        # 2x2 fits under thumb_max=8: thumbnail is the full RGB image
+        assert (r.thumb_w, r.thumb_h) == (2, 2)
+        assert bytes(r.thumbnail) == b"".join(bytes(p) for p in px)
+    assert out[3].error == "unsupported format" and out[3].format is None
+
+
+def test_decode_image_downsamples_and_quarantines(spark):
+    """A 16x4 gradient shrinks to an 8x2 thumbnail (stride 2, ceil);
+    truncated payloads produce error rows, never stage failures."""
+    w, h = 16, 4
+    px = [(x * 16, y * 60, 7) for y in range(h) for x in range(w)]
+    good = _ppm_bytes(w, h, px)
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[:20])),  # truncated pixel block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in M.decode_image(df, thumb_max=8).collect()}
+    r = out[1]
+    assert (r.width, r.height) == (w, h)
+    assert (r.thumb_w, r.thumb_h) == (8, 2)
+    # nearest-neighbor keeps pixels at even (x, y): first thumb pixel is
+    # px[0], second is px[2]
+    thumb = bytes(r.thumbnail)
+    assert thumb[0:3] == bytes(px[0]) and thumb[3:6] == bytes(px[2])
+    assert out[2].error is not None and out[2].format is None
 
 
 def test_kmeans_assignment_is_argmin(spark):
