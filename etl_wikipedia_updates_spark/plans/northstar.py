@@ -1574,7 +1574,7 @@ def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id", "lang", F.explode(F.expr(_CHARGRAM_EXPR)).alias("term")
-    ).persist()
+    )
     counts = grams.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
     wp = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
     prof = (
@@ -1586,10 +1586,17 @@ def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CHARGRAM_PROFILE_N)
         .drop("rk")
     )
+    # Per-doc distinct grams as a PROJECTION (array_distinct before the
+    # explode): same multiset as grams.distinct(), which would shuffle
+    # the entire per-character explode on (doc_id, term) — the single
+    # biggest stage of the old plan. Dedup within a doc needs no
+    # cross-row exchange, so it shouldn't pay one.
+    dgrams = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_CHARGRAM_EXPR})")).alias("term"),
+    )
     ov = (
-        grams.select("doc_id", "term")
-        .distinct()
-        .join(F.broadcast(prof), "term")
+        dgrams.join(F.broadcast(prof), "term")
         .groupBy("doc_id", "cand_lang")
         .agg(F.count("*").alias("n_overlap"))
     )
