@@ -84,8 +84,8 @@ SQL_SH_CAPPED = (
 )
 
 
-def capped_shingles(sh: DataFrame) -> DataFrame:
-    """Drop shingles whose document frequency exceeds SHINGLE_DF_CAP.
+def capped_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap``.
 
     The hot set is an aggregation on (lang, term) — the same key the
     downstream self-join shuffles on, so the exchange is reusable — and
@@ -96,7 +96,7 @@ def capped_shingles(sh: DataFrame) -> DataFrame:
     hot = (
         sh.groupBy("lang", "term")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .filter(F.col("df") > cap)
         .select("lang", "term")
     )
     return sh.join(hot, ["lang", "term"], "left_anti")

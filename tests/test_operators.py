@@ -108,6 +108,34 @@ def test_frame_sample_windows_and_nested_schema(spark):
     assert out[2].n_frames == 0 and list(out[2].frames) == []
 
 
+def test_shingle_df_cap_drops_only_hot_shingles(spark):
+    """The near-dup df-cap: shingles shared by more than ``cap`` docs
+    vanish from the universe (per language), everything else survives —
+    the bound that keeps one boilerplate shingle from going quadratic
+    in the inverted-index self-join."""
+    from etl_wikipedia_updates_spark.plans.northstar import capped_shingles
+
+    rows = [
+        # "hot hot hot" shingle appears in 3 docs; rare ones in 1 each
+        (1, "en", "common boiler plate"),
+        (2, "en", "common boiler plate"),
+        (3, "en", "common boiler plate"),
+        (4, "en", "rare unique phrase"),
+        # same text in another lang: df counted per (lang, term)
+        (5, "de", "common boiler plate"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sh = T.doc_shingles(docs)
+    capped = capped_shingles(sh, cap=2)
+    kept = {(r.lang, r.term) for r in capped.collect()}
+    # en 'common boiler plate' has df=3 > 2: dropped for en only
+    assert ("en", "common boiler plate") not in kept
+    assert ("de", "common boiler plate") in kept
+    assert ("en", "rare unique phrase") in kept
+    # a cap that never binds is the identity
+    assert capped_shingles(sh, cap=3).count() == sh.count()
+
+
 def test_connected_components_merges_chains(spark):
     # 1-2, 2-3 chain plus isolated pair 10-11: two components
     pairs = spark.createDataFrame(
