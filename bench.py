@@ -22,6 +22,7 @@ knobs production would use.
 
 from __future__ import annotations
 
+import argparse
 import gc
 import json
 import os
@@ -42,8 +43,31 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def main() -> None:
+    # --only/--repeat are the perf-iteration loop (a perf commit should
+    # quote before/after numbers measured with the same flags); the
+    # no-flag invocation is the driver's full-suite protocol, unchanged.
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names; keeps registry (suite) order",
+    )
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="timed runs per query; per-query value reported is the min",
+    )
+    args = ap.parse_args()
+
     spark = get_spark(app_name="bench")
     builders = REGISTRY.builders()
+    if args.only:
+        only = [q.strip() for q in args.only.split(",") if q.strip()]
+        unknown = set(only) - set(builders)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        builders = {n: b for n, b in builders.items() if n in set(only)}
 
     def run(build) -> None:
         # noop sink: executes the full plan on the executors without
@@ -56,11 +80,14 @@ def main() -> None:
         run(build)  # warm: classload, codegen, page cache (untimed)
         spark.catalog.clearCache()
         gc.collect()  # release DF refs so localCheckpoint blocks free up
-        t0 = time.perf_counter()
-        run(build)
-        timings[name] = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
-        gc.collect()
+        best = float("inf")
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            run(build)
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            gc.collect()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
