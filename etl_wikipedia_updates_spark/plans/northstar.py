@@ -87,19 +87,25 @@ SQL_SH_CAPPED = (
 def capped_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``cap``.
 
-    The hot set is an aggregation on (lang, term) — the same key the
-    downstream self-join shuffles on, so the exchange is reusable — and
-    the exclusion is an anti-join with NO forced broadcast: the hot set
-    is tiny under any sane cap, and AQE will broadcast it when it is,
-    but a forced hint would gamble executor memory on that assumption.
+    Implemented as a count-over-window on (lang, term): ONE shuffle,
+    keyed on exactly the column set every downstream consumer (the
+    inverted-index self-join, the two-corpus contamination join) joins
+    on — so Catalyst writes that exchange once and every consumer
+    branch reuses the shuffle files (ReuseExchange; AQE does the same
+    at runtime). That makes the capped shingle table cheap to consume
+    from several branches WITHOUT a persist(): the expensive explode
+    sits below the exchange and runs once, and shuffle files are
+    disk-backed — at 100 TB that is strictly safer than pinning the
+    exploded corpus in executor memory. (The earlier shape — groupBy
+    df + anti-join — needed the raw explode twice and measured ~40%
+    slower here even with both sides persisted.)
     """
-    hot = (
-        sh.groupBy("lang", "term")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("lang", "term")
+    w = W.partitionBy("lang", "term")
+    return (
+        sh.withColumn("__df", F.count("*").over(w))
+        .filter(F.col("__df") <= cap)
+        .drop("__df")
     )
-    return sh.join(hot, ["lang", "term"], "left_anti")
 
 
 # --- Q23: word count ---------------------------------------------------------
@@ -193,13 +199,13 @@ def _q26_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra shuffles and measures ~35% slower than the string join at
     # this corpus shape; the 100 TB version of "join on 8-byte keys"
     # is a map-side xxhash64(term) — no dictionary stage either way
-    # (operators.text.token_dictionary notes the same swap). Persist
-    # the raw exploded shingles (feeding the df-cap aggregation and the
-    # anti-join's left side) AND the capped result (feeding both join
-    # sides and the size table) — at 100 TB the capped shingle table is
-    # the artifact you'd materialize once for the whole dedup pipeline.
-    raw = T.doc_shingles(docs).persist()
-    sh = capped_shingles(raw).persist()
+    # (operators.text.token_dictionary notes the same swap). No
+    # persist: capped_shingles' (lang, term) exchange is the shared
+    # materialization point — the self-join sides and the size table
+    # all reuse its shuffle files (see capped_shingles docstring), so
+    # caching would only duplicate that state in executor memory.
+    raw = T.doc_shingles(docs)
+    sh = capped_shingles(raw)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select("lang", "term", F.col("doc_id").alias("d1"))
     b = sh.select("lang", "term", F.col("doc_id").alias("d2"))
@@ -866,9 +872,12 @@ ORDER BY q_vec_id, rk
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The survivor-selection step of a dedup pipeline: connected
     components over the exact shingle-Jaccard pair graph (q26), cluster
-    id = min doc_id (the canonical keeper). Iterative min-label
-    propagation — the one genuinely iterative declared operator; the
-    oracle is a recursive CTE computing the same closure."""
+    id = min doc_id (the canonical keeper). The CC operator picks its
+    physical strategy by edge count (operators.dedup
+    .connected_components): driver union-find under the bound, else
+    iterative min-label propagation — the one genuinely iterative
+    declared operator; the oracle is a recursive CTE computing the same
+    closure either way."""
     pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
     cc = D.connected_components(pairs)
     return (
@@ -1286,13 +1295,14 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast onto the exploded shingles. The shingle universe is
     # df-capped (SHINGLE_DF_CAP) exactly like the q26 family — a
     # benchmark-boilerplate shingle would otherwise multiply the
-    # train×bench join quadratically.
-    raw = T.doc_shingles(docs).persist()
+    # train×bench join quadratically. No persist: both corpus branches
+    # reuse capped_shingles' (lang, term) exchange (its docstring), and
+    # the broadcast attach is map-side, so re-running it per branch is
+    # cheaper than pinning the exploded corpus in memory.
+    raw = T.doc_shingles(docs)
     sh = capped_shingles(raw)
-    ids = (
-        sh.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
-        .select("doc_id", "lang", "term", "source")
-        .persist()
+    ids = sh.join(F.broadcast(docs.select("doc_id", "source")), "doc_id").select(
+        "doc_id", "lang", "term", "source"
     )
     bench = ids.filter(F.col("source") == CONTAM_BENCH_SOURCE).select(
         "lang", "term", F.col("doc_id").alias("bench_doc")

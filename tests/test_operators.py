@@ -137,12 +137,42 @@ def test_shingle_df_cap_drops_only_hot_shingles(spark):
 
 
 def test_connected_components_merges_chains(spark):
-    # 1-2, 2-3 chain plus isolated pair 10-11: two components
+    # 1-2, 2-3 chain plus isolated pair 10-11: two components. Both
+    # physical strategies must agree: driver union-find (default — the
+    # edge list is tiny) and the distributed min-label loop (forced via
+    # driver_max_edges=None), which is what runs past the driver bound.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "doc_id long, doc_id2 long"
     )
+    expect = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     cc = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert cc == expect
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(pairs, driver_max_edges=None).collect()
+    }
+    assert dist == expect
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The distributed loop with checkpoint(dir) — the 100 TB posture:
+    a lost executor invalidates localCheckpoint blocks, reliable
+    checkpoints survive. Same labels, and checkpoint files land in the
+    given dir."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_id long, doc_id2 long"
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(
+            pairs, driver_max_edges=None, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+    assert os.path.isdir(ckdir) and any(os.scandir(ckdir))
 
 
 def test_operators_on_empty_input(spark):
