@@ -80,10 +80,16 @@ def assignment(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     square, then a sequential left fold from a 0.0 seed
     (sql_squared_l2 is the DuckDB twin). The cast happens per element
     inside the lambda — never reference a computed array from inside a
-    lambda body (Catalyst re-evaluates it per element access)."""
-    best = _best_expr(centroids)
+    lambda body (Catalyst re-evaluates it per element access). The
+    struct-min is projected ONCE and fields are split in an outer
+    select, so the k-distance scan never runs twice per row."""
     return emb.selectExpr(
-        "vec_id", "embedding", f"{best}.cid AS cid", f"{best}.d2 AS d2"
+        "vec_id", "embedding", f"{_best_expr(centroids)} AS __best"
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("__best.cid").alias("cid"),
+        F.col("__best.d2").alias("d2"),
     )
 
 
@@ -100,6 +106,30 @@ def init_centroids(emb: DataFrame, k: int) -> list[list[float]]:
     return [[float(x) for x in r.embedding] for r in rows]
 
 
+# (dim,) -> the constant per-dimension sum aggregate. Column objects are
+# immutable expression handles, safely reused across frames and rounds;
+# rebuilding one per round costs a py4j expression parse per call.
+_UPDATE_AGG_CACHE: dict[int, Column] = {}
+
+
+def _update_agg(dim: int) -> Column:
+    cached = _UPDATE_AGG_CACHE.get(dim)
+    if cached is not None:
+        return cached
+    s = float(10**MEAN_SCALE)
+    sums = ",".join(
+        f"'s{i}', sum(cast(floor(cast(element_at(embedding, {i + 1}) as double)"
+        f" * {s!r}D + 0.5D) as bigint))"
+        for i in range(dim)
+    )
+    # one named_struct holding every aggregate = ONE F.expr (a single
+    # py4j round trip instead of dim+1 of them — measured ~0.3s of
+    # driver time per round at dim=64 the other way).
+    st = F.expr(f"named_struct('n', count(*), {sums})").alias("st")
+    _UPDATE_AGG_CACHE[dim] = st
+    return st
+
+
 def update_centroids(
     assigned: DataFrame, prev: list[list[float]]
 ) -> list[list[float]]:
@@ -113,16 +143,7 @@ def update_centroids(
     previous centroid."""
     dim = len(prev[0])
     s = float(10**MEAN_SCALE)
-    sums = ",".join(
-        f"'s{i}', sum(cast(floor(cast(element_at(embedding, {i + 1}) as double)"
-        f" * {s!r}D + 0.5D) as bigint))"
-        for i in range(dim)
-    )
-    # one named_struct holding every aggregate = ONE F.expr (a single
-    # py4j round trip instead of dim+1 of them — measured ~0.3s of
-    # driver time per round at dim=64 the other way).
-    st = F.expr(f"named_struct('n', count(*), {sums})").alias("st")
-    rows = assigned.groupBy("cid").agg(st).collect()
+    rows = assigned.groupBy("cid").agg(_update_agg(dim)).collect()
     cents = [list(c) for c in prev]
     for r in rows:
         n = float(r.st.n)
@@ -133,6 +154,27 @@ def update_centroids(
     return cents
 
 
+# Execution conf scoped to the fit loop's driver-round jobs. Rationale
+# per knob, valid at every scale (not a local-mode hack):
+# - wholeStage=false: the per-round assignment expression embeds the
+#   fresh centroid literals, so codegen recompiles every round — and
+#   the hot expressions (aggregate/zip_with higher-order functions)
+#   are CodegenFallback: they run interpreted either way. Compile cost
+#   with no runtime payoff.
+# - adaptive=false: the update shuffle carries exactly k rows of
+#   (dim+1) longs; AQE's per-stage re-planning adds driver latency per
+#   round and has nothing to optimize on a k-row exchange.
+# - shuffle.partitions=8: the right reducer count for a k-group
+#   aggregation is ~k at ANY corpus size (map-side partials do the
+#   data-sized work); AQE coalescing exists to discover this number at
+#   runtime, presetting it is strictly cheaper.
+_FIT_CONF = {
+    "spark.sql.codegen.wholeStage": "false",
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "8",
+}
+
+
 def kmeans_fit(
     emb: DataFrame, k: int, iters: int
 ) -> list[list[float]]:
@@ -140,13 +182,22 @@ def kmeans_fit(
     matrix (driver-side, k x dim). The training set is cached for the
     duration of the fit — init + every update re-reads it (MLlib's
     KMeans caches the same way); the cache is dropped before returning
-    so the caller's final assignment plan owns its own scan."""
+    so the caller's final assignment plan owns its own scan. The fit's
+    internal jobs run under _FIT_CONF (set/restored here — the loop is
+    eager, so the conf is active exactly for its own jobs and invisible
+    to the caller's lazy plans)."""
+    spark = emb.sparkSession
+    saved = {key: spark.conf.get(key) for key in _FIT_CONF}
     emb = emb.persist()
     try:
+        for key, val in _FIT_CONF.items():
+            spark.conf.set(key, val)
         cents = init_centroids(emb, k)
         for _ in range(iters):
             cents = update_centroids(assign_cids(emb, cents), cents)
     finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
         emb.unpersist()
     return cents
 

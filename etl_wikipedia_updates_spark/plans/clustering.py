@@ -36,8 +36,14 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = C.kmeans_fit(emb, KMEANS_K, KMEANS_ITERS)
     assigned = C.assignment(emb, cents)
-    cdf = C.centroid_frame(spark, cents).select(
-        "cid", F.element_at("cent", 1).alias("ce1")
+    # cent1 is a driver-known constant per cid after the fit — a k-double
+    # array literal indexed by cid replaces the former broadcast join
+    # with centroid_frame (one fewer exchange + frame round trip; repr
+    # round-trips doubles exactly, same as _matrix_sql).
+    cent1 = F.expr(
+        "element_at(array("
+        + ",".join(repr(float(c[0])) + "D" for c in cents)
+        + "), cid + 1)"
     )
     return (
         assigned.groupBy("cid")
@@ -47,12 +53,11 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dec_sum(F.col("d2"), scale=C.MEAN_SCALE) / F.count("d2"), 4
             ).alias("mean_dist2"),
         )
-        .join(F.broadcast(cdf), "cid")
         .select(
             "cid",
             "n_members",
             "mean_dist2",
-            det_round(F.col("ce1"), 4).alias("cent1"),
+            det_round(cent1, 4).alias("cent1"),
         )
         .transform(total_order, "cid")
     )

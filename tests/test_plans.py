@@ -39,8 +39,9 @@ CASES = [
     ("percentiles", ["Window", "partial_"], []),
     # the tiny (doc_id, source) side broadcasts onto the exploded shingles
     ("contamination", ["BroadcastHashJoin"], []),
-    # k-means: assignment is a projection; only the tiny centroid frame joins
-    ("kmeans_clusters", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # k-means: assignment is a projection and cent1 a literal array
+    # lookup — the whole summary is join-free (one agg + final sort)
+    ("kmeans_clusters", ["HashAggregate"], ["SortMergeJoin", "Join"]),
     # learned-cell probe: broadcast queries + ranked window, no merge join
     ("ann_kmeans", ["BroadcastHashJoin", "row_number"], ["SortMergeJoin"]),
     # grouped-map crosses to Python exactly once; aggregation stays two-phase
