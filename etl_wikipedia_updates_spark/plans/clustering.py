@@ -23,7 +23,7 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
 )
 from etl_wikipedia_updates_spark.operators import clustering as C
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
-from etl_wikipedia_updates_spark.tables import load_table
+from etl_wikipedia_updates_spark.tables import load_table, spread
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
@@ -33,7 +33,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit k-means (fixed k/iters), then summarize: per cluster the
     member count, exact mean squared distance, and the first centroid
     coordinate as a value fingerprint."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
     cents = C.kmeans_fit(emb, KMEANS_K, KMEANS_ITERS)
     assigned = C.assignment(emb, cents)
     # cent1 is a driver-known constant per cid after the fit — a k-double
@@ -129,7 +131,9 @@ ANN_KMEANS_N_QUERIES = 5
 def ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_wikipedia_updates_spark.operators import similarity as S
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
     cents = C.kmeans_fit(emb, KMEANS_K, KMEANS_ITERS)
     cells = C.assignment(emb, cents).select("vec_id", "embedding", "cid")
     queries = cells.filter(F.col("vec_id") < ANN_KMEANS_N_QUERIES).select(
