@@ -1,0 +1,66 @@
+"""Cache-hygiene contract for a long-lived session (VERDICT r4 #6).
+
+Two classes of persist() in the engine:
+
+- **Eager builders** (kmeans_clusters / ann_kmeans fit loop,
+  dedup_clusters / dedup_corpus connected-components) execute Spark
+  jobs while the plan is being BUILT. Every persist they take out must
+  be released by the time the builder returns — otherwise each call
+  leaks executor memory in a session that builds many plans (the
+  catalog cache in tables.py exists precisely because sessions are
+  long-lived).
+- **Declared lazy persists** (minhash_lsh's signature table,
+  simhash_pairs' fingerprint table) are part of the returned plan:
+  they materialize at action time, stay cached afterwards (Spark has
+  no auto-unpersist), and are reclaimed by spark.catalog.clearCache()
+  — the documented session-level knob bench.py uses between queries.
+  Everything else must leave the cache untouched even after running.
+"""
+
+from __future__ import annotations
+
+import gc
+
+import pytest
+
+from etl_wikipedia_updates_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# The only queries allowed to leave cached data behind after execution,
+# and only until the next clearCache().
+DECLARED_LAZY_PERSISTS = {"minhash_lsh", "simhash_pairs"}
+
+EAGER_BUILDERS = ["kmeans_clusters", "ann_kmeans", "dedup_clusters", "dedup_corpus"]
+
+
+def _n_cached(spark) -> int:
+    return spark._jsparkSession.sharedState().cacheManager().numCachedEntries()
+
+
+@pytest.mark.parametrize("name", EAGER_BUILDERS)
+def test_eager_builders_release_their_persists(spark, name):
+    spark.catalog.clearCache()
+    before = _n_cached(spark)
+    REGISTRY.queries[name].builder(spark, SF)  # build only — jobs may run
+    gc.collect()
+    assert _n_cached(spark) == before, (
+        f"{name} builder leaked persisted data during its eager phase"
+    )
+
+
+def test_lazy_queries_leave_cache_clean_after_execution(spark):
+    """Run every registered query end-to-end; outside the declared
+    allow-list the cache must be empty afterwards, and clearCache()
+    must reclaim the allow-listed entries too."""
+    for name, q in REGISTRY.queries.items():
+        spark.catalog.clearCache()
+        q.builder(spark, SF).write.format("noop").mode("overwrite").save()
+        gc.collect()
+        n = _n_cached(spark)
+        if name in DECLARED_LAZY_PERSISTS:
+            assert n > 0, f"{name}: declared persist never materialized"
+        else:
+            assert n == 0, f"{name} left {n} cached entries behind"
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
