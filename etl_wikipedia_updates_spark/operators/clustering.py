@@ -117,8 +117,11 @@ def _update_agg(dim: int) -> Column:
     if cached is not None:
         return cached
     s = float(10**MEAN_SCALE)
+    # try_element_at: NULL (skipped by sum) past the end of a short
+    # array under ANY ansi setting — plain element_at errors out under
+    # ansi=true, and this operator may run in a foreign session.
     sums = ",".join(
-        f"'s{i}', sum(cast(floor(cast(element_at(embedding, {i + 1}) as double)"
+        f"'s{i}', sum(cast(floor(cast(try_element_at(embedding, {i + 1}) as double)"
         f" * {s!r}D + 0.5D) as bigint))"
         for i in range(dim)
     )
@@ -141,6 +144,10 @@ def update_centroids(
     bit-identical — the oracle SQL is unchanged). Map-side partials
     keep it one pass at any corpus size. Empty clusters keep their
     previous centroid."""
+    # Declared precondition: dense, uniform-dimension embeddings (the
+    # mean divides by the member COUNT, which equals the per-dimension
+    # non-null count only when no row is ragged or null-padded). The
+    # fixture schema and quantize/ANN operators share this contract.
     dim = len(prev[0])
     s = float(10**MEAN_SCALE)
     rows = assigned.groupBy("cid").agg(_update_agg(dim)).collect()
@@ -193,6 +200,8 @@ def kmeans_fit(
         for key, val in _FIT_CONF.items():
             spark.conf.set(key, val)
         cents = init_centroids(emb, k)
+        if not cents:
+            raise ValueError("kmeans_fit: empty training set (no vectors)")
         for _ in range(iters):
             cents = update_centroids(assign_cids(emb, cents), cents)
     finally:

@@ -188,6 +188,11 @@ def _thumbnail(px, thumb_max: int):
 
 
 def _decode_one(doc_id, buf: bytes, thumb_max: int) -> dict:
+    # NULL payload cells arrive as None in the pandas batch; they must
+    # quarantine like any other bad media, not raise TypeError at the
+    # slice below and fail the whole task.
+    if buf is None:
+        return {"doc_id": doc_id, **_BAD, "error": "null payload"}
     try:
         if buf[:2] == b"P6":
             fmt, px = _decode_ppm(bytes(buf))

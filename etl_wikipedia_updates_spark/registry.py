@@ -1,30 +1,14 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Declaration order is DRIVER_ORDER, not module order. The driver's
-correctness gate records a bounded number of rows per round (measured:
-rounds 2 and 3 both recorded exactly the first 50 registry entries, in
-order, then stopped — same cutoff key both times). With 58 registered
-queries, 8 entries per round get no official row no matter what, so the
-ordering is an explicit priority list:
-
-- Positions 1-50: every SURVEY.md §2.3 contract row (Q1-Q28, W, the
-  exact percentile variant) plus the flagship LLM-pipeline operators
-  (dedup/CC/contamination/kmeans/ANN/multimodal). Cheapest-first within
-  the block (BENCH sf0.1 timings) as a hedge against the cutoff being a
-  time budget rather than a row count.
-- Positions 51-58: variants whose capability is already officially
-  exercised by an earlier entry — the two approx sketches (no oracle by
-  nature, the driver only records a rows-only check), lang_id (the
-  chargram variant is the stronger same-capability row), ann_lsh
-  (ANN family keeps brute/IVF/SQ8/kmeans rows; LSH banding keeps its
-  row via minhash_lsh), quantize_embeddings (exercised inside ann_sq8),
-  grouped_agg_udf (UDF matrix keeps q28 scalar + grouped_zscore
-  grouped-map rows), tfidf_topterms (bm25_rank keeps the tf-idf
-  ranking row), stratified_sample (sample_hash keeps the deterministic
-  sampling row). All 58 stay registered, benched, and oracle-tested in
-  tests/test_queries_oracle.py — only the official driver row is
-  deprioritized.
+Registry order is SURVEY.md §2.3 DOCUMENT ORDER — the declared
+contract rows Q1-Q28 by number, the wiki conformance row, then the
+engine-extension table in the order §2.3 publishes it. The order is a
+property of the spec, not of any consumer: whatever prefix an external
+gate happens to sample, the mapping from position to meaning is stable
+and documented. All 58 entries are benched by bench.py and
+oracle-tested every run in tests/test_queries_oracle.py regardless of
+position.
 """
 
 from __future__ import annotations
@@ -36,67 +20,41 @@ from etl_wikipedia_updates_spark.plans.northstar import NORTHSTAR_QUERIES
 from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
-DRIVER_ORDER: list[str] = [
-    # --- priority block: contract rows + flagship operators, cheap first ---
-    "q10",
-    "sample_hash",
-    "q18",
-    "q14",
-    "q23",
-    "text_normalize",
-    "q19",
-    "multimodal_bytes",
-    "q16",
-    "q6",
-    "q13",
-    "q7",
-    "corpus_stats",
-    "token_stats",
-    "q15",
-    "q2",
-    "q1",
-    "grouped_zscore",
-    "q8",
-    "q17",
-    "q20",
-    "q24",
-    "q4",
-    "cosine_neardup",
-    "q11",
-    "ann_ivf",
+# SURVEY §2.3: contract rows first (Q1-Q28, W), then the extension
+# table verbatim in its published order.
+DECLARATION_ORDER: list[str] = [
+    *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    "percentiles",
-    "q27",
-    "q25",
-    "q21",
-    "q9",
-    "doc_fingerprint",
-    "q12",
-    "q3",
-    "q22",
-    "q28",
-    "text_quality",
-    "ann_sq8",
-    "q5",
-    "bm25_rank",
-    "contamination",
-    "simhash_pairs",
+    # --- §2.3 engine-extension table, document order ---
     "minhash_lsh",
-    "q26",
+    "simhash_pairs",
+    "lang_id",
+    "text_quality",
+    "token_stats",
+    "doc_fingerprint",
+    "ann_ivf",
+    "cosine_neardup",
+    "multimodal_bytes",
+    "sample_hash",
+    "dedup_clusters",
+    "ann_lsh",
+    "text_normalize",
+    "contamination",
+    "percentiles",
+    "q12_approx",
+    "percentiles_approx",
     "kmeans_clusters",
     "ann_kmeans",
-    "lang_id_chargram",
-    "dedup_clusters",
-    "dedup_corpus",
-    # --- deprioritized variants (capability officially covered above) ---
+    "grouped_zscore",
     "stratified_sample",
-    "grouped_agg_udf",
-    "percentiles_approx",
-    "quantize_embeddings",
-    "q12_approx",
     "tfidf_topterms",
-    "ann_lsh",
-    "lang_id",
+    "quantize_embeddings",
+    "corpus_stats",
+    "bm25_rank",
+    "dedup_corpus",
+    "lang_id_chargram",
+    "ann_sq8",
+    "grouped_agg_udf",
 ]
 
 _declared = QueryRegistry()
@@ -106,12 +64,13 @@ _declared.extend(NORTHSTAR_QUERIES)
 _declared.extend(CLUSTERING_QUERIES)
 _declared.extend(WIKI_QUERIES)
 
-_missing = set(_declared.queries) - set(DRIVER_ORDER)
-_extra = set(DRIVER_ORDER) - set(_declared.queries)
+_missing = set(_declared.queries) - set(DECLARATION_ORDER)
+_extra = set(DECLARATION_ORDER) - set(_declared.queries)
 if _missing or _extra:
     raise RuntimeError(
-        f"DRIVER_ORDER out of sync: missing={sorted(_missing)} extra={sorted(_extra)}"
+        "DECLARATION_ORDER out of sync: "
+        f"missing={sorted(_missing)} extra={sorted(_extra)}"
     )
 
 REGISTRY = QueryRegistry()
-REGISTRY.extend([_declared.queries[name] for name in DRIVER_ORDER])
+REGISTRY.extend([_declared.queries[name] for name in DECLARATION_ORDER])

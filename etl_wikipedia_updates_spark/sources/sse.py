@@ -18,6 +18,7 @@ generator) — parallelism comes from everything downstream.
 
 from __future__ import annotations
 
+import http.client
 import json
 from collections.abc import Iterator
 
@@ -46,10 +47,17 @@ except ImportError:  # pragma: no cover - pyspark < 4
 SSE_SCHEMA_DDL = "value string, event string"
 
 
-def _iter_sse_lines(url: str, user_agent: str, since: str | None) -> Iterator[dict]:
+def _iter_sse_lines(
+    url: str,
+    user_agent: str,
+    since: str | None,
+    timeout: float | None = None,
+) -> Iterator[dict]:
     """Minimal SSE protocol client over stdlib urllib: yields
     {'event': ..., 'data': ...} per message, like sseclient does for the
-    reference (pipeline.py:82-85)."""
+    reference (pipeline.py:82-85). ``timeout`` is the socket read
+    timeout: a quiet-but-open stream raises socket.timeout (an OSError)
+    instead of blocking the trigger forever."""
     import urllib.request
 
     full = url if not since else f"{url}?since={since}"
@@ -57,7 +65,9 @@ def _iter_sse_lines(url: str, user_agent: str, since: str | None) -> Iterator[di
         "User-Agent": user_agent,
         "Accept": "text/event-stream",
     })
-    with urllib.request.urlopen(req) as resp:  # noqa: S310 - declared SSE endpoint
+    with urllib.request.urlopen(  # noqa: S310 - declared SSE endpoint
+        req, timeout=timeout
+    ) as resp:
         event: dict = {}
         data_lines: list[str] = []
         for raw in resp:
@@ -97,13 +107,20 @@ class SSEStreamReader(DataSourceStreamReader):
         )
         self._user_agent = options.get("userAgent", "etl-wikipedia-updates-spark")
         self._max_per_batch = int(options.get("maxEventsPerBatch", "1000"))
+        # Socket read timeout per trigger drain: without one, a
+        # quiet-but-open stream blocks latestOffset (and therefore every
+        # trigger) indefinitely. Timing out surfaces as socket.timeout
+        # (an OSError), i.e. end-of-drain + reconnect-with-?since=.
+        self._timeout = float(options.get("readTimeoutSec", "30"))
         self._since = options.get("since") or None
         self._buffer: list[tuple[str, str]] = []
         self._it: Iterator[dict] | None = None
         self.connect_count = 0  # observable for tests/diagnostics
 
     def _connect(self) -> None:
-        self._it = _iter_sse_lines(self._url, self._user_agent, self._since)
+        self._it = _iter_sse_lines(
+            self._url, self._user_agent, self._since, timeout=self._timeout
+        )
         self.connect_count += 1
 
     def _disconnect(self) -> None:
@@ -141,10 +158,12 @@ class SSEStreamReader(DataSourceStreamReader):
                 # server closed the stream (EOF): reconnect next trigger
                 # with ?since= so the overlap replays
                 self._disconnect()
-        except OSError:
-            # connection died mid-drain: whatever was buffered still
-            # ships this batch; next trigger reconnects with ?since=
-            # (reference's backoff+resume, pipeline.py:53-58/74-76)
+        except (OSError, http.client.HTTPException):
+            # Connection died or went quiet mid-drain (socket.timeout is
+            # an OSError; IncompleteRead and friends are HTTPException,
+            # not OSError): whatever was buffered still ships this
+            # batch; next trigger reconnects with ?since= (reference's
+            # backoff+resume, pipeline.py:53-58/74-76).
             self._disconnect()
         return {"since": last}
 

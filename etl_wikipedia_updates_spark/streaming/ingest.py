@@ -47,22 +47,51 @@ def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
 
 
+def _hidden_sibling(path: str, tag: str) -> str:
+    """A ``._``-prefixed sibling of ``path`` — Spark's file index skips
+    names starting with ``.`` or ``_``, so in-flight rewrite state named
+    this way is INVISIBLE to any concurrent reader of the enclosing
+    tree (recursiveFileLookup, glob, or partition discovery alike)."""
+    parent, base = os.path.split(path.rstrip("/"))
+    return os.path.join(parent, f"._{tag}_{base}")
+
+
+def _recover_swap(live_dir: str) -> None:
+    """Heal a swap interrupted between its two renames.
+
+    Crash states and their recovery (old = the hidden step-aside dir):
+    - live missing + old present  -> rename old back to live (the
+      pre-rewrite dataset; complete by construction).
+    - live present + old present  -> the swap finished but the final
+      cleanup didn't: delete the stale old dir.
+    Idempotent; called at the top of every rewrite entry point, so the
+    next maintenance run self-heals a crashed predecessor."""
+    old = _hidden_sibling(live_dir, "old")
+    if os.path.exists(old):
+        if not os.path.exists(live_dir):
+            os.rename(old, live_dir)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+
+
 def _swap_dirs(new_dir: str, live_dir: str) -> None:
     """Publish a fully-written ``new_dir`` at ``live_dir``.
 
-    Two same-filesystem renames: the live dir steps aside, the new dir
-    takes its path, then the old data is deleted. A concurrent reader
-    can never observe an EMPTY or HALF-WRITTEN sink (the failure mode of
-    rmtree-then-rewrite, where the sink path held a parquet write in
-    progress for whole seconds): every state of this sequence has a
-    complete dataset at ``live_dir`` except the microsecond gap between
-    the renames, which surfaces as transient path-not-found — the same
-    class of blip any direct-to-filesystem table has and a retry
-    absorbs. Readers that listed the OLD files keep reading them
-    (POSIX: open fds survive unlink) unless they open after the final
-    rmtree; closing that last hole needs a table format with snapshot
-    isolation (Delta/Iceberg), which is the declared 100 TB path."""
-    old = live_dir.rstrip("/") + ".old"
+    Two same-filesystem renames: the live dir steps aside (to a hidden
+    ``._old_*`` sibling no Spark reader will list), the new dir takes
+    its path, then the old data is deleted. A concurrent reader can
+    never observe an EMPTY, HALF-WRITTEN, or DOUBLED sink (the failure
+    modes of rmtree-then-rewrite and of visible tmp/old siblings):
+    every state of this sequence has exactly one complete dataset at
+    ``live_dir`` except the microsecond gap between the renames, which
+    surfaces as transient path-not-found — the same class of blip any
+    direct-to-filesystem table has and a retry absorbs. A crash inside
+    that gap is healed by ``_recover_swap`` on the next run. Readers
+    that listed the OLD files keep reading them (POSIX: open fds
+    survive unlink) unless they open after the final rmtree; closing
+    that last hole needs a table format with snapshot isolation
+    (Delta/Iceberg), which is the declared 100 TB path."""
+    old = _hidden_sibling(live_dir, "old")
     shutil.rmtree(old, ignore_errors=True)
     os.rename(live_dir, old)
     os.rename(new_dir, live_dir)
@@ -87,6 +116,7 @@ def compact_sink(
 
     Returns {"files_before": .., "files_after": .., "rows": ..}.
     """
+    _recover_swap(sink_path)
     before = sum(
         1
         for root, _dirs, files in os.walk(sink_path)
@@ -94,7 +124,7 @@ def compact_sink(
         if f.endswith(".parquet")
     )
     sink = read_sink(spark, sink_path)
-    tmp = sink_path.rstrip("/") + ".compacting"
+    tmp = _hidden_sibling(sink_path, "compacting")
     shutil.rmtree(tmp, ignore_errors=True)
     sink.coalesce(target_files).write.mode("overwrite").parquet(
         os.path.join(tmp, "compacted")
@@ -121,12 +151,13 @@ def apply_retention(
     projection — at this container's parquet sink the rewrite is
     full-file; see module docstring for the partition-level 100 TB path.
     Returns True when a rewrite happened."""
+    _recover_swap(sink_path)
     sink = read_sink(spark, sink_path)
     total = sink.count()
     if total < RETENTION_SLACK * max_rows:
         return False
     kept = sink.orderBy(F.col(ts_col).desc()).limit(max_rows)
-    tmp = sink_path.rstrip("/") + ".retained"
+    tmp = _hidden_sibling(sink_path, "retained")
     shutil.rmtree(tmp, ignore_errors=True)
     kept.write.mode("overwrite").parquet(
         os.path.join(tmp, "batch_retained")
@@ -158,6 +189,15 @@ def retain_newest_partitioned(
 
     Returns {"kept": .., "dropped_partitions": .., "trimmed": bool}.
     """
+    # Heal any partition swap a crashed predecessor left half-done
+    # (hidden ._old_<partition> dirs inside the table root) and drop
+    # abandoned in-flight rewrites (._trim_*: never the only copy —
+    # the source partition still exists until the swap's first rename).
+    for d in os.listdir(table_path):
+        if d.startswith("._old_"):
+            _recover_swap(os.path.join(table_path, d[len("._old_"):]))
+        elif d.startswith("._trim_"):
+            shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
     parts = sorted(
         (
             d
@@ -181,10 +221,13 @@ def retain_newest_partitioned(
         if n <= budget:
             budget -= n  # fully kept — files untouched
             continue
-        # boundary partition: keep only its newest `budget` rows
+        # boundary partition: keep only its newest `budget` rows. The
+        # rewrite target is a hidden sibling INSIDE the table root — a
+        # concurrent reader listing the table never sees the in-flight
+        # copy, so no row is ever observed twice.
         rows = spark.read.parquet(pdir)
         kept = rows.orderBy(F.col(ts_col).desc()).limit(budget)
-        tmp = pdir + ".trim"
+        tmp = _hidden_sibling(pdir, "trim")
         shutil.rmtree(tmp, ignore_errors=True)
         kept.write.mode("overwrite").parquet(tmp)
         _swap_dirs(tmp, pdir)

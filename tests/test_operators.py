@@ -251,6 +251,7 @@ def test_decode_image_downsamples_and_quarantines(spark):
     rows = [
         (1, bytearray(good)),
         (2, bytearray(good[:20])),  # truncated pixel block
+        (3, None),  # NULL payload cell must quarantine, not TypeError
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r.doc_id: r for r in M.decode_image(df, thumb_max=8).collect()}
@@ -262,6 +263,7 @@ def test_decode_image_downsamples_and_quarantines(spark):
     thumb = bytes(r.thumbnail)
     assert thumb[0:3] == bytes(px[0]) and thumb[3:6] == bytes(px[2])
     assert out[2].error is not None and out[2].format is None
+    assert out[3].error == "null payload" and out[3].format is None
 
 
 def test_kmeans_assignment_is_argmin(spark):

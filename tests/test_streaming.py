@@ -416,6 +416,47 @@ def test_retention_partitioned_exact_and_io_bounded(spark, events, tmp_path):
     assert expected.exceptAll(kept).count() == 0
 
 
+def test_partitioned_swap_state_is_hidden_and_recoverable(
+    spark, events, tmp_path
+):
+    """The in-flight rewrite state lives in `._`-prefixed siblings that
+    Spark's file listing skips, and a swap interrupted between its two
+    renames is healed by the next retention run."""
+    import os
+    import shutil
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _hidden_sibling,
+        retain_newest_partitioned,
+    )
+
+    table = str(tmp_path / "table")
+    events.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(table)
+    total = spark.read.parquet(table).count()
+    parts = sorted(d for d in os.listdir(table) if d.startswith("event_date="))
+    victim = os.path.join(table, parts[-1])
+
+    # Hidden siblings are invisible to readers: plant a full copy of the
+    # newest partition under both in-flight names; the row count must
+    # not change.
+    shutil.copytree(victim, _hidden_sibling(victim, "trim"))
+    shutil.copytree(victim, _hidden_sibling(victim, "old"))
+    assert spark.read.parquet(table).count() == total
+    shutil.rmtree(_hidden_sibling(victim, "trim"))
+    shutil.rmtree(_hidden_sibling(victim, "old"))
+
+    # Crash between the two renames: live partition missing, data
+    # stranded at the hidden old name. The next retention run restores
+    # it before walking, so nothing is lost.
+    os.rename(victim, _hidden_sibling(victim, "old"))
+    stats = retain_newest_partitioned(spark, table, total, "ts")
+    assert os.path.isdir(victim)
+    assert stats["kept"] == total
+    assert spark.read.parquet(table).count() == total
+
+
 # --- S5: checkpoint resume (kill/restart) == uninterrupted -----------------------
 def test_s5_checkpoint_resume(spark, events, replay_dir, tmp_path):
     sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
