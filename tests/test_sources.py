@@ -186,6 +186,59 @@ def test_sse_reconnects_with_since_after_eof():
         srv.shutdown()
 
 
+def test_sse_quiet_stream_times_out_instead_of_blocking():
+    """A quiet-but-open stream must not block the trigger forever: the
+    socket read timeout ends the drain (whatever was buffered ships),
+    and the next trigger reconnects with ?since= like any other drop."""
+    import http.server
+    import threading
+    import time
+
+    release = threading.Event()
+    paths = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - stdlib naming
+            paths.append(self.path)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            if len(paths) == 1:
+                for i in range(2):
+                    self.wfile.write(
+                        f'event: message\ndata: {{"meta": {{"dt": "2026-01-08T0{i}:00:00Z"}}}}\n\n'.encode()
+                    )
+                self.wfile.flush()
+                release.wait(30)  # open but silent — no more bytes
+
+        def log_message(self, *args):
+            pass
+
+    srv = _sse_server(Handler)
+    try:
+        r = SSEStreamReader(
+            {
+                "url": f"http://127.0.0.1:{srv.server_address[1]}/stream",
+                "maxEventsPerBatch": "100",
+                "readTimeoutSec": "1",
+            }
+        )
+        t0 = time.monotonic()
+        off = r.latestOffset()  # would hang forever without the timeout
+        assert time.monotonic() - t0 < 10
+        assert off == {"since": "2026-01-08T01:00:00Z"}
+        rows = list(r.read(r.partitions(r.initialOffset(), off)[0]))
+        assert len(rows) == 2  # the buffered events still shipped
+        r.commit(off)
+        r.latestOffset()  # reconnects with the committed offset
+        assert r.connect_count == 2
+        assert paths[1] == "/stream?since=2026-01-08T01:00:00Z"
+        r.stop()
+    finally:
+        release.set()
+        srv.shutdown()
+
+
 def test_replay_splits_cover_input(spark, sf_smoke, tmp_path):
     events = load_table(spark, sf_smoke, "events")
     chunks = write_replay_splits(events, str(tmp_path), 3, "ts")
