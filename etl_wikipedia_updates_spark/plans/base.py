@@ -38,12 +38,41 @@ def total_order(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).orderBy(*cols)
 
 
+# (applicationId, sf_dir, name) -> built DataFrame. Same rationale as
+# tables._TABLE_CACHE one level up: a DataFrame is an immutable logical
+# plan, so one per (query, session, sf) is safely shared by every
+# consumer and every re-execution — the prepared-statement pattern.
+# Rebuilding a plan costs 0.05-0.35s of py4j/analysis per call
+# (measured ~6s across the 58-query suite). Execution is unaffected:
+# each action still runs the full physical plan. Entries die with the
+# session (new applicationId).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 @dataclass(frozen=True)
 class DeclaredQuery:
     name: str
     builder: Builder
     oracle: str | None  # DuckDB SQL; None → driver records rows-only check
     doc: str = ""
+    # True when the builder itself RUNS Spark jobs (k-means fit rounds,
+    # connected-components strategy probe): the work is part of the
+    # query, so the plan must be rebuilt — never cached — per call.
+    eager: bool = False
+
+    def cached_builder(self) -> Builder:
+        if self.eager:
+            return self.builder
+
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (spark.sparkContext.applicationId, sf_dir, self.name)
+            df = _PLAN_CACHE.get(key)
+            if df is None:
+                df = self.builder(spark, sf_dir)
+                _PLAN_CACHE[key] = df
+            return df
+
+        return build
 
 
 @dataclass
@@ -60,7 +89,7 @@ class QueryRegistry:
             self.add(q)
 
     def builders(self) -> dict[str, Builder]:
-        return {n: q.builder for n, q in self.queries.items()}
+        return {n: q.cached_builder() for n, q in self.queries.items()}
 
     def oracles(self) -> dict[str, str]:
         return {n: q.oracle for n, q in self.queries.items() if q.oracle is not None}

@@ -180,11 +180,13 @@ CLUSTERING_QUERIES: list[DeclaredQuery] = [
         kmeans_clusters,
         KMEANS_SQL,
         "distributed k-means (learned IVF cells)",
+        eager=True,  # Lloyd's fit runs jobs at build time
     ),
     DeclaredQuery(
         "ann_kmeans",
         ann_kmeans,
         ANN_KMEANS_SQL,
         "IVF top-k over learned k-means cells",
+        eager=True,  # Lloyd's fit runs jobs at build time
     ),
 ]

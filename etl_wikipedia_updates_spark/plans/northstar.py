@@ -1895,12 +1895,14 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         dedup_clusters,
         DEDUP_CLUSTERS_SQL,
         "connected components over near-dup pairs",
+        eager=True,  # CC strategy probe runs jobs at build time
     ),
     DeclaredQuery(
         "dedup_corpus",
         dedup_corpus,
         DEDUP_CORPUS_SQL,
         "end-to-end dedup: corpus minus non-canonical near-dups",
+        eager=True,  # CC strategy probe runs jobs at build time
     ),
     DeclaredQuery("cosine_neardup", cosine_neardup, COSINE_NEARDUP_SQL, "cosine near-dup"),
     DeclaredQuery("multimodal_bytes", multimodal_bytes, MULTIMODAL_SQL, "binary payload features"),
