@@ -1,0 +1,112 @@
+"""Snapshot-isolated table publish on a plain filesystem.
+
+The rename-swap sinks in ``ingest.py`` close the empty/half-written
+window but keep one microsecond hole: between their two renames the
+live path does not exist, and a reader that lists exactly then sees
+path-not-found. Table formats (Delta/Iceberg) close that hole with a
+manifest pointer; this module is the minimal filesystem version of the
+same idea — what the SCALE.md "declared 100 TB path" prose promises,
+as working code:
+
+- Every publish writes a COMPLETE dataset into a fresh immutable
+  version directory ``v{N}/`` (never mutated after creation).
+- ``_current.json`` names the live version. It is replaced by writing
+  a temp file and ``os.rename`` — atomic on POSIX — so every reader
+  observes either the old manifest or the new one, never a missing or
+  partial pointer. There is NO instant at which the table is
+  unreadable.
+- Readers resolve the manifest, then read that version's files. A
+  reader holding version N keeps a consistent snapshot even while
+  version N+1 publishes and after it becomes current (old versions are
+  only removed by an explicit ``vacuum`` with a keep horizon — same
+  contract as Delta's VACUUM).
+
+At 100 TB the mechanism is unchanged: object stores give atomic
+put-if-absent/rename-equivalent on the single small manifest object,
+and version dirs are just prefixes. The reference has no analog (its
+SQLite file is a single-writer embedded DB); this is the piece a
+shared-filesystem deployment of R11-R14 needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_current.json"  # _-prefixed: invisible to Spark's file lists
+
+
+class SnapshotTable:
+    """Versioned parquet table with an atomic manifest pointer."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # --- manifest ---------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._manifest_path()) as fh:
+                return int(json.load(fh)["version"])
+        except FileNotFoundError:
+            return None
+
+    def version_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version}")
+
+    # --- write side -------------------------------------------------------
+    def publish(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version and atomically point the
+        manifest at it. The data write happens entirely BEFORE the
+        pointer moves, so a crash mid-write leaves an orphan version
+        dir (reclaimed by vacuum) and an untouched live table."""
+        version = (self.current_version() or 0) + 1
+        vdir = self.version_path(version)
+        shutil.rmtree(vdir, ignore_errors=True)  # orphan from a crash
+        df.write.mode("overwrite").parquet(vdir)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "published_at": time.time()}, fh)
+        os.rename(tmp, self._manifest_path())  # atomic pointer move
+        return version
+
+    # --- read side --------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the current (or a pinned) snapshot. The returned plan is
+        bound to that version's immutable files — publishes after this
+        call never change what it reads (snapshot isolation; Delta's
+        versionAsOf is the same contract)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no published version under {self.root}")
+        return spark.read.parquet(self.version_path(v))
+
+    # --- maintenance ------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Delete version dirs older than the newest ``keep_last``.
+        The grace window is what lets in-flight readers of recent
+        snapshots finish — removing only the current-1'th and older
+        mirrors Delta's retention-horizon VACUUM. Returns the removed
+        version numbers."""
+        current = self.current_version()
+        if current is None:
+            return []
+        removed = []
+        for name in os.listdir(self.root):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v <= current - keep_last:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                removed.append(v)
+        return sorted(removed)

@@ -1,0 +1,89 @@
+"""SnapshotTable: atomic manifest publish, snapshot isolation, vacuum."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_publish_read_roundtrip_and_pinning(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.current_version() is None
+    v1 = t.publish(_df(spark, 10, "a"))
+    v2 = t.publish(_df(spark, 20, "b"))
+    assert (v1, v2) == (1, 2)
+    assert t.read(spark).count() == 20
+    # a reader pinned to v1 keeps its snapshot even though v2 is live
+    pinned = t.read(spark, version=v1)
+    assert pinned.count() == 10
+    assert {r.tag for r in pinned.select("tag").distinct().collect()} == {"a"}
+
+
+def test_no_unreadable_instant_under_concurrent_publishes(spark, tmp_path):
+    """The property the rename-swap sinks cannot give: a reader polling
+    across many publishes NEVER hits path-not-found and always sees one
+    complete published dataset."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.publish(_df(spark, 100, "seed"))
+    valid_counts = {100}
+    stop = threading.Event()
+    errors: list[Exception] = []
+    observed: set[int] = set()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                observed.add(t.read(spark).count())
+            except Exception as exc:  # any error = isolation violated
+                errors.append(exc)
+                return
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    for i, n in enumerate([150, 200, 250, 300]):
+        valid_counts.add(n)
+        t.publish(_df(spark, n, f"gen{i}"))
+    stop.set()
+    th.join(30)
+    assert not errors, f"reader failed during publish: {errors[0]!r}"
+    assert observed, "reader never completed a read"
+    assert observed <= valid_counts, f"saw partial dataset: {observed}"
+
+
+def test_crashed_publish_leaves_live_table_intact(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.publish(_df(spark, 10, "live"))
+    # simulate a writer that crashed after writing data, before the
+    # pointer move: an orphan v2 exists but the manifest still says v1
+    _df(spark, 99, "orphan").write.parquet(t.version_path(2))
+    assert t.current_version() == 1
+    assert t.read(spark).count() == 10
+    # the next publish reclaims the orphan dir and wins version 2
+    t.publish(_df(spark, 30, "next"))
+    assert t.current_version() == 2
+    got = t.read(spark)
+    assert got.count() == 30
+    assert {r.tag for r in got.select("tag").distinct().collect()} == {"next"}
+
+
+def test_vacuum_keeps_grace_window(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.publish(_df(spark, 10 * (i + 1), f"g{i}"))
+    removed = t.vacuum(keep_last=2)
+    assert removed == [1, 2]
+    dirs = {d for d in os.listdir(t.root) if d.startswith("v")}
+    assert dirs == {"v3", "v4"}
+    # current and the grace version still read fine
+    assert t.read(spark).count() == 40
+    assert t.read(spark, version=3).count() == 30
