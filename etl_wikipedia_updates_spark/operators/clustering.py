@@ -27,7 +27,7 @@ Determinism (oracle hash-matching):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEAN_SCALE = 6  # scaled-long mean precision (1e-6) for centroid updates
@@ -211,10 +211,3 @@ def kmeans_fit(
     return cents
 
 
-def centroid_frame(
-    spark: SparkSession, cents: list[list[float]]
-) -> DataFrame:
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
-        schema="cid INT, cent ARRAY<DOUBLE>",
-    )

@@ -39,8 +39,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = C.kmeans_fit(emb, KMEANS_K, KMEANS_ITERS)
     assigned = C.assignment(emb, cents)
     # cent1 is a driver-known constant per cid after the fit — a k-double
-    # array literal indexed by cid replaces the former broadcast join
-    # with centroid_frame (one fewer exchange + frame round trip; repr
+    # array literal indexed by cid instead of a broadcast join against a
+    # centroid frame (one fewer exchange + frame round trip; repr
     # round-trips doubles exactly, same as _matrix_sql).
     cent1 = F.expr(
         "element_at(array("

@@ -313,12 +313,15 @@ def compact_rollup(
     """Fold accumulated partials into one partial per (day, key). The
     merged frame is itself a valid partial (counts and decimal sums
     re-aggregate), so rollup_view over a compacted dir is unchanged.
-    At 100 TB this runs per closed day-partition, like compact_sink."""
+    At 100 TB this runs per closed day-partition, like compact_sink.
+    Same publish discipline as every other rewrite: heal a crashed
+    predecessor first, stage under a hidden sibling, swap."""
+    _recover_swap(rollup_path)
     parts = spark.read.option("recursiveFileLookup", "true").parquet(rollup_path)
     merged = parts.groupBy("day", key_col).agg(
         F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
     )
-    tmp = rollup_path.rstrip("/") + ".compacting"
+    tmp = _hidden_sibling(rollup_path, "compacting")
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(os.path.join(tmp, "compacted"))
     _swap_dirs(tmp, rollup_path)

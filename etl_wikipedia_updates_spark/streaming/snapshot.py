@@ -57,6 +57,17 @@ class SnapshotTable:
                 return int(json.load(fh)["version"])
         except FileNotFoundError:
             return None
+        except (json.JSONDecodeError, KeyError, ValueError) as exc:
+            # publish fsyncs the manifest before the rename, so a torn
+            # pointer should be impossible; if one appears anyway
+            # (manual edit, filesystem bug), fail LOUDLY rather than
+            # silently restarting version numbering at 1 — the version
+            # dirs are intact and an operator can restore the pointer.
+            raise RuntimeError(
+                f"corrupt snapshot manifest {self._manifest_path()}: "
+                f"{exc}; restore it to point at the newest complete "
+                "version directory"
+            ) from exc
 
     def version_path(self, version: int) -> str:
         return os.path.join(self.root, f"v{version}")
@@ -66,14 +77,32 @@ class SnapshotTable:
         """Write ``df`` as the next version and atomically point the
         manifest at it. The data write happens entirely BEFORE the
         pointer moves, so a crash mid-write leaves an orphan version
-        dir (reclaimed by vacuum) and an untouched live table."""
-        version = (self.current_version() or 0) + 1
-        vdir = self.version_path(version)
-        shutil.rmtree(vdir, ignore_errors=True)  # orphan from a crash
+        dir (reclaimed by ``vacuum(reclaim_orphans=True)``) and an
+        untouched live table.
+
+        Concurrency: a version number is CLAIMED by ``os.mkdir`` —
+        atomic on POSIX — so two concurrent publishers can never write
+        into the same directory (the loser's mkdir fails and it claims
+        the next number; both datasets publish completely and the
+        pointer is last-writer-wins, each state consistent). An
+        existing dir is never deleted here — that is what made
+        concurrent publish destructive before a crash orphan could be
+        told apart from an in-flight writer."""
+        version = self.current_version() or 0
+        while True:
+            version += 1
+            vdir = self.version_path(version)
+            try:
+                os.mkdir(vdir)  # atomic claim; skips orphans/in-flight
+                break
+            except FileExistsError:
+                continue
         df.write.mode("overwrite").parquet(vdir)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": version, "published_at": time.time()}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # durable BEFORE the rename: no torn pointer
         os.rename(tmp, self._manifest_path())  # atomic pointer move
         return version
 
@@ -89,12 +118,18 @@ class SnapshotTable:
         return spark.read.parquet(self.version_path(v))
 
     # --- maintenance ------------------------------------------------------
-    def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Delete version dirs older than the newest ``keep_last``.
-        The grace window is what lets in-flight readers of recent
-        snapshots finish — removing only the current-1'th and older
-        mirrors Delta's retention-horizon VACUUM. Returns the removed
+    def vacuum(self, keep_last: int = 2, reclaim_orphans: bool = False) -> list[int]:
+        """Delete version dirs older than the newest ``keep_last``
+        (must be >= 1: the live version is never removable). The grace
+        window is what lets in-flight readers of recent snapshots
+        finish — mirrors Delta's retention-horizon VACUUM.
+        ``reclaim_orphans=True`` additionally removes version dirs
+        ABOVE the current pointer — crashed publishes that never moved
+        the manifest. Only safe when no publisher is running (an
+        explicit operator action, hence opt-in). Returns the removed
         version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the live version)")
         current = self.current_version()
         if current is None:
             return []
@@ -106,7 +141,7 @@ class SnapshotTable:
                 v = int(name[1:])
             except ValueError:
                 continue
-            if v <= current - keep_last:
+            if v <= current - keep_last or (reclaim_orphans and v > current):
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
                 removed.append(v)
         return sorted(removed)

@@ -68,12 +68,29 @@ def test_crashed_publish_leaves_live_table_intact(spark, tmp_path):
     _df(spark, 99, "orphan").write.parquet(t.version_path(2))
     assert t.current_version() == 1
     assert t.read(spark).count() == 10
-    # the next publish reclaims the orphan dir and wins version 2
+    # the next publish SKIPS the claimed number (it cannot tell a
+    # crash orphan from an in-flight concurrent writer) and wins v3
     t.publish(_df(spark, 30, "next"))
-    assert t.current_version() == 2
+    assert t.current_version() == 3
     got = t.read(spark)
     assert got.count() == 30
     assert {r.tag for r in got.select("tag").distinct().collect()} == {"next"}
+    # normal vacuum reclaims below-current versions (incl. the orphan);
+    # an orphan ABOVE current needs the explicit opt-in
+    assert t.vacuum(keep_last=1, reclaim_orphans=False) == [1, 2]
+    _df(spark, 5, "orphan2").write.parquet(t.version_path(9))
+    assert t.vacuum(keep_last=1, reclaim_orphans=False) == []
+    assert t.vacuum(keep_last=1, reclaim_orphans=True) == [9]
+    assert t.read(spark).count() == 30
+
+
+def test_vacuum_rejects_removing_live_version(spark, tmp_path):
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.publish(_df(spark, 10, "a"))
+    with pytest.raises(ValueError):
+        t.vacuum(keep_last=0)
 
 
 def test_vacuum_keeps_grace_window(spark, tmp_path):
