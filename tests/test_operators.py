@@ -136,6 +136,45 @@ def test_shingle_df_cap_drops_only_hot_shingles(spark):
     assert capped_shingles(sh, cap=3).count() == sh.count()
 
 
+def test_q26_pairs_postings_enumeration(spark, monkeypatch, tmp_path):
+    """The posting-list pair shape: pairs come ordered (d1 < d2) from
+    the sorted per-shingle doc list, the df cap binds as a size filter,
+    and the prefilter_hot variant (count-prefilter before the array
+    build — the unknown-df-corpus knob) is result-identical."""
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    rows = [
+        (1, "en", "alpha beta gamma delta"),
+        (2, "en", "alpha beta gamma delta"),  # exact near-dup of 1
+        (3, "en", "totally different words here"),
+        (4, "en", "alpha beta gamma epsilon"),  # partial overlap
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).withColumn("source", F.lit("s")).write.parquet(f"{sf}/documents.parquet")
+
+    base = {
+        (r.doc_id, r.doc_id2, round(r.jaccard, 9))
+        for r in N._q26_pairs(spark, sf).collect()
+    }
+    pre = {
+        (r.doc_id, r.doc_id2, round(r.jaccard, 9))
+        for r in N._q26_pairs(spark, sf, prefilter_hot=True).collect()
+    }
+    assert base == pre
+    assert (1, 2, 1.0) in base  # identical docs: jaccard exactly 1
+    assert all(d1 < d2 for d1, d2, _ in base)
+
+    # a cap of 1 kills every shared shingle -> no pairs at all
+    monkeypatch.setattr(N, "SHINGLE_DF_CAP", 1)
+    assert N._q26_pairs(spark, sf).count() == 0
+    assert N._q26_pairs(spark, sf, prefilter_hot=True).count() == 0
+
+
 def test_connected_components_merges_chains(spark):
     # 1-2, 2-3 chain plus isolated pair 10-11: two components. Both
     # physical strategies must agree: driver union-find (default — the
