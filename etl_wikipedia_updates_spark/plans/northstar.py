@@ -519,9 +519,11 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort + broadcast) — the contract path IS the 100 TB path.
     shingle_rows = T.doc_shingles(docs)
     dtok = shingle_rows.withColumn("tid", T.term_hash_col())
+    # No persist: the posting-list pair shape consumes the signatures
+    # exactly once (the old self-join read them twice).
     sig = D.minhash_signatures(
         dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
-    ).persist()
+    )
     cand = D.lsh_candidate_pairs(sig, MINHASH_BANDS, MINHASH_ROWS)
     tok_arrays = docs.select(
         "doc_id",
@@ -593,7 +595,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage (see minhash_lsh).
     shingle_rows = T.doc_shingles(docs)
     dtok = shingle_rows.withColumn("tid", T.term_hash_col())
-    fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid")).persist()
+    # No persist: single consumer under the posting-list pair shape.
+    fps = D.simhash_fingerprints(dtok.select("doc_id", "lang", "tid"))
     pairs = D.simhash_near_pairs(fps, SIMHASH_MAX_HAMMING)
     return pairs.transform(total_order, "doc_id", "doc_id2")
 

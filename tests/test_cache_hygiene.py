@@ -9,12 +9,14 @@ Two classes of persist() in the engine:
   leaks executor memory in a session that builds many plans (the
   catalog cache in tables.py exists precisely because sessions are
   long-lived).
-- **Declared lazy persists** (minhash_lsh's signature table,
-  simhash_pairs' fingerprint table) are part of the returned plan:
-  they materialize at action time, stay cached afterwards (Spark has
-  no auto-unpersist), and are reclaimed by spark.catalog.clearCache()
-  — the documented session-level knob bench.py uses between queries.
-  Everything else must leave the cache untouched even after running.
+- **Declared lazy persists** are part of a returned plan: they
+  materialize at action time, stay cached afterwards (Spark has no
+  auto-unpersist), and are reclaimed by spark.catalog.clearCache() —
+  the documented session-level knob bench.py uses between queries.
+  Since the posting-list pair rework (r5) removed the last two
+  (minhash signatures / simhash fingerprints each have a single
+  consumer now), the allow-list is EMPTY: no registered query may
+  leave anything in the cache after running.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ SF = "/root/testdata/sf0.001"
 
 # The only queries allowed to leave cached data behind after execution,
 # and only until the next clearCache().
-DECLARED_LAZY_PERSISTS = {"minhash_lsh", "simhash_pairs"}
+DECLARED_LAZY_PERSISTS: set[str] = set()
 
 EAGER_BUILDERS = ["kmeans_clusters", "ann_kmeans", "dedup_clusters", "dedup_corpus"]
 
