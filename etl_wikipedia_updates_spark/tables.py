@@ -51,6 +51,10 @@ _REQUIRED_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # Spark 4 defaults ANSI ON; the engine's declared semantics are the
+    # reference's lenient-ingest casts (session.py sets the same), and
+    # several expressions rely on permissive out-of-range behavior.
+    "spark.sql.ansi.enabled": "false",
 }
 
 
