@@ -146,6 +146,54 @@ def test_minhash_signature_is_set_function(spark, docs):
     assert sig_a == sig_b
 
 
+@given(docs=docs_strategy)
+@SLOW
+def test_posting_list_pairs_match_naive_jaccard(spark, docs, tmp_path_factory):
+    """The posting-list pair enumeration (r5 physical shape for the q26
+    family) must equal a from-scratch Python computation of shingle
+    Jaccard on ANY corpus: same pairs, same values, d1 < d2. Guards the
+    nested transform/slice pair generator and the size-filter cap
+    placement."""
+    import os
+
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    sf = str(tmp_path_factory.mktemp("pl") / "sf")
+    os.makedirs(sf)
+    rows = [(doc_id, "en", text) for doc_id, text in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).withColumn("source", F.lit("s")).write.parquet(f"{sf}/documents.parquet")
+
+    # naive reference: distinct 3-token shingles per doc, exact jaccard
+    def shingles(text):
+        toks = text.lower().split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {d: shingles(t) for d, _, t in rows}
+    expect = set()
+    ids = sorted(sets)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            s1, s2 = sets[d1], sets[d2]
+            if not s1 or not s2:
+                continue
+            inter = len(s1 & s2)
+            if inter == 0:
+                continue
+            jac = inter / len(s1 | s2)
+            if jac >= N.JACCARD_THRESHOLD:
+                expect.add((d1, d2, round(jac, 9)))
+
+    got = {
+        (r.doc_id, r.doc_id2, round(r.jaccard, 9))
+        for r in N._q26_pairs(spark, sf).collect()
+    }
+    assert got == expect
+
+
 def test_dedup_corpus_partition_invariants(spark, sf_smoke):
     """kept + dropped = in, per source and in total; every near-dup
     cluster keeps exactly its minimum doc_id (the canonical survivor)."""
