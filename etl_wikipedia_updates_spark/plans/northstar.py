@@ -17,6 +17,8 @@ folds sequentially with the same seed on both engines
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -187,7 +189,7 @@ ORDER BY q_vec_id, rk
 
 # --- Q26: Jaccard near-dup ---------------------------------------------------
 def _q26_pairs(
-    spark: SparkSession, sf_dir: str, prefilter_hot: bool = False
+    spark: SparkSession, sf_dir: str, prefilter_hot: bool | None = None
 ) -> DataFrame:
     """Unordered (doc_id, doc_id2, jaccard) pairs above threshold —
     shared by q26 (which adds rounding + total order) and
@@ -212,14 +214,24 @@ def _q26_pairs(
     a cheap count-prefilter (map-side partials, tiny hot set
     anti-joined away) so no over-cap array is ever built — the knob to
     flip on corpora with unknown df distribution; semantics identical
-    (same cap, same oracle)."""
+    (same cap, same oracle). Deployments flip it without code via
+    ``SPARK_GRAFT_NEARDUP_PREFILTER=1`` (the None default reads the
+    env), since the registered builders only pass (spark, sf_dir)."""
+    if prefilter_hot is None:
+        prefilter_hot = os.environ.get("SPARK_GRAFT_NEARDUP_PREFILTER", "") not in (
+            "",
+            "0",
+            "false",
+        )
     # spread: see cosine_neardup — the shingle explode is the heavy
     # pre-shuffle compute (measured ~2x on this pipeline).
     docs = spread(load_table(spark, sf_dir, "documents"))
     # Pairs on raw shingle strings: a dense-id dictionary costs two
     # extra shuffles (the 100 TB swap to 8-byte keys is a map-side
-    # xxhash64(term); operators.text.token_dictionary notes it).
-    raw = T.doc_shingles(docs)
+    # xxhash64(term); operators.text.token_dictionary notes it). NULL
+    # lang never pairs — (lang, term) is a JOIN key in the oracle SQL,
+    # where NULL = NULL is false, but only a grouping key here.
+    raw = T.doc_shingles(docs).filter(F.col("lang").isNotNull())
     if prefilter_hot:
         hot = (
             raw.groupBy("lang", "term")
@@ -233,13 +245,9 @@ def _q26_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") <= SHINGLE_DF_CAP)
     )
-    pair = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
-    )
     inter = (
-        postings.select(F.explode(pair).alias("p"))
-        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        D.enumerate_sorted_pairs(postings)
+        .groupBy(F.col("x").alias("d1"), F.col("y").alias("d2"))
         .agg(F.count("*").alias("i"))
     )
     # per-doc set sizes over the SAME capped universe, from the postings

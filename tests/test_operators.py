@@ -175,6 +175,39 @@ def test_q26_pairs_postings_enumeration(spark, monkeypatch, tmp_path):
     assert N._q26_pairs(spark, sf, prefilter_hot=True).count() == 0
 
 
+def test_pair_enumeration_streams_large_buckets_and_drops_null_lang(spark):
+    """enumerate_sorted_pairs emits n(n-1)/2 ordered pairs as rows with
+    per-value memory O(n) (two chained explodes — no whole pair array
+    per bucket), and the bucketed pair operators drop NULL-lang rows,
+    matching the oracle SQL where lang is a JOIN key (NULL = NULL is
+    false)."""
+    n = 3000  # one bucket; a nested-transform shape would build ~4.5M
+    # structs in a single value here — the streamed shape just flows
+    buckets = spark.createDataFrame(
+        [(list(range(n)),)], "ds array<bigint>"
+    )
+    pairs = D.enumerate_sorted_pairs(buckets)
+    assert pairs.count() == n * (n - 1) // 2
+    sample = pairs.filter(F.col("x") == 0).agg(F.count("*")).first()[0]
+    assert sample == n - 1
+
+    # NULL-lang docs share a band but must not pair
+    tids = [(1, None, 7), (2, None, 7), (3, "en", 7), (4, "en", 7)]
+    df = spark.createDataFrame(tids, "doc_id long, lang string, tid long")
+    sig = D.minhash_signatures(df, D.hash_params(4))
+    got = {
+        (r.doc_id, r.doc_id2)
+        for r in D.lsh_candidate_pairs(sig, bands=2, rows=2).collect()
+    }
+    assert got == {(3, 4)}
+    fps = D.simhash_fingerprints(df)
+    got_sh = {
+        (r.doc_id, r.doc_id2)
+        for r in D.simhash_near_pairs(fps, max_hamming=3).collect()
+    }
+    assert got_sh == {(3, 4)}
+
+
 def test_connected_components_merges_chains(spark):
     # 1-2, 2-3 chain plus isolated pair 10-11: two components. Both
     # physical strategies must agree: driver union-find (default — the
