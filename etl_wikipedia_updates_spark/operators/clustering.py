@@ -27,6 +27,8 @@ Determinism (oracle hash-matching):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -161,8 +163,10 @@ def update_centroids(
     return cents
 
 
-# Execution conf scoped to the fit loop's driver-round jobs. Rationale
-# per knob, valid at every scale (not a local-mode hack):
+# Execution conf scoped to the fit loop's driver-round jobs (and the
+# callers' equally k-row-shaped summary collects — fit_conf below is
+# public for them). Rationale per knob, valid at every scale (not a
+# local-mode hack):
 # - wholeStage=false: the per-round assignment expression embeds the
 #   fresh centroid literals, so codegen recompiles every round — and
 #   the hot expressions (aggregate/zip_with higher-order functions)
@@ -182,6 +186,22 @@ _FIT_CONF = {
 }
 
 
+@contextmanager
+def fit_conf(spark):
+    """Apply _FIT_CONF for the duration of an eager block, restoring
+    the caller's values on exit — only meaningful around code that
+    RUNS jobs (collects); a lazy plan built inside executes later
+    under whatever conf is active then."""
+    saved = {key: spark.conf.get(key) for key in _FIT_CONF}
+    try:
+        for key, val in _FIT_CONF.items():
+            spark.conf.set(key, val)
+        yield
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+
+
 def kmeans_fit(
     emb: DataFrame, k: int, iters: int
 ) -> list[list[float]]:
@@ -194,19 +214,15 @@ def kmeans_fit(
     eager, so the conf is active exactly for its own jobs and invisible
     to the caller's lazy plans)."""
     spark = emb.sparkSession
-    saved = {key: spark.conf.get(key) for key in _FIT_CONF}
     emb = emb.persist()
     try:
-        for key, val in _FIT_CONF.items():
-            spark.conf.set(key, val)
-        cents = init_centroids(emb, k)
-        if not cents:
-            raise ValueError("kmeans_fit: empty training set (no vectors)")
-        for _ in range(iters):
-            cents = update_centroids(assign_cids(emb, cents), cents)
+        with fit_conf(spark):
+            cents = init_centroids(emb, k)
+            if not cents:
+                raise ValueError("kmeans_fit: empty training set (no vectors)")
+            for _ in range(iters):
+                cents = update_centroids(assign_cids(emb, cents), cents)
     finally:
-        for key, val in saved.items():
-            spark.conf.set(key, val)
         emb.unpersist()
     return cents
 
