@@ -163,10 +163,11 @@ def update_centroids(
     return cents
 
 
-# Execution conf scoped to the fit loop's driver-round jobs (and the
-# callers' equally k-row-shaped summary collects — fit_conf below is
-# public for them). Rationale per knob, valid at every scale (not a
-# local-mode hack):
+# Execution conf scoped to the fit loop's driver-round jobs. (fit_conf
+# below is exported for any future EAGER k-row collect; note the
+# registered summaries stay lazy — an eager collect of them measured
+# slower, and wrapping a lazy plan BUILD in this scope is a no-op.)
+# Rationale per knob, valid at every scale (not a local-mode hack):
 # - wholeStage=false: the per-round assignment expression embeds the
 #   fresh centroid literals, so codegen recompiles every round — and
 #   the hot expressions (aggregate/zip_with higher-order functions)

@@ -218,11 +218,8 @@ def _q26_pairs(
     ``SPARK_GRAFT_NEARDUP_PREFILTER=1`` (the None default reads the
     env), since the registered builders only pass (spark, sf_dir)."""
     if prefilter_hot is None:
-        prefilter_hot = os.environ.get("SPARK_GRAFT_NEARDUP_PREFILTER", "") not in (
-            "",
-            "0",
-            "false",
-        )
+        flag = os.environ.get("SPARK_GRAFT_NEARDUP_PREFILTER", "")
+        prefilter_hot = flag.strip().lower() not in ("", "0", "false", "no", "off")
     # spread: see cosine_neardup — the shingle explode is the heavy
     # pre-shuffle compute (measured ~2x on this pipeline).
     docs = spread(load_table(spark, sf_dir, "documents"))
