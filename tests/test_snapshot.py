@@ -84,6 +84,41 @@ def test_crashed_publish_leaves_live_table_intact(spark, tmp_path):
     assert t.read(spark).count() == 30
 
 
+def test_concurrent_publishers_never_collide(spark, tmp_path):
+    """Two publishers racing: the mkdir claim guarantees distinct
+    version dirs (no writer ever overwrites a directory the manifest
+    might point at), both datasets land complete, and the final
+    pointer names one of them."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.publish(_df(spark, 5, "seed"))
+    errors: list[Exception] = []
+    published: list[int] = []
+
+    def publisher(n, tag):
+        try:
+            published.append(t.publish(_df(spark, n, tag)))
+        except Exception as exc:  # noqa: BLE001 - recorded for assert
+            errors.append(exc)
+
+    import threading
+
+    threads = [
+        threading.Thread(target=publisher, args=(50, "a")),
+        threading.Thread(target=publisher, args=(60, "b")),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errors, errors
+    assert sorted(published) == [2, 3], published  # distinct claims
+    assert t.current_version() in published
+    # both versions are complete and readable (pinned), pointer is one
+    counts = {v: t.read(spark, version=v).count() for v in published}
+    assert sorted(counts.values()) == [50, 60]
+    assert t.read(spark).count() == counts[t.current_version()]
+
+
 def test_vacuum_rejects_removing_live_version(spark, tmp_path):
     import pytest
 
