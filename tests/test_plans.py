@@ -50,6 +50,11 @@ CASES = [
     ("q28", ["ArrowEvalPython"], ["BatchEvalPython"]),
     # grouped-agg pandas UDAF plans as its dedicated Arrow aggregate
     ("grouped_agg_udf", ["ArrowAggregatePython"], ["BatchEvalPython"]),
+    # posting-list pair shape (r5): the pair stream comes from explode
+    # generators over grouped lists — no per-key count window (the df
+    # cap is a size filter) and no nested-transform whole-pair-array
+    # value (flatten would materialize n^2 structs in one buffer)
+    ("q26", ["Generate"], ["Window", "flatten"]),
     # total_order = round-robin Exchange(1) + sort: a range exchange
     # would SAMPLE (re-execute) the whole upstream plan
     ("q3", [], ["Exchange rangepartitioning"]),
