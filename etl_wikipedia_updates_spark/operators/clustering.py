@@ -108,14 +108,18 @@ def init_centroids(emb: DataFrame, k: int) -> list[list[float]]:
     return [[float(x) for x in r.embedding] for r in rows]
 
 
-# (dim,) -> the constant per-dimension sum aggregate. Column objects are
-# immutable expression handles, safely reused across frames and rounds;
-# rebuilding one per round costs a py4j expression parse per call.
-_UPDATE_AGG_CACHE: dict[int, Column] = {}
+# (applicationId, dim) -> the constant per-dimension sum aggregate.
+# Column objects are immutable expression handles, safely reused across
+# frames and rounds WITHIN a session (rebuilding one per round costs a
+# py4j expression parse per call) — but they wrap py4j objects owned by
+# a SparkContext, so entries are keyed by applicationId and stale-app
+# entries are purged on insert (a handle reused across a context
+# restart errors).
+_UPDATE_AGG_CACHE: dict[tuple[str, int], Column] = {}
 
 
-def _update_agg(dim: int) -> Column:
-    cached = _UPDATE_AGG_CACHE.get(dim)
+def _update_agg(dim: int, app: str) -> Column:
+    cached = _UPDATE_AGG_CACHE.get((app, dim))
     if cached is not None:
         return cached
     s = float(10**MEAN_SCALE)
@@ -131,7 +135,9 @@ def _update_agg(dim: int) -> Column:
     # py4j round trip instead of dim+1 of them — measured ~0.3s of
     # driver time per round at dim=64 the other way).
     st = F.expr(f"named_struct('n', count(*), {sums})").alias("st")
-    _UPDATE_AGG_CACHE[dim] = st
+    for stale in [k for k in _UPDATE_AGG_CACHE if k[0] != app]:
+        del _UPDATE_AGG_CACHE[stale]
+    _UPDATE_AGG_CACHE[(app, dim)] = st
     return st
 
 
@@ -152,7 +158,8 @@ def update_centroids(
     # fixture schema and quantize/ANN operators share this contract.
     dim = len(prev[0])
     s = float(10**MEAN_SCALE)
-    rows = assigned.groupBy("cid").agg(_update_agg(dim)).collect()
+    app = assigned.sparkSession.sparkContext.applicationId
+    rows = assigned.groupBy("cid").agg(_update_agg(dim, app)).collect()
     cents = [list(c) for c in prev]
     for r in rows:
         n = float(r.st.n)

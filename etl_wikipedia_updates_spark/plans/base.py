@@ -65,9 +65,17 @@ class DeclaredQuery:
             return self.builder
 
         def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (spark.sparkContext.applicationId, sf_dir, self.name)
+            app = spark.sparkContext.applicationId
+            key = (app, sf_dir, self.name)
             df = _PLAN_CACHE.get(key)
             if df is None:
+                # Purge entries from stopped sessions on insert: their
+                # py4j DataFrame handles are dead weight (and error if
+                # ever reused after a SparkContext restart). One live
+                # session at a time is the process model here, so this
+                # bounds the cache at 58 queries x live sf_dirs.
+                for stale in [k for k in _PLAN_CACHE if k[0] != app]:
+                    del _PLAN_CACHE[stale]
                 df = self.builder(spark, sf_dir)
                 _PLAN_CACHE[key] = df
             return df

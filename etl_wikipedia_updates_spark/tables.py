@@ -104,6 +104,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type.get("ts") == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Purge entries from stopped sessions (stale py4j handles) on
+    # insert — same policy as plans/base._PLAN_CACHE.
+    for stale in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+        del _TABLE_CACHE[stale]
     _TABLE_CACHE[key] = df
     return df
 

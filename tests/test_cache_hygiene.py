@@ -66,3 +66,40 @@ def test_lazy_queries_leave_cache_clean_after_execution(spark):
             assert n == 0, f"{name} left {n} cached entries behind"
     spark.catalog.clearCache()
     assert _n_cached(spark) == 0
+
+
+def test_driver_caches_purge_stale_session_entries(spark):
+    """Entries keyed by a stopped session's applicationId are dropped
+    when a live session inserts — the driver-side caches (plans,
+    tables, fit centroids, update aggregates) must not accumulate
+    stale py4j handles across SparkContext restarts."""
+    from etl_wikipedia_updates_spark import tables
+    from etl_wikipedia_updates_spark.operators import clustering as C
+    from etl_wikipedia_updates_spark.plans import base, clustering as PC
+
+    app = spark.sparkContext.applicationId
+
+    base._PLAN_CACHE[("dead-app", SF, "q1")] = object()
+    base._PLAN_CACHE.pop((app, SF, "q1"), None)
+    q1 = REGISTRY.queries["q1"]
+    q1.cached_builder()(spark, SF)
+    assert ("dead-app", SF, "q1") not in base._PLAN_CACHE
+    assert (app, SF, "q1") in base._PLAN_CACHE
+
+    tables._TABLE_CACHE[("dead-app", SF, "region")] = object()
+    tables._TABLE_CACHE.pop((app, SF, "region"), None)
+    tables.load_table(spark, SF, "region")
+    assert ("dead-app", SF, "region") not in tables._TABLE_CACHE
+    assert (app, SF, "region") in tables._TABLE_CACHE
+
+    C._UPDATE_AGG_CACHE[("dead-app", 4)] = object()
+    C._UPDATE_AGG_CACHE.pop((app, 4), None)
+    C._update_agg(4, app)
+    assert ("dead-app", 4) not in C._UPDATE_AGG_CACHE
+    assert (app, 4) in C._UPDATE_AGG_CACHE
+
+    PC._FIT_CACHE[("dead-app", SF, 8, 2)] = [[0.0]]
+    PC._FIT_CACHE.pop((app, SF, PC.KMEANS_K, PC.KMEANS_ITERS), None)
+    emb = tables.load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    PC._fit_centroids(emb, SF)
+    assert ("dead-app", SF, 8, 2) not in PC._FIT_CACHE
