@@ -84,10 +84,16 @@ class SnapshotTable:
         atomic on POSIX — so two concurrent publishers can never write
         into the same directory (the loser's mkdir fails and it claims
         the next number; both datasets publish completely and the
-        pointer is last-writer-wins, each state consistent). An
-        existing dir is never deleted here — that is what made
-        concurrent publish destructive before a crash orphan could be
-        told apart from an in-flight writer."""
+        pointer is last-writer-wins, each state consistent). The claim
+        only holds if the claimed dir EXISTS for the whole write, so
+        the data lands with ``mode("append")`` — the dir is empty by
+        construction, so append == the full dataset. ``overwrite``
+        would delete the claim dir before rewriting it (Spark
+        overwrite = delete path + write), and during that window a
+        rival's mkdir on the same number would succeed, landing two
+        writers in one directory. No existing dir is ever deleted
+        here — a crash orphan cannot be told apart from an in-flight
+        writer."""
         version = self.current_version() or 0
         while True:
             version += 1
@@ -97,7 +103,7 @@ class SnapshotTable:
                 break
             except FileExistsError:
                 continue
-        df.write.mode("overwrite").parquet(vdir)
+        df.write.mode("append").parquet(vdir)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": version, "published_at": time.time()}, fh)

@@ -139,3 +139,36 @@ def test_vacuum_keeps_grace_window(spark, tmp_path):
     # current and the grace version still read fine
     assert t.read(spark).count() == 40
     assert t.read(spark, version=3).count() == 30
+
+
+def test_claimed_version_dir_exists_throughout_publish(spark, tmp_path):
+    """The mkdir claim is only a claim while the directory exists: if
+    publish's data write ever deleted the claimed dir (as
+    mode('overwrite') does — delete path, then write), a rival
+    publisher's mkdir on the same number would succeed inside that
+    window and two writers would land in one directory. Spin-watch the
+    next version dir during a publish: it must exist at every observed
+    instant from claim to pointer move."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.publish(_df(spark, 5, "seed"))
+    vdir = t.version_path(2)
+    stop = threading.Event()
+    vanished: list[bool] = []
+
+    def watcher():
+        seen = False
+        while not stop.is_set():
+            if os.path.exists(vdir):
+                seen = True
+            elif seen:  # existed, then disappeared = claim was broken
+                vanished.append(True)
+                return
+
+    th = threading.Thread(target=watcher, daemon=True)
+    th.start()
+    t.publish(_df(spark, 200_000, "big").repartition(16))
+    stop.set()
+    th.join(30)
+    assert not vanished, "publish deleted the claimed version dir mid-write"
+    assert t.current_version() == 2
+    assert t.read(spark).count() == 200_000
