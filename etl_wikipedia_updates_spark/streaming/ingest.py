@@ -11,11 +11,32 @@ Maps the reference's imperative loop onto Structured Streaming:
 | UNIQUE-dedup (R10, pipeline.py:216)        | dropDuplicatesWithinWatermark  |
 | resume via since (R2, pipeline.py:74-76)   | checkpointLocation             |
 
-Scale notes: the sink is an append-only parquet directory here (the
-test container has no Delta); at 100 TB the retention rewrite becomes a
-partition-level operation (drop whole event-date partitions, or Delta
-``DELETE WHERE`` + ``VACUUM``) rather than a full-file rewrite — the
-trigger condition and keep-newest-N semantics are identical.
+Sink layout (a minimal Delta: append log + snapshot checkpoints):
+
+    sink_path/
+      batch_0000000042/   per-trigger appends (idempotent by batch id)
+      _snapshot/          SnapshotTable: v{N}/ dirs + _current.json
+
+Appends only ever ADD batch dirs. Retention/compaction — the rewriting
+maintenance ops — publish the rewritten table as the next snapshot
+version whose metadata records ``folded_through``: the highest batch id
+folded in. Readers resolve the manifest once and read that version's
+immutable files plus batch dirs with id > folded_through, so there is
+NO instant at which the sink is unreadable, partial, or doubled — the
+guarantee the previous rename-swap publish could not give (its
+microsecond between-renames window surfaced as transient
+path-not-found), and the streaming upgrade of the reference's WAL
+1-writer/N-readers contract (/root/reference/pipeline.py:198). Batch
+dirs already folded into the PREVIOUS version too are deleted one
+maintenance cycle late, and versions are vacuumed with keep_last=2 —
+both one-publish grace horizons for in-flight readers, same contract
+as Delta's VACUUM retention.
+
+Scale notes: at 100 TB the retention rewrite becomes a partition-level
+operation (retain_newest_partitioned: drop whole event-date
+partitions, or Delta ``DELETE WHERE`` + ``VACUUM``) rather than a
+full-file rewrite — the trigger condition and keep-newest-N semantics
+are identical.
 """
 
 from __future__ import annotations
@@ -26,6 +47,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
 
 # Reference fires cleanup at >= 1.1x the cap (pipeline.py:44).
 RETENTION_SLACK = 1.1
@@ -43,8 +66,52 @@ def append_batch(batch_df: DataFrame, sink_path: str, batch_id: int) -> None:
     )
 
 
-def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
-    return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
+SNAPSHOT_DIRNAME = "_snapshot"
+
+
+def sink_snapshot(sink_path: str) -> SnapshotTable:
+    """The sink's snapshot store (``_``-prefixed: invisible to any
+    Spark file listing of the sink tree)."""
+    return SnapshotTable(os.path.join(sink_path, SNAPSHOT_DIRNAME))
+
+
+def _batch_dirs(sink_path: str) -> list[tuple[int, str]]:
+    """(batch_id, path) for every live per-trigger append dir, sorted."""
+    out: list[tuple[int, str]] = []
+    try:
+        names = os.listdir(sink_path)
+    except FileNotFoundError:
+        return out
+    for d in names:
+        full = os.path.join(sink_path, d)
+        if d.startswith("batch_") and os.path.isdir(full):
+            try:
+                out.append((int(d.split("_", 1)[1]), full))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_sink(
+    spark: SparkSession, sink_path: str, version: int | None = None
+) -> DataFrame:
+    """The sink's current (or a pinned) consistent view: the snapshot
+    version's immutable files plus batch appends newer than its
+    ``folded_through`` marker. Before the first maintenance publish the
+    sink is pure appends and reads recursively (append-only needs no
+    manifest: every visible state is complete)."""
+    snap = sink_snapshot(sink_path)
+    v = snap.current_version() if version is None else version
+    if v is None:
+        return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
+    folded = int(snap.meta_for(v).get("folded_through", -1))
+    base = snap.read(spark, v)
+    newer = [p for bid, p in _batch_dirs(sink_path) if bid > folded]
+    if not newer:
+        return base
+    # explicit schema: skips re-inference and keeps a 0-row batch dir
+    # (no part files) from failing the read
+    return base.unionByName(spark.read.schema(base.schema).parquet(*newer))
 
 
 def _hidden_sibling(path: str, tag: str) -> str:
@@ -98,6 +165,64 @@ def _swap_dirs(new_dir: str, live_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _view_file_count(sink_path: str) -> int:
+    """Parquet files the CURRENT consistent view reads (version dir +
+    unfolded batch dirs; the whole tree before the first publish)."""
+    snap = sink_snapshot(sink_path)
+    v = snap.current_version()
+    if v is None:
+        roots = [sink_path]
+    else:
+        folded = int(snap.meta_for(v).get("folded_through", -1))
+        roots = [snap.version_path(v)] + [
+            p for bid, p in _batch_dirs(sink_path) if bid > folded
+        ]
+    return sum(
+        1
+        for root in roots
+        for _r, _d, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _publish_rewrite(spark: SparkSession, sink_path: str, transform) -> int:
+    """Publish ``transform(current view)`` as the sink's next snapshot
+    version — the shared core of compaction and retention.
+
+    The batch-dir list is taken ONCE and the published version's
+    metadata records ``folded_through`` = the highest batch id it
+    contains, so appends racing this rewrite land after the marker and
+    stay visible in the composite view. Cleanup keeps one publish of
+    grace for in-flight readers: batch dirs are deleted only once the
+    PREVIOUS version had already folded them, and versions are
+    vacuumed keep_last=2."""
+    snap = sink_snapshot(sink_path)
+    prev_v = snap.current_version()
+    batches = _batch_dirs(sink_path)
+    if prev_v is None:
+        prev_folded = -1
+        view = spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
+        folded_through = max([b for b, _ in batches], default=-1)
+    else:
+        prev_folded = int(snap.meta_for(prev_v).get("folded_through", -1))
+        newer = [(b, p) for b, p in batches if b > prev_folded]
+        folded_through = max([b for b, _ in newer], default=prev_folded)
+        view = snap.read(spark, prev_v)
+        if newer:
+            view = view.unionByName(
+                spark.read.schema(view.schema).parquet(*[p for _, p in newer])
+            )
+    version = snap.publish(
+        transform(view), meta={"folded_through": folded_through}
+    )
+    for b, p in batches:
+        if b <= prev_folded:
+            shutil.rmtree(p, ignore_errors=True)
+    snap.vacuum(keep_last=2)
+    return version
+
+
 def compact_sink(
     spark: SparkSession, sink_path: str, target_files: int
 ) -> dict:
@@ -106,63 +231,47 @@ def compact_sink(
     A 2-second trigger cadence (the reference's commit interval,
     pipeline.py:26-27) writes ~43k batch directories per day; parquet
     footers and task scheduling then dominate every downstream scan.
-    Compaction rewrites the accumulated batch dirs into ``target_files``
-    files under one ``compacted`` dir. coalesce (not repartition) merges
-    without a shuffle; the rewrite goes through a temp dir + swap so a
-    reader never sees a half-written sink. At 100 TB this runs
-    per-partition (compact yesterday's date partition after it closes),
-    so each rewrite is O(one partition) — with Delta/Iceberg it is
-    OPTIMIZE / rewrite_data_files.
+    Compaction folds the snapshot + accumulated batch dirs into
+    ``target_files`` files published as the next snapshot version
+    (coalesce, not repartition: merge without a shuffle), so a reader
+    resolves either the old version or the new one — never a
+    half-written or vanished sink. At 100 TB this runs per-partition
+    (compact yesterday's date partition after it closes), so each
+    rewrite is O(one partition) — with Delta/Iceberg it is OPTIMIZE /
+    rewrite_data_files.
 
     Returns {"files_before": .., "files_after": .., "rows": ..}.
     """
-    _recover_swap(sink_path)
-    before = sum(
-        1
-        for root, _dirs, files in os.walk(sink_path)
-        for f in files
-        if f.endswith(".parquet")
+    _recover_swap(sink_path)  # heal a pre-snapshot-era crashed swap
+    before = _view_file_count(sink_path)
+    version = _publish_rewrite(
+        spark, sink_path, lambda view: view.coalesce(target_files)
     )
-    sink = read_sink(spark, sink_path)
-    tmp = _hidden_sibling(sink_path, "compacting")
-    shutil.rmtree(tmp, ignore_errors=True)
-    sink.coalesce(target_files).write.mode("overwrite").parquet(
-        os.path.join(tmp, "compacted")
-    )
-    rows = spark.read.parquet(os.path.join(tmp, "compacted")).count()
-    # the new sink is COMPLETE on disk before it takes the live path —
-    # one write, no checkpoint/rewrite pass, no empty-sink window
-    _swap_dirs(tmp, sink_path)
-    after = sum(
-        1
-        for root, _dirs, files in os.walk(sink_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    return {"files_before": before, "files_after": after, "rows": rows}
+    rows = sink_snapshot(sink_path).read(spark, version).count()
+    return {
+        "files_before": before,
+        "files_after": _view_file_count(sink_path),
+        "rows": rows,
+    }
 
 
 def apply_retention(
     spark: SparkSession, sink_path: str, max_rows: int, ts_col: str
 ) -> bool:
     """R14: keep the newest ``max_rows`` by event time once the sink
-    exceeds slack x cap. Ordering ties broken by all columns via a
-    ranked sort on (ts desc) with a stable secondary of the remaining
-    projection — at this container's parquet sink the rewrite is
-    full-file; see module docstring for the partition-level 100 TB path.
-    Returns True when a rewrite happened."""
-    _recover_swap(sink_path)
-    sink = read_sink(spark, sink_path)
-    total = sink.count()
+    exceeds slack x cap, published as the next snapshot version (see
+    module docstring; at this container's parquet sink the rewrite is
+    full-file — retain_newest_partitioned is the partition-level 100 TB
+    path). Returns True when a rewrite happened."""
+    _recover_swap(sink_path)  # heal a pre-snapshot-era crashed swap
+    total = read_sink(spark, sink_path).count()
     if total < RETENTION_SLACK * max_rows:
         return False
-    kept = sink.orderBy(F.col(ts_col).desc()).limit(max_rows)
-    tmp = _hidden_sibling(sink_path, "retained")
-    shutil.rmtree(tmp, ignore_errors=True)
-    kept.write.mode("overwrite").parquet(
-        os.path.join(tmp, "batch_retained")
+    _publish_rewrite(
+        spark,
+        sink_path,
+        lambda view: view.orderBy(F.col(ts_col).desc()).limit(max_rows),
     )
-    _swap_dirs(tmp, sink_path)
     return True
 
 

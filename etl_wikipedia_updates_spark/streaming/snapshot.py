@@ -72,8 +72,10 @@ class SnapshotTable:
     def version_path(self, version: int) -> str:
         return os.path.join(self.root, f"v{version}")
 
+    META = "_meta.json"  # per-version metadata, inside the version dir
+
     # --- write side -------------------------------------------------------
-    def publish(self, df: DataFrame) -> int:
+    def publish(self, df: DataFrame, meta: dict | None = None) -> int:
         """Write ``df`` as the next version and atomically point the
         manifest at it. The data write happens entirely BEFORE the
         pointer moves, so a crash mid-write leaves an orphan version
@@ -104,6 +106,16 @@ class SnapshotTable:
             except FileExistsError:
                 continue
         df.write.mode("append").parquet(vdir)
+        if meta is not None:
+            # Written INSIDE the immutable version dir (``_``-prefixed:
+            # invisible to Spark's file listing), before the pointer
+            # moves — so a version and its metadata are always published
+            # together and a pinned reader of version N resolves N's own
+            # metadata regardless of later publishes.
+            with open(os.path.join(vdir, self.META), "w") as fh:
+                json.dump(meta, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": version, "published_at": time.time()}, fh)
@@ -113,6 +125,14 @@ class SnapshotTable:
         return version
 
     # --- read side --------------------------------------------------------
+    def meta_for(self, version: int) -> dict:
+        """The metadata dict published with ``version`` ({} if none)."""
+        try:
+            with open(os.path.join(self.version_path(version), self.META)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read the current (or a pinned) snapshot. The returned plan is
         bound to that version's immutable files — publishes after this

@@ -68,6 +68,8 @@ def test_compact_sink_preserves_rows_and_merges_files(
     without changing the data."""
     from etl_wikipedia_updates_spark.streaming.ingest import compact_sink
 
+    from etl_wikipedia_updates_spark.streaming.ingest import sink_snapshot
+
     stream = read_replay_stream(spark, replay_dir, events.schema)
     sink = str(tmp_path / "sink")
     q = ingest_with_retention(stream, sink, str(tmp_path / "ckpt"))
@@ -77,17 +79,29 @@ def test_compact_sink_preserves_rows_and_merges_files(
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] <= 2
     assert _checksum(read_sink(spark, sink)) == before
+    # the compacted table IS a published snapshot version: readable
+    # directly through SnapshotTable.read with identical content
+    snap = sink_snapshot(sink)
+    v = snap.current_version()
+    assert v is not None
+    assert _checksum(snap.read(spark, v)) == before
 
 
 def test_compaction_never_exposes_partial_sink(
     spark, events, replay_dir, tmp_path
 ):
-    """A reader polling the sink THROUGHOUT repeated compactions must
-    only ever parse the complete dataset. The rmtree-then-rewrite shape
-    this guards against held an empty/half-written sink for the full
-    duration of a Spark write job; the swap-via-rename publish makes
-    every readable state complete (transient path-not-found during the
-    rename pair is retried, like any direct-filesystem table)."""
+    """A foreign reader (DuckDB) following the sink's manifest protocol
+    THROUGHOUT repeated compactions must see the complete dataset at
+    EVERY instant, with zero failed reads. This is the no-missing-
+    instant guarantee the snapshot publish adds over the old
+    rename-swap (which had a between-renames path-not-found window the
+    old version of this test had to retry around): resolve
+    _snapshot/_current.json -> read that version's immutable files +
+    batch dirs newer than its folded_through marker; before the first
+    publish, read the append-only batch dirs."""
+    import glob as _glob
+    import json
+    import os
     import threading
 
     import duckdb
@@ -101,20 +115,36 @@ def test_compaction_never_exposes_partial_sink(
     n_full = read_sink(spark, sink).count()
 
     observed: set[int] = set()
-    retries = {"n": 0}
+    failures: list[Exception] = []
     stop = threading.Event()
 
     def poll():
         con = duckdb.connect()
         while not stop.is_set():
             try:
-                observed.add(
-                    con.sql(
-                        f"SELECT COUNT(*) FROM read_parquet('{sink}/**/*.parquet')"
-                    ).fetchone()[0]
+                manifest = os.path.join(sink, "_snapshot", "_current.json")
+                if os.path.exists(manifest):
+                    with open(manifest) as fh:
+                        v = int(json.load(fh)["version"])
+                    vdir = os.path.join(sink, "_snapshot", f"v{v}")
+                    with open(os.path.join(vdir, "_meta.json")) as fh:
+                        folded = int(json.load(fh).get("folded_through", -1))
+                    paths = [f"{vdir}/*.parquet"] + [
+                        f"{d}/*.parquet"
+                        for d in sorted(_glob.glob(f"{sink}/batch_*"))
+                        if int(os.path.basename(d).split("_", 1)[1]) > folded
+                    ]
+                else:  # pre-publish: append-only batch dirs
+                    paths = [f"{sink}/batch_*/*.parquet"]
+                sql = " UNION ALL ".join(
+                    f"SELECT COUNT(*) AS n FROM read_parquet('{p}')"
+                    for p in paths
                 )
-            except Exception:
-                retries["n"] += 1  # transient rename blip: retry
+                observed.add(
+                    con.sql(f"SELECT SUM(n) FROM ({sql})").fetchone()[0]
+                )
+            except Exception as exc:  # any failure = an unreadable instant
+                failures.append(exc)
 
     t = threading.Thread(target=poll, daemon=True)
     t.start()
@@ -124,9 +154,39 @@ def test_compaction_never_exposes_partial_sink(
     finally:
         stop.set()
         t.join(30)
-    assert observed, "poller never completed a read"
-    assert observed == {n_full}  # never empty, never partial
+    assert not failures, f"reader hit an unreadable instant: {failures[0]!r}"
+    assert observed == {n_full}  # never empty, never partial, never doubled
     assert read_sink(spark, sink).count() == n_full
+
+
+def test_pinned_reader_survives_next_publish(spark, events, replay_dir, tmp_path):
+    """A reader holding version N keeps a consistent snapshot while
+    version N+1 publishes and becomes current (one-publish grace:
+    versions vacuum keep_last=2, folded batch dirs are deleted one
+    maintenance cycle late)."""
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        compact_sink,
+        sink_snapshot,
+    )
+
+    stream = read_replay_stream(spark, replay_dir, events.schema)
+    sink = str(tmp_path / "sink")
+    q = ingest_with_retention(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    full = _checksum(read_sink(spark, sink))
+
+    compact_sink(spark, sink, target_files=4)
+    snap = sink_snapshot(sink)
+    v1 = snap.current_version()
+    pinned = read_sink(spark, sink, version=v1)
+    assert _checksum(pinned) == full
+
+    compact_sink(spark, sink, target_files=2)
+    assert snap.current_version() == v1 + 1
+    # the pinned plan still reads version N's files after N+1 went live
+    assert _checksum(pinned) == full
+    assert _checksum(read_sink(spark, sink, version=v1)) == full
+    assert _checksum(read_sink(spark, sink)) == full
 
 
 def test_enrich_stream_equals_batch_join(spark, events, replay_dir, tmp_path):
