@@ -73,6 +73,16 @@ def sql_det_round(expr: str, digits: int) -> str:
     return f"(floor(({expr}) * {s} + 0.5) / {s})"
 
 
+def spark_sql_det_round(expr: str, digits: int) -> str:
+    """det_round as Spark selectExpr text. Same arithmetic as
+    sql_det_round, but with D-suffixed literals: Spark SQL parses a
+    bare ``1000.0`` as DECIMAL(5,1) (DuckDB parses it as DOUBLE), and
+    decimal arithmetic would change both the value bits and the output
+    type."""
+    s = float(10**digits)
+    return f"(floor(({expr}) * {s}D + 0.5D) / {s}D)"
+
+
 def ts_str(col: Column, micros: bool = False) -> Column:
     """Timestamp → canonical string (matches DuckDB strftime in oracles).
 

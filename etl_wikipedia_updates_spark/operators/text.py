@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from etl_wikipedia_updates_spark.functions.deterministic import det_round
+from etl_wikipedia_updates_spark.functions.deterministic import (
+    spark_sql_det_round,
+)
 
 # Universal-hash modulus: the Mersenne prime 2^31 - 1. a*x+b stays under
 # 2^62 for any dictionary id, so all arithmetic fits in a long on both
@@ -150,71 +152,137 @@ def corpus_top_terms(docs: DataFrame, n: int, per_lang: bool = False) -> DataFra
     )
 
 
-def quality_features(docs: DataFrame, stopwords: DataFrame) -> DataFrame:
-    """Per-doc quality features + a composite score.
+def fit_stopwords(docs: DataFrame, n: int) -> list[str]:
+    """Fit the corpus stopword model eagerly: top-n terms by
+    (count desc, term asc), collected as n strings.
 
-    stopwords: a small (term) DataFrame (e.g. corpus_top_terms output),
-    broadcast into the ratio join. Integer counts + one final division
-    keep every ratio deterministic cross-engine.
+    One count job; sort+limit compiles to TakeOrderedAndProject (per-
+    partition top-n + driver merge — no single-partition window, no
+    global sort). The model is a few dozen strings, i.e. the classic
+    fit-small/score-big split: at 100 TB the fit is one map-side-
+    combined aggregation and the scorer carries the model as literals,
+    the same way a broadcast variable would.
     """
-    toks = doc_tokens(docs)
-    stop = F.broadcast(stopwords.select("term", F.lit(1).alias("is_stop")))
-    per_doc = (
-        toks.join(stop, "term", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("term").alias("n_distinct"),
-            F.sum(F.length("term")).alias("sum_len"),
-            F.count("is_stop").alias("n_stop"),
-            F.count(F.when(F.col("term").rlike("^[a-z]+$"), 1)).alias("n_alpha"),
-        )
+    rows = (
+        doc_tokens(docs)
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(n)
+        .collect()
     )
-    n = F.col("n_tokens").cast("double")
-    stop_ratio = F.col("n_stop") / n
-    alpha_ratio = F.col("n_alpha") / n
-    len_score = F.least(F.lit(1.0), n / 100)
-    score = 0.4 * alpha_ratio + 0.3 * (1 - stop_ratio) + 0.3 * len_score
-    return per_doc.select(
+    return [r["term"] for r in rows]
+
+
+def fit_lang_profiles(docs: DataFrame, n: int) -> dict[str, list[str]]:
+    """Fit the per-language top-n-terms model eagerly: one count job,
+    |langs| * n strings collected (the per-lang top-n needs the window
+    in corpus_top_terms; each partition is one language's term counts)."""
+    rows = (
+        corpus_top_terms(docs, n, per_lang=True).select("lang", "term").collect()
+    )
+    profiles: dict[str, list[str]] = {}
+    for r in rows:
+        profiles.setdefault(r["lang"], []).append(r["term"])
+    return profiles
+
+
+def sql_str_lit(t: str) -> str:
+    """Escape a Python string as a Spark SQL string literal (backslash
+    escaping is on by default: spark.sql.parser.escapedStringLiterals
+    false)."""
+    return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def quality_features(docs: DataFrame, stop_terms: list[str]) -> DataFrame:
+    """Per-doc quality features + a composite score, computed entirely
+    from the token array with JVM higher-order functions.
+
+    stop_terms: the fitted stopword model (``fit_stopwords``), inlined
+    as literals. Scoring is a pure per-row projection — no explode, no
+    join, no shuffle — so at 100 TB it runs map-side in one
+    whole-stage-codegen pass over the corpus (the old explode +
+    broadcast-join + doc_id re-aggregation shape shuffled the full
+    exploded token frame back together per doc). Integer counts + one
+    final division keep every ratio deterministic cross-engine.
+
+    Built as selectExpr SQL text (one parse) rather than a Column
+    lambda tree: the py4j round-trips of the HOF builders cost ~0.2s
+    per build (same finding as the ann_kmeans probe rework). The token
+    array is bound as a lambda variable (transform over a 1-element
+    array) so ``split(lower(text))`` is evaluated once per row (see
+    shingles_col); the counts struct lands in a child projection so
+    the ratio expressions don't re-run the fold (CollapseProject keeps
+    non-cheap aliases referenced more than once in their own project).
+    """
+    stop_set = ", ".join(sql_str_lit(t) for t in stop_terms)
+    counts = (
+        "element_at(transform(array(split(lower(text), ' ')), t -> named_struct("
+        "'n_tokens', CAST(size(t) AS BIGINT), "
+        "'n_distinct', CAST(size(array_distinct(t)) AS BIGINT), "
+        "'sum_len', aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x)), "
+        f"'n_stop', CAST(size(filter(t, x -> x IN ({stop_set}))) AS BIGINT), "
+        "'n_alpha', CAST(size(filter(t, x -> x RLIKE '^[a-z]+$')) AS BIGINT)"
+        ")), 1)"
+    )
+    per_doc_df = docs.selectExpr("doc_id", f"{counts} AS f")
+    n = "CAST(f.n_tokens AS DOUBLE)"
+    stop_ratio = f"(f.n_stop / {n})"
+    alpha_ratio = f"(f.n_alpha / {n})"
+    len_score = f"least(1.0D, {n} / 100)"
+    # Left-associated exactly like the oracle SQL (IEEE addition is not
+    # associative) and D-suffixed constants (Spark parses bare decimal
+    # literals as DECIMAL; see spark_sql_det_round).
+    score = (
+        f"(0.4D * {alpha_ratio} + 0.3D * (1 - {stop_ratio}) + 0.3D * {len_score})"
+    )
+    return per_doc_df.selectExpr(
         "doc_id",
-        "n_tokens",
-        "n_distinct",
-        det_round(F.col("sum_len").cast("double") / n, 3).alias("avg_token_len"),
-        det_round(stop_ratio, 3).alias("stop_ratio"),
-        det_round(alpha_ratio, 3).alias("alpha_ratio"),
-        det_round(score, 3).alias("quality_score"),
+        "f.n_tokens AS n_tokens",
+        "f.n_distinct AS n_distinct",
+        f"{spark_sql_det_round(f'(f.sum_len / {n})', 3)} AS avg_token_len",
+        f"{spark_sql_det_round(stop_ratio, 3)} AS stop_ratio",
+        f"{spark_sql_det_round(alpha_ratio, 3)} AS alpha_ratio",
+        f"{spark_sql_det_round(score, 3)} AS quality_score",
     )
 
 
-def predict_language(docs: DataFrame, profiles: DataFrame) -> DataFrame:
-    """Language-ID by token-profile overlap.
+def predict_language(docs: DataFrame, profiles: dict[str, list[str]]) -> DataFrame:
+    """Language-ID by token-profile overlap, as a per-row projection.
 
-    profiles: (lang, term) — the per-language top-terms model (from
-    ``corpus_top_terms(per_lang=True)``). Each doc is scored by
+    profiles: the fitted per-language top-terms model
+    (``fit_lang_profiles``), inlined as literals. Each doc is scored by
     |distinct(doc tokens) ∩ profile(lang)| and assigned the argmax
-    (ties -> lexicographically smallest lang). Profiles are tiny ->
-    broadcast join; one shuffle on doc_id for the argmax window.
+    (ties -> lexicographically smallest lang; no overlap anywhere ->
+    'unknown'). The model is |langs| * n strings, so the per-lang
+    intersects are a fixed, small expression tree: scoring is map-side
+    only — no explode, no broadcast join, no per-doc argmax window —
+    which is the shape that survives 100 TB (the old plan shuffled the
+    exploded overlap frame on doc_id twice: groupBy + window). SQL-text
+    build for the same py4j reason as quality_features.
     """
-    dtoks = doc_tokens(docs, distinct=True).select("doc_id", "term")
-    prof = F.broadcast(profiles.select(F.col("lang").alias("cand_lang"), "term"))
-    overlap = (
-        dtoks.join(prof, "term")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count("*").alias("n_overlap"))
+    langs = sorted(profiles)
+    structs = ", ".join(
+        "named_struct('n', size(array_intersect(d, array({terms}))), "
+        "'cand_lang', {lang})".format(
+            terms=", ".join(sql_str_lit(t) for t in profiles[lang]),
+            lang=sql_str_lit(lang),
+        )
+        for lang in langs
     )
-    w = W.partitionBy("doc_id").orderBy(
-        F.col("n_overlap").desc(), F.col("cand_lang")
+    # One projection, with the distinct-token array, the per-lang
+    # overlap array, and its max each bound once via the 1-element
+    # transform trick (nested lambda binds instead of chained selects).
+    pred = (
+        "element_at(transform(array("
+        "element_at(transform(array(array_distinct(split(lower(text), ' '))), "
+        f"d -> array({structs})), 1)"
+        "), ovs -> element_at(transform(array(array_max(transform(ovs, s -> s.n))), "
+        "m -> CASE WHEN m > 0 THEN array_min(transform("
+        "filter(ovs, s -> s.n = m), s -> s.cand_lang)) "
+        "ELSE 'unknown' END), 1)), 1)"
     )
-    best = (
-        overlap.select("doc_id", "cand_lang", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
-    )
-    return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
-        "doc_id",
-        "lang",
-        F.coalesce("predicted_lang", F.lit("unknown")).alias("predicted_lang"),
-    )
+    return docs.selectExpr("doc_id", "lang", f"{pred} AS predicted_lang")
 
 
 def rolling_fingerprint(

@@ -436,3 +436,53 @@ def test_quantization_error_bound(spark):
     bound = dim * (4.0 / 127.0) ** 2
     for r in out:
         assert 0.0 <= r.mean_sse <= bound, f"label {r.label}: {r.mean_sse}"
+
+
+def test_quality_features_from_array_literal_escaping(spark):
+    """The SQL-text scorer inlines the fitted stopword model as string
+    literals: tokens containing quotes/backslashes must round-trip
+    through sql_str_lit, and the array-op counts must equal the explode
+    semantics they replaced."""
+    docs = spark.createDataFrame(
+        [
+            (1, "it's it's o'br\\ien the the the cat", "en"),
+            (2, "x", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    stop = ["the", "it's", "o'br\\ien"]
+    rows = {r.doc_id: r for r in T.quality_features(docs, stop).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 7
+    assert r1.n_distinct == 4
+    assert r1.avg_token_len == 4.0  # 28 chars / 7 tokens
+    # it's x2 + o'br\ien + the x3 = 6 stopword hits of 7 tokens
+    assert r1.stop_ratio == 0.857
+    assert r1.alpha_ratio == 0.571  # the x3 + cat
+    r2 = rows[2]
+    assert (r2.n_tokens, r2.n_distinct, r2.stop_ratio, r2.alpha_ratio) == (
+        1,
+        1,
+        0.0,
+        1.0,
+    )
+
+
+def test_predict_language_literal_model_argmax(spark):
+    """Argmax over per-lang profile overlap: max overlap wins, ties go
+    to the lexicographically smallest lang, zero overlap -> unknown."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc", "en"),   # en: 2 hits, fr: 1 -> en
+            (2, "aa dd", "en"),      # en: 1, fr: 1 -> tie -> en
+            (3, "dd ee", "fr"),      # en: 0, fr: 2 -> fr
+            (4, "zz", "fr"),         # no overlap -> unknown
+        ],
+        "doc_id long, text string, lang string",
+    )
+    profiles = {"fr": ["dd", "ee"], "en": ["aa", "bb"]}
+    got = {
+        r.doc_id: r.predicted_lang
+        for r in T.predict_language(docs, profiles).collect()
+    }
+    assert got == {1: "en", 2: "en", 3: "fr", 4: "unknown"}
