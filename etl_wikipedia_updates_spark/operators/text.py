@@ -247,19 +247,29 @@ def quality_features(docs: DataFrame, stop_terms: list[str]) -> DataFrame:
     )
 
 
-def predict_language(docs: DataFrame, profiles: dict[str, list[str]]) -> DataFrame:
-    """Language-ID by token-profile overlap, as a per-row projection.
+DISTINCT_TOKENS_EXPR = "array_distinct(split(lower(text), ' '))"
+
+
+def predict_language(
+    docs: DataFrame,
+    profiles: dict[str, list[str]],
+    terms_expr: str = DISTINCT_TOKENS_EXPR,
+) -> DataFrame:
+    """Language-ID by term-profile overlap, as a per-row projection.
 
     profiles: the fitted per-language top-terms model
-    (``fit_lang_profiles``), inlined as literals. Each doc is scored by
-    |distinct(doc tokens) ∩ profile(lang)| and assigned the argmax
-    (ties -> lexicographically smallest lang; no overlap anywhere ->
-    'unknown'). The model is |langs| * n strings, so the per-lang
-    intersects are a fixed, small expression tree: scoring is map-side
-    only — no explode, no broadcast join, no per-doc argmax window —
-    which is the shape that survives 100 TB (the old plan shuffled the
-    exploded overlap frame on doc_id twice: groupBy + window). SQL-text
-    build for the same py4j reason as quality_features.
+    (``fit_lang_profiles``), inlined as literals. terms_expr: SQL text
+    producing the doc's DISTINCT term array (default: whitespace
+    tokens; lang_id_chargram passes its character-trigram expression).
+    Each doc is scored by |distinct(doc terms) ∩ profile(lang)| and
+    assigned the argmax (ties -> lexicographically smallest lang; no
+    overlap anywhere -> 'unknown'). The model is |langs| * n strings,
+    so the per-lang intersects are a fixed, small expression tree:
+    scoring is map-side only — no explode, no broadcast join, no
+    per-doc argmax window — which is the shape that survives 100 TB
+    (the old plan shuffled the exploded overlap frame on doc_id twice:
+    groupBy + window). SQL-text build for the same py4j reason as
+    quality_features.
     """
     langs = sorted(profiles)
     structs = ", ".join(
@@ -275,7 +285,7 @@ def predict_language(docs: DataFrame, profiles: dict[str, list[str]]) -> DataFra
     # transform trick (nested lambda binds instead of chained selects).
     pred = (
         "element_at(transform(array("
-        "element_at(transform(array(array_distinct(split(lower(text), ' '))), "
+        f"element_at(transform(array({terms_expr}), "
         f"d -> array({structs})), 1)"
         "), ovs -> element_at(transform(array(array_max(transform(ovs, s -> s.n))), "
         "m -> CASE WHEN m > 0 THEN array_min(transform("

@@ -1665,61 +1665,54 @@ _CHARGRAM_EXPR = (
 )
 
 
+def _fit_chargram_profiles(docs: DataFrame, n: int) -> dict[str, list[str]]:
+    """Fit the per-language top-n trigram model eagerly: one count job
+    over the per-character explode, |langs| * n strings collected."""
+    counts = (
+        docs.select("lang", F.explode(F.expr(_CHARGRAM_EXPR)).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wp = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    rows = (
+        counts.select("lang", "term", F.row_number().over(wp).alias("rk"))
+        .filter(F.col("rk") <= n)
+        .select("lang", "term")
+        .collect()
+    )
+    profiles: dict[str, list[str]] = {}
+    for r in rows:
+        profiles.setdefault(r["lang"], []).append(r["term"])
+    return profiles
+
+
 def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by CHARACTER-trigram profile overlap — the classic
     n-gram heuristic (token-free, so it works on unsegmented scripts),
     beside the token-profile variant (lang_id). Model = top-N trigrams
-    per language, data-derived and broadcast; each doc takes the argmax
-    overlap over its distinct trigrams, ties to the smallest language.
-    Scale shape mirrors lang_id: one trigram-keyed shuffle for the
-    profile, one doc-keyed shuffle for the argmax; the explode is heavy
-    per-row (one substring per character), hence spread."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id", "lang", F.explode(F.expr(_CHARGRAM_EXPR)).alias("term")
+    per language; same eager fit-then-score shape as lang_id: the
+    model is fitted in one count job (memoized) and inlined as
+    literals, scoring is a map-side projection over each doc's
+    distinct-trigram array (the old plan re-ran the per-character
+    explode for the per-doc stage and shuffled the overlap frame on
+    doc_id twice: groupBy + window), and the only shuffle left is the
+    tiny confusion-matrix aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = _memo_model(
+        spark,
+        sf_dir,
+        f"chargram_profiles_{CHARGRAM_PROFILE_N}",
+        lambda: _fit_chargram_profiles(spread(docs), CHARGRAM_PROFILE_N),
     )
-    counts = grams.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
-    wp = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
-    prof = (
-        counts.select(
-            F.col("lang").alias("cand_lang"),
-            "term",
-            F.row_number().over(wp).alias("rk"),
-        )
-        .filter(F.col("rk") <= CHARGRAM_PROFILE_N)
-        .drop("rk")
-    )
-    # Per-doc distinct grams as a PROJECTION (array_distinct before the
-    # explode): same multiset as grams.distinct(), which would shuffle
-    # the entire per-character explode on (doc_id, term) — the single
-    # biggest stage of the old plan. Dedup within a doc needs no
-    # cross-row exchange, so it shouldn't pay one.
-    dgrams = docs.select(
-        "doc_id",
-        F.explode(F.expr(f"array_distinct({_CHARGRAM_EXPR})")).alias("term"),
-    )
-    ov = (
-        dgrams.join(F.broadcast(prof), "term")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    wb = W.partitionBy("doc_id").orderBy(
-        F.col("n_overlap").desc(), F.col("cand_lang")
-    )
-    best = (
-        ov.select("doc_id", "cand_lang", F.row_number().over(wb).alias("rk"))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    pred = T.predict_language(
+        # spread for the scorer too: ~n_chars substrings per row is the
+        # heaviest per-row projection in the suite (measured win).
+        spread(docs),
+        profiles,
+        terms_expr=f"array_distinct({_CHARGRAM_EXPR})",
     )
     return (
-        docs.select("doc_id", "lang")
-        .join(best, "doc_id", "left")
-        .groupBy(
-            "lang",
-            F.coalesce("predicted_lang", F.lit("unknown")).alias(
-                "predicted_lang"
-            ),
-        )
+        pred.groupBy("lang", "predicted_lang")
         .agg(F.count("*").alias("n"))
         .transform(total_order, "lang", "predicted_lang")
     )
@@ -1941,6 +1934,7 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         lang_id_chargram,
         LANG_ID_CHARGRAM_SQL,
         "language-ID via char-trigram profiles",
+        eager=True,  # trigram-profile model fit runs a job at build time
     ),
     DeclaredQuery(
         "ann_sq8",
