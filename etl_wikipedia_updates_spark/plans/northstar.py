@@ -1557,8 +1557,16 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", "embedding", F.expr(_SQ8_DQ).alias("dq")
     ).withColumn("dqn", l2_norm(F.col("dq")))
+    # Query side reads the UNSPREAD table: it keeps |queries| rows, so
+    # the spread repartition would add an exchange+stage just to
+    # scatter 5 rows before the broadcast collects them again (A/B:
+    # measured neutral-to-slightly-better without it; dropping the
+    # BASE side's spread instead measured ~0.15s WORSE — the dq fold
+    # is the heavy pre-shuffle compute spread exists for).
     q = F.broadcast(
-        emb.filter(F.col("vec_id") < ANN_SQ8_N_QUERIES)
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < ANN_SQ8_N_QUERIES)
         .select(
             F.col("vec_id").alias("q_vec_id"),
             F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
