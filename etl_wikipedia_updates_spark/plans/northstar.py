@@ -29,6 +29,7 @@ from etl_wikipedia_updates_spark.functions.arrays import (
     sql_cosine_similarity,
 )
 from etl_wikipedia_updates_spark.functions.deterministic import (
+    dec_avg,
     dec_sum,
     det_round,
     money_sum,
@@ -1909,6 +1910,233 @@ SELECT rk, doc_id, bm25 FROM (
 BM25_SQL = _bm25_sql()
 
 
+# --- rep_filter: repetition-based quality filter (Gopher-style) ---------------
+# Per-doc repetition signals over words and word-bigrams, then a
+# keep/drop verdict — the filter family Gopher/MassiveText popularized
+# (duplicate-word fraction, most-common-word fraction, most-common-
+# 2-gram fraction). Thresholds are tuned to this corpus's synthetic
+# vocabulary so both classes are populated; a deployment retunes them
+# per corpus, the plan is threshold-independent.
+REP_TOPW_MAX = 0.125  # most-common word may cover at most 12.5% of words
+REP_TOPB_MAX = 0.05  # most-common bigram at most 5% of bigrams
+REP_DUP_MAX = 0.65  # at most 65% of word occurrences may be repeats
+
+# One tagged term array per doc: 'w <word>' for each word, 'b <w1> <w2>'
+# for each adjacent bigram. Built as one JVM-parsed SQL expression with
+# the token array bound as a lambda variable (1-element-array trick) so
+# split() runs once per row; one explode then feeds ONE shuffle that
+# serves both the word and bigram statistics.
+_REP_TAGGED = (
+    "element_at(transform(array(split(lower(text), ' ')), t -> concat("
+    "transform(t, w -> concat('w ', w)), "
+    "transform(slice(t, 1, size(t) - 1), "
+    "(w, i) -> concat('b ', w, ' ', element_at(t, i + 2)))"
+    ")), 1)"
+)
+
+
+def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter: per-source audit of how many
+    docs a Gopher-style repetition rule keeps vs drops, with the mean
+    signal values per class.
+
+    Scale shape: ONE explode of a tagged word+bigram array feeds one
+    (doc_id, term) count shuffle and one per-doc reduction — both keys
+    are well-distributed (doc_id is unique; no hot-key risk), so this
+    is two map-side-combinable aggregations over the corpus and a tiny
+    final (source, verdict) agg. All per-doc math is integer counts +
+    one double division, deterministic cross-engine; class means use
+    the scaled-long exact sum (functions.deterministic)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.selectExpr("doc_id", "source", f"explode({_REP_TAGGED}) AS term")
+    cnt = (
+        tok.groupBy("doc_id", "source", "term")
+        .agg(F.count("*").alias("c"))
+        .withColumn("kind", F.substring("term", 1, 1))
+    )
+    w = F.when(F.col("kind") == "w", F.col("c"))
+    b = F.when(F.col("kind") == "b", F.col("c"))
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.sum(w).alias("n_words"),
+        F.count(w).alias("n_distinct"),
+        F.max(w).alias("top_w"),
+        F.sum(b).alias("n_bigrams"),
+        F.max(b).alias("top_b"),
+    )
+    nw = F.col("n_words").cast("double")
+    dup = F.lit(1) - F.col("n_distinct") / nw
+    topw = F.col("top_w") / nw
+    # Single-word docs have no bigrams (NULL aggregates) — repetition
+    # evidence absent, so the bigram signal contributes 0, not a drop.
+    topb = F.coalesce(
+        F.col("top_b") / F.col("n_bigrams").cast("double"), F.lit(0.0)
+    )
+    verdict = F.when(
+        (topw <= REP_TOPW_MAX) & (topb <= REP_TOPB_MAX) & (dup <= REP_DUP_MAX),
+        F.lit("keep"),
+    ).otherwise(F.lit("drop"))
+    m = per_doc.select(
+        "source",
+        "doc_id",
+        verdict.alias("verdict"),
+        dup.alias("dup"),
+        topw.alias("topw"),
+        topb.alias("topb"),
+    )
+    return (
+        m.groupBy("source", "verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            det_round(dec_avg(F.col("topw"), 6), 4).alias("mean_top_word_frac"),
+            det_round(dec_avg(F.col("dup"), 6), 4).alias("mean_dup_word_frac"),
+            det_round(dec_avg(F.col("topb"), 6), 4).alias(
+                "mean_top_bigram_frac"
+            ),
+        )
+        .transform(total_order, "source", "verdict")
+    )
+
+
+def _rep_avg_sql(expr: str) -> str:
+    return sql_det_round(f"({sql_dec_sum(expr, 6)} / COUNT({expr}))", 4)
+
+
+REP_FILTER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, source, unnest(list_concat(
+    list_transform(ws, x -> 'w ' || x),
+    list_transform(range(1, len(ws)), i -> 'b ' || ws[i] || ' ' || ws[i+1])
+  )) AS term FROM w
+),
+cnt AS (
+  SELECT doc_id, source, term, substr(term, 1, 1) AS kind, COUNT(*) AS c
+  FROM tok GROUP BY doc_id, source, term
+),
+per_doc AS (
+  SELECT doc_id, source,
+    SUM(CASE WHEN kind = 'w' THEN c END) AS n_words,
+    COUNT(CASE WHEN kind = 'w' THEN 1 END) AS n_distinct,
+    MAX(CASE WHEN kind = 'w' THEN c END) AS top_w,
+    SUM(CASE WHEN kind = 'b' THEN c END) AS n_bigrams,
+    MAX(CASE WHEN kind = 'b' THEN c END) AS top_b
+  FROM cnt GROUP BY doc_id, source
+),
+m AS (
+  SELECT source, doc_id,
+    (1 - n_distinct / CAST(n_words AS DOUBLE)) AS dup,
+    (top_w / CAST(n_words AS DOUBLE)) AS topw,
+    COALESCE(top_b / CAST(n_bigrams AS DOUBLE), CAST(0 AS DOUBLE)) AS topb
+  FROM per_doc
+)
+SELECT source,
+  CASE WHEN topw <= CAST({REP_TOPW_MAX} AS DOUBLE)
+        AND topb <= CAST({REP_TOPB_MAX} AS DOUBLE)
+        AND dup  <= CAST({REP_DUP_MAX} AS DOUBLE)
+       THEN 'keep' ELSE 'drop' END AS verdict,
+  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+  {_rep_avg_sql('topw')} AS mean_top_word_frac,
+  {_rep_avg_sql('dup')} AS mean_dup_word_frac,
+  {_rep_avg_sql('topb')} AS mean_top_bigram_frac
+FROM m GROUP BY 1, 2 ORDER BY source, verdict
+"""
+
+
+# --- source_mix: token-budget-balanced data mixing ----------------------------
+# Deterministic downsampling that equalizes the per-source CHARACTER
+# budget (the mixing knob a training run actually balances — token
+# share, not document count). rate_s = min_source_chars / chars_s;
+# membership is the stateless hash-bucket rule, compared in pure
+# integer arithmetic (bucket * chars_s < min_chars * BUCKETS) so no
+# floating-point rate ever decides a row. Different LCG constants from
+# sample_hash so the two samples are uncorrelated.
+MIX_A = 69_069
+MIX_B = 1
+MIX_BUCKETS = 1_000
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-source audit of a deterministic downsample to
+    the smallest source's character budget.
+
+    Scale shape: the budget pass is one map-side-combined tiny agg
+    (|sources| rows) broadcast back onto the corpus; membership is
+    stateless per-row integer math (reproducible on any cluster size,
+    no RNG state); only the final audit agg shuffles, on source. The
+    corpus is scanned twice (budget + filter) — both scans prune to
+    3 columns, and at 100 TB the first is a cheap partial-agg pass,
+    strictly better than shuffling the corpus once on a skewed
+    source key to window it."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    budgets = docs.groupBy("source").agg(
+        F.count("*").alias("docs_in"),
+        F.sum("n_chars").alias("chars_in"),
+    )
+    floor_b = budgets.agg(F.min("chars_in").alias("min_chars"))
+    rates = budgets.crossJoin(F.broadcast(floor_b))
+    bucket = (F.col("doc_id") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        bucket * F.col("chars_in") < F.col("min_chars") * MIX_BUCKETS
+    )
+    out = kept.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.sum("doc_id").alias("kept_checksum"),
+    )
+    return (
+        rates.join(out, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.col("chars_in").cast("bigint").alias("chars_in"),
+            det_round(
+                F.col("min_chars").cast("double") / F.col("chars_in"), 4
+            ).alias("mix_rate"),
+            F.coalesce(F.col("docs_kept"), F.lit(0)).alias("docs_kept"),
+            F.coalesce(F.col("chars_kept").cast("bigint"), F.lit(0)).alias(
+                "chars_kept"
+            ),
+            F.coalesce(F.col("kept_checksum").cast("bigint"), F.lit(0)).alias(
+                "kept_checksum"
+            ),
+        )
+        .transform(total_order, "source")
+    )
+
+
+SOURCE_MIX_SQL = f"""
+WITH budgets AS (
+  SELECT source, COUNT(*) AS docs_in, CAST(SUM(n_chars) AS BIGINT) AS chars_in
+  FROM documents GROUP BY source
+),
+floor_b AS (SELECT MIN(chars_in) AS min_chars FROM budgets),
+kept AS (
+  SELECT d.source, d.doc_id, d.n_chars
+  FROM documents d JOIN budgets b USING (source) CROSS JOIN floor_b f
+  WHERE ((d.doc_id * {MIX_A} + {MIX_B}) % {HASH_P} % {MIX_BUCKETS}) * b.chars_in
+        < f.min_chars * {MIX_BUCKETS}
+),
+agg AS (
+  SELECT source, COUNT(*) AS docs_kept,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+         CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
+  FROM kept GROUP BY source
+)
+SELECT b.source, b.docs_in, b.chars_in,
+       {sql_det_round("(CAST(f.min_chars AS DOUBLE) / b.chars_in)", 4)} AS mix_rate,
+       COALESCE(a.docs_kept, 0) AS docs_kept,
+       COALESCE(a.chars_kept, 0) AS chars_kept,
+       COALESCE(a.kept_checksum, 0) AS kept_checksum
+FROM budgets b CROSS JOIN floor_b f LEFT JOIN agg a USING (source)
+ORDER BY source
+"""
+
+
 NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "corpus_stats", corpus_stats, CORPUS_STATS_SQL, "per-(source,lang) dataset card"
@@ -2013,4 +2241,16 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     ),
     DeclaredQuery("cosine_neardup", cosine_neardup, COSINE_NEARDUP_SQL, "cosine near-dup"),
     DeclaredQuery("multimodal_bytes", multimodal_bytes, MULTIMODAL_SQL, "binary payload features"),
+    DeclaredQuery(
+        "rep_filter",
+        rep_filter,
+        REP_FILTER_SQL,
+        "repetition-based quality filter (Gopher-style)",
+    ),
+    DeclaredQuery(
+        "source_mix",
+        source_mix,
+        SOURCE_MIX_SQL,
+        "token-budget-balanced deterministic data mixing",
+    ),
 ]

@@ -486,3 +486,46 @@ def test_predict_language_literal_model_argmax(spark):
         for r in T.predict_language(docs, profiles).collect()
     }
     assert got == {1: "en", 2: "en", 3: "fr", 4: "unknown"}
+
+
+def test_rep_filter_both_classes_and_partition(spark, sf_smoke):
+    """The repetition filter must actually split the corpus (both
+    verdicts populated) and partition it exactly: per-source keep+drop
+    counts sum to the source's doc count."""
+    from etl_wikipedia_updates_spark.plans.northstar import rep_filter
+
+    out = rep_filter(spark, sf_smoke).collect()
+    verdicts = {r.verdict for r in out}
+    assert verdicts == {"keep", "drop"}
+    per_source: dict[str, int] = {}
+    for r in out:
+        per_source[r.source] = per_source.get(r.source, 0) + r.n_docs
+        assert 0.0 <= r.mean_top_word_frac <= 1.0
+        assert 0.0 <= r.mean_dup_word_frac <= 1.0
+        assert 0.0 <= r.mean_top_bigram_frac <= 1.0
+    docs = load_table(spark, sf_smoke, "documents")
+    truth = {
+        r.source: r.n for r in docs.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert per_source == truth
+
+
+def test_source_mix_budget_and_determinism(spark, sf_smoke):
+    """Mixing audit invariants: the smallest-budget source keeps
+    everything (rate 1.0), every rate is in (0, 1], kept counts never
+    exceed docs_in, and the sample is deterministic across runs."""
+    from etl_wikipedia_updates_spark.plans.northstar import source_mix
+
+    rows = source_mix(spark, sf_smoke).collect()
+    assert rows  # one row per source
+    min_chars = min(r.chars_in for r in rows)
+    for r in rows:
+        assert 0.0 < r.mix_rate <= 1.0
+        assert r.docs_kept <= r.docs_in
+        assert r.chars_kept <= r.chars_in
+        if r.chars_in == min_chars:
+            assert r.mix_rate == 1.0 and r.docs_kept == r.docs_in
+    again = source_mix(spark, sf_smoke).collect()
+    assert rows == again
