@@ -12,9 +12,11 @@ SF: the first execution pays JVM lazy classloading out of the Spark
 jars (seconds-to-minutes of I/O on this container's disk), Janino
 codegen compilation for the AQE-chosen physical operators, and the
 first uncached parquet read — one-time costs a long-running cluster
-never re-pays, so they don't belong in per-query numbers. The DuckDB
-baseline (tools/duckdb_bench.py) is timed the same way (warm second
-run). Caches are cleared between warm and timed runs so the timed run
+never re-pays, so they don't belong in per-query numbers. The timed
+value is the MIN of --repeat (default 2) runs: single timed runs still
+carry JIT-tiering and box-load noise. The DuckDB baseline
+(tools/duckdb_bench.py) is timed the same way (warm + min-of-2).
+Caches are cleared between warm and timed runs so the timed run
 re-executes the whole plan, including its own persist() work. Session
 conf is the engine's standard factory — the bench exercises the same
 knobs production would use.
@@ -55,8 +57,13 @@ def main() -> None:
     ap.add_argument(
         "--repeat",
         type=int,
-        default=1,
-        help="timed runs per query; per-query value reported is the min",
+        default=2,
+        help="timed runs per query; per-query value reported is the min. "
+        "Default 2: single timed runs carry ~0.5-1s of JIT-tiering and "
+        "box-load noise on early queries (measured; min-of-N converges "
+        "by the second run). The DuckDB baseline (tools/duckdb_bench.py) "
+        "uses the same warm + min-of-2 protocol, so the comparison "
+        "stays symmetric.",
     )
     args = ap.parse_args()
 
