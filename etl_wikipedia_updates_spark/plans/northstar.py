@@ -2088,8 +2088,11 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_kept"),
         F.sum("doc_id").alias("kept_checksum"),
     )
+    # Both sides of the audit join are |sources|-row aggregates; hint
+    # the kept side so the static plan is a broadcast join rather than
+    # sorting two tiny frames (AQE would convert it anyway at runtime).
     return (
-        rates.join(out, "source", "left")
+        rates.join(F.broadcast(out), "source", "left")
         .select(
             "source",
             "docs_in",

@@ -61,6 +61,14 @@ CASES = [
     ("q26", [], ["Exchange rangepartitioning"]),
     ("cosine_neardup", [], ["Exchange rangepartitioning"]),
     ("bm25_rank", [], ["Exchange rangepartitioning"]),
+    # rep_filter: ONE tagged explode serves words and bigrams (a second
+    # Generate would mean the array is exploded per signal family) and
+    # both aggregations combine map-side
+    ("rep_filter", ["Generate", "partial_"], []),
+    # source_mix: the per-source budget frame broadcasts back onto the
+    # corpus — the corpus itself must never shuffle on the skewed
+    # source key before the final audit agg
+    ("source_mix", ["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
 ]
 
 
