@@ -43,7 +43,7 @@ def total_order(df: DataFrame, *cols) -> DataFrame:
 # plan, so one per (query, session, sf) is safely shared by every
 # consumer and every re-execution — the prepared-statement pattern.
 # Rebuilding a plan costs 0.05-0.35s of py4j/analysis per call
-# (measured ~6s across the 60-query suite). Execution is unaffected:
+# (measured ~6s across the 61-query suite). Execution is unaffected:
 # each action still runs the full physical plan. Entries die with the
 # session (new applicationId).
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
@@ -73,7 +73,7 @@ class DeclaredQuery:
                 # py4j DataFrame handles are dead weight (and error if
                 # ever reused after a SparkContext restart). One live
                 # session at a time is the process model here, so this
-                # bounds the cache at 60 queries x live sf_dirs.
+                # bounds the cache at 61 queries x live sf_dirs.
                 for stale in [k for k in _PLAN_CACHE if k[0] != app]:
                     del _PLAN_CACHE[stale]
                 df = self.builder(spark, sf_dir)

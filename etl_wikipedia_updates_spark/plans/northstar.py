@@ -984,15 +984,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE p AS (SELECT doc_id AS src, doc_id2 AS dst FROM ({Q26_SQL})),
+# Shared recursive-CTE closure over the near-dup pair graph
+# (dedup_clusters, dedup_corpus, corpus_release): cluster_id = min
+# label reachable from each doc.
+_CC_CTES = f"""p AS (SELECT doc_id AS src, doc_id2 AS dst FROM ({Q26_SQL})),
 edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
 r AS (
   SELECT src AS doc_id, src AS label FROM edges
   UNION
   SELECT e.dst AS doc_id, r.label FROM r JOIN edges e ON e.src = r.doc_id
 ),
-cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id)
+cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id)"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT cluster_id, COUNT(*) AS n_members,
        CAST(SUM(doc_id) AS BIGINT) AS member_checksum
 FROM cc GROUP BY cluster_id ORDER BY cluster_id
@@ -1039,14 +1044,7 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CORPUS_SQL = f"""
-WITH RECURSIVE p AS (SELECT doc_id AS src, doc_id2 AS dst FROM ({Q26_SQL})),
-edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
-r AS (
-  SELECT src AS doc_id, src AS label FROM edges
-  UNION
-  SELECT e.dst AS doc_id, r.label FROM r JOIN edges e ON e.src = r.doc_id
-),
-cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id),
+WITH RECURSIVE {_CC_CTES},
 dropped AS (SELECT doc_id FROM cc WHERE cluster_id != doc_id),
 kept AS (
   SELECT d.source, d.doc_id FROM documents d
@@ -1935,28 +1933,31 @@ _REP_TAGGED = (
 )
 
 
-def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality filter: per-source audit of how many
-    docs a Gopher-style repetition rule keeps vs drops, with the mean
-    signal values per class.
+def _rep_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals + keep/drop verdict — shared by
+    rep_filter (which aggregates the audit) and corpus_release (which
+    uses the verdict as its quality gate). Carries n_chars through the
+    aggregation keys (functionally dependent on doc_id) so downstream
+    budget math needs no extra join against documents.
 
     Scale shape: ONE explode of a tagged word+bigram array feeds one
     (doc_id, term) count shuffle and one per-doc reduction — both keys
-    are well-distributed (doc_id is unique; no hot-key risk), so this
-    is two map-side-combinable aggregations over the corpus and a tiny
-    final (source, verdict) agg. All per-doc math is integer counts +
-    one double division, deterministic cross-engine; class means use
-    the scaled-long exact sum (functions.deterministic)."""
+    are well-distributed (doc_id is unique; a term key is scoped by
+    doc_id so no corpus-hot token exists), and both aggregations
+    combine map-side. All per-doc math is integer counts + one double
+    division, deterministic cross-engine."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = docs.selectExpr("doc_id", "source", f"explode({_REP_TAGGED}) AS term")
+    tok = docs.selectExpr(
+        "doc_id", "source", "n_chars", f"explode({_REP_TAGGED}) AS term"
+    )
     cnt = (
-        tok.groupBy("doc_id", "source", "term")
+        tok.groupBy("doc_id", "source", "n_chars", "term")
         .agg(F.count("*").alias("c"))
         .withColumn("kind", F.substring("term", 1, 1))
     )
     w = F.when(F.col("kind") == "w", F.col("c"))
     b = F.when(F.col("kind") == "b", F.col("c"))
-    per_doc = cnt.groupBy("doc_id", "source").agg(
+    per_doc = cnt.groupBy("doc_id", "source", "n_chars").agg(
         F.sum(w).alias("n_words"),
         F.count(w).alias("n_distinct"),
         F.max(w).alias("top_w"),
@@ -1975,16 +1976,25 @@ def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (topw <= REP_TOPW_MAX) & (topb <= REP_TOPB_MAX) & (dup <= REP_DUP_MAX),
         F.lit("keep"),
     ).otherwise(F.lit("drop"))
-    m = per_doc.select(
+    return per_doc.select(
         "source",
         "doc_id",
+        "n_chars",
         verdict.alias("verdict"),
         dup.alias("dup"),
         topw.alias("topw"),
         topb.alias("topb"),
     )
+
+
+def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter: per-source audit of how many
+    docs a Gopher-style repetition rule keeps vs drops, with the mean
+    signal values per class (class means use the scaled-long exact sum,
+    functions.deterministic; plan shape documented on _rep_per_doc)."""
     return (
-        m.groupBy("source", "verdict")
+        _rep_per_doc(spark, sf_dir)
+        .groupBy("source", "verdict")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("doc_id").alias("id_checksum"),
@@ -2002,41 +2012,50 @@ def _rep_avg_sql(expr: str) -> str:
     return sql_det_round(f"({sql_dec_sum(expr, 6)} / COUNT({expr}))", 4)
 
 
-REP_FILTER_SQL = f"""
-WITH w AS (
-  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+# Shared CTE body (rep_filter + corpus_release): per-doc repetition
+# signals, mirroring _rep_per_doc. m ends with one row per doc.
+_REP_PER_DOC_CTES = """w AS (
+  SELECT doc_id, source, n_chars, string_split(lower(text), ' ') AS ws
+  FROM documents
 ),
 tok AS (
-  SELECT doc_id, source, unnest(list_concat(
+  SELECT doc_id, source, n_chars, unnest(list_concat(
     list_transform(ws, x -> 'w ' || x),
     list_transform(range(1, len(ws)), i -> 'b ' || ws[i] || ' ' || ws[i+1])
   )) AS term FROM w
 ),
 cnt AS (
-  SELECT doc_id, source, term, substr(term, 1, 1) AS kind, COUNT(*) AS c
-  FROM tok GROUP BY doc_id, source, term
+  SELECT doc_id, source, n_chars, term, substr(term, 1, 1) AS kind,
+         COUNT(*) AS c
+  FROM tok GROUP BY doc_id, source, n_chars, term
 ),
 per_doc AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, n_chars,
     SUM(CASE WHEN kind = 'w' THEN c END) AS n_words,
     COUNT(CASE WHEN kind = 'w' THEN 1 END) AS n_distinct,
     MAX(CASE WHEN kind = 'w' THEN c END) AS top_w,
     SUM(CASE WHEN kind = 'b' THEN c END) AS n_bigrams,
     MAX(CASE WHEN kind = 'b' THEN c END) AS top_b
-  FROM cnt GROUP BY doc_id, source
+  FROM cnt GROUP BY doc_id, source, n_chars
 ),
 m AS (
-  SELECT source, doc_id,
+  SELECT source, doc_id, n_chars,
     (1 - n_distinct / CAST(n_words AS DOUBLE)) AS dup,
     (top_w / CAST(n_words AS DOUBLE)) AS topw,
     COALESCE(top_b / CAST(n_bigrams AS DOUBLE), CAST(0 AS DOUBLE)) AS topb
   FROM per_doc
+)"""
+
+_REP_KEEP_COND = (
+    f"topw <= CAST({REP_TOPW_MAX} AS DOUBLE)"
+    f" AND topb <= CAST({REP_TOPB_MAX} AS DOUBLE)"
+    f" AND dup <= CAST({REP_DUP_MAX} AS DOUBLE)"
 )
+
+REP_FILTER_SQL = f"""
+WITH {_REP_PER_DOC_CTES}
 SELECT source,
-  CASE WHEN topw <= CAST({REP_TOPW_MAX} AS DOUBLE)
-        AND topb <= CAST({REP_TOPB_MAX} AS DOUBLE)
-        AND dup  <= CAST({REP_DUP_MAX} AS DOUBLE)
-       THEN 'keep' ELSE 'drop' END AS verdict,
+  CASE WHEN {_REP_KEEP_COND} THEN 'keep' ELSE 'drop' END AS verdict,
   COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
   {_rep_avg_sql('topw')} AS mean_top_word_frac,
   {_rep_avg_sql('dup')} AS mean_dup_word_frac,
@@ -2137,6 +2156,93 @@ SELECT b.source, b.docs_in, b.chars_in,
        COALESCE(a.kept_checksum, 0) AS kept_checksum
 FROM budgets b CROSS JOIN floor_b f LEFT JOIN agg a USING (source)
 ORDER BY source
+"""
+
+
+# --- corpus_release: the end-to-end training-data release -------------------
+def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: the full release pipeline a training
+    run consumes, as ONE declarative plan — near-dup removal (connected
+    components over the exact shingle-Jaccard graph, non-canonical
+    members dropped), Gopher-style repetition quality filter,
+    token-budget mixing to the smallest surviving source, and the
+    deterministic train/test hash split — ending in the audit card a
+    release ships with (per source x split: docs, chars, id checksum).
+
+    Every stage reuses a certified operator's exact logic
+    (_q26_pairs + connected_components, _rep_per_doc, source_mix's
+    integer membership rule, sample_hash's split rule), so Catalyst
+    sees one DAG: the explode/aggregate stages of dedup and quality
+    run off the same scan, the budget frame is |sources| rows
+    broadcast back, and membership/split are stateless per-row integer
+    math. At 100 TB nothing new materializes beyond what the component
+    queries already shuffle — the composition adds one anti-join
+    (labels are |clustered docs| rows, no forced broadcast: web-corpus
+    dup rates make that frame corpus-scale, AQE broadcasts it when it
+    measures small) and one broadcast join."""
+    pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
+    labels = D.connected_components(pairs)
+    dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    kept = (
+        _rep_per_doc(spark, sf_dir)
+        .filter(F.col("verdict") == "keep")
+        .select("source", "doc_id", "n_chars")
+        .join(dropped, "doc_id", "left_anti")
+    )
+    budgets = kept.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
+    floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))
+    rates = budgets.crossJoin(F.broadcast(floor_b))
+    mix_bucket = (F.col("doc_id") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
+    mixed = kept.join(F.broadcast(rates), "source").filter(
+        mix_bucket * F.col("chars_q") < F.col("min_chars") * MIX_BUCKETS
+    )
+    split_bucket = (
+        F.col("doc_id") * SAMPLE_A + SAMPLE_B
+    ) % HASH_P % SAMPLE_BUCKETS
+    split = F.when(split_bucket < SAMPLE_TEST_BUCKETS, "test").otherwise(
+        "train"
+    )
+    return (
+        mixed.select("source", split.alias("split"), "doc_id", "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .transform(total_order, "source", "split")
+    )
+
+
+CORPUS_RELEASE_SQL = f"""
+WITH RECURSIVE {_CC_CTES},
+dropped AS (SELECT doc_id FROM cc WHERE cluster_id != doc_id),
+{_REP_PER_DOC_CTES},
+keptq AS (
+  SELECT source, doc_id, n_chars FROM m
+  WHERE {_REP_KEEP_COND}
+    AND doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+budgets AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_q
+  FROM keptq GROUP BY source
+),
+floor_b AS (SELECT MIN(chars_q) AS min_chars FROM budgets),
+mixed AS (
+  SELECT k.source, k.doc_id, k.n_chars
+  FROM keptq k JOIN budgets b USING (source) CROSS JOIN floor_b f
+  WHERE ((k.doc_id * {MIX_A} + {MIX_B}) % {HASH_P} % {MIX_BUCKETS}) * b.chars_q
+        < f.min_chars * {MIX_BUCKETS}
+)
+SELECT source,
+  CASE WHEN (doc_id * {SAMPLE_A} + {SAMPLE_B}) % {HASH_P} % {SAMPLE_BUCKETS}
+            < {SAMPLE_TEST_BUCKETS} THEN 'test' ELSE 'train' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM mixed GROUP BY 1, 2 ORDER BY source, split
 """
 
 
@@ -2255,5 +2361,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         source_mix,
         SOURCE_MIX_SQL,
         "token-budget-balanced deterministic data mixing",
+    ),
+    DeclaredQuery(
+        "corpus_release",
+        corpus_release,
+        CORPUS_RELEASE_SQL,
+        "end-to-end release: dedup + quality filter + mix + split",
+        eager=True,  # CC strategy probe runs jobs at build time
     ),
 ]

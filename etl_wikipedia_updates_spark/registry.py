@@ -1,9 +1,9 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 60
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 61
 entries. The external correctness gate records the first 50 entries
-per round, so 10 entries always sit past the cutoff; the rotation
+per round, so 11 entries always sit past the cutoff; the rotation
 policy keeps every official row at most one round stale:
 
 - Entries whose newest official row is OLDEST go FIRST (round 6: the
@@ -12,14 +12,14 @@ policy keeps every official row at most one round stale:
 - The contract rows Q1-Q28 + wiki and every entry CHANGED this round
   stay inside the first 50 (a changed query needs a fresh row; its
   old row certifies code that no longer exists).
-- NEW entries (round 6: rep_filter, source_mix) have no official row
+- NEW entries (round 6: rep_filter, source_mix, corpus_release) have no official row
   at all, so they must sit inside the first 50.
-- The 10 that yield their slots are UNCHANGED-this-round entries
+- The 11 that yield their slots are UNCHANGED-this-round entries
   certified green in the immediately-preceding round — plus
   q12_approx/percentiles_approx, whose official rows are rows-only by
   design (no oracle), so cutoff position costs them nothing.
 
-All 60 entries are benched by bench.py and oracle-tested every run in
+All 61 entries are benched by bench.py and oracle-tested every run in
 tests/test_queries_oracle.py regardless of position; the rotation
 affects only which 50 the external gate re-certifies this round.
 """
@@ -55,19 +55,21 @@ DECLARATION_ORDER: list[str] = [
     "text_quality",
     "ann_ivf",
     "dedup_clusters",
-    "ann_lsh",
     "contamination",
     "percentiles",
     "kmeans_clusters",
     "ann_kmeans",
     # --- NEW in round 6 (never certified — must sit inside the gate
-    # window): repetition quality filter + token-budget data mixing ---
+    # window): repetition quality filter, token-budget data mixing,
+    # and the end-to-end release composition ---
     "rep_filter",
     "source_mix",
-    # --- positions 51-60: yield their slots this round (all r5-green
-    # and unchanged in r6 — cosine_neardup/multimodal_bytes rotate out
-    # to make room for the two new queries; the two *_approx rows are
-    # rows-only by design, so cutoff position costs them nothing) ---
+    "corpus_release",
+    # --- positions 51-61: yield their slots this round (all r5-green
+    # and unchanged in r6 — cosine_neardup/multimodal_bytes/ann_lsh
+    # rotate out to make room for the three new queries; the two
+    # *_approx rows are rows-only by design, so cutoff position costs
+    # them nothing) ---
     "grouped_zscore",
     "stratified_sample",
     "token_stats",
@@ -76,6 +78,7 @@ DECLARATION_ORDER: list[str] = [
     "text_normalize",
     "cosine_neardup",
     "multimodal_bytes",
+    "ann_lsh",
     "q12_approx",
     "percentiles_approx",
 ]

@@ -529,3 +529,27 @@ def test_source_mix_budget_and_determinism(spark, sf_smoke):
             assert r.mix_rate == 1.0 and r.docs_kept == r.docs_in
     again = source_mix(spark, sf_smoke).collect()
     assert rows == again
+
+
+def test_corpus_release_funnel_invariants(spark, sf_smoke):
+    """The release is a strict funnel: released docs are a subset of
+    the quality keeps net of dedup drops, both splits appear, and the
+    audit card is internally consistent (chars and checksums positive
+    where docs exist)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        corpus_release,
+        rep_filter,
+    )
+
+    card = corpus_release(spark, sf_smoke).collect()
+    assert card
+    splits = {r.split for r in card}
+    assert splits == {"train", "test"}
+    released = sum(r.n_docs for r in card)
+    keeps = sum(
+        r.n_docs for r in rep_filter(spark, sf_smoke).collect()
+        if r.verdict == "keep"
+    )
+    assert 0 < released <= keeps
+    for r in card:
+        assert r.n_chars_total > 0 and r.id_checksum > 0
