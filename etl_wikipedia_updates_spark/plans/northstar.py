@@ -2160,26 +2160,11 @@ ORDER BY source
 
 
 # --- corpus_release: the end-to-end training-data release -------------------
-def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship composition: the full release pipeline a training
-    run consumes, as ONE declarative plan — near-dup removal (connected
-    components over the exact shingle-Jaccard graph, non-canonical
-    members dropped), Gopher-style repetition quality filter,
-    token-budget mixing to the smallest surviving source, and the
-    deterministic train/test hash split — ending in the audit card a
-    release ships with (per source x split: docs, chars, id checksum).
-
-    Every stage reuses a certified operator's exact logic
-    (_q26_pairs + connected_components, _rep_per_doc, source_mix's
-    integer membership rule, sample_hash's split rule), so Catalyst
-    sees one DAG: the explode/aggregate stages of dedup and quality
-    run off the same scan, the budget frame is |sources| rows
-    broadcast back, and membership/split are stateless per-row integer
-    math. At 100 TB nothing new materializes beyond what the component
-    queries already shuffle — the composition adds one anti-join
-    (labels are |clustered docs| rows, no forced broadcast: web-corpus
-    dup rates make that frame corpus-scale, AQE broadcasts it when it
-    measures small) and one broadcast join."""
+def release_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The released doc set — (source, split, doc_id, n_chars), one row
+    per surviving document. Shared by corpus_release (which aggregates
+    the audit card) and release.write_release (which joins text back on
+    and materializes the corpus through SnapshotTable)."""
     pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
     labels = D.connected_components(pairs)
     dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
@@ -2204,8 +2189,31 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(split_bucket < SAMPLE_TEST_BUCKETS, "test").otherwise(
         "train"
     )
+    return mixed.select("source", split.alias("split"), "doc_id", "n_chars")
+
+
+def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: the full release pipeline a training
+    run consumes, as ONE declarative plan — near-dup removal (connected
+    components over the exact shingle-Jaccard graph, non-canonical
+    members dropped), Gopher-style repetition quality filter,
+    token-budget mixing to the smallest surviving source, and the
+    deterministic train/test hash split — ending in the audit card a
+    release ships with (per source x split: docs, chars, id checksum).
+
+    Every stage reuses a certified operator's exact logic
+    (_q26_pairs + connected_components, _rep_per_doc, source_mix's
+    integer membership rule, sample_hash's split rule), so Catalyst
+    sees one DAG: the explode/aggregate stages of dedup and quality
+    run off the same scan, the budget frame is |sources| rows
+    broadcast back, and membership/split are stateless per-row integer
+    math. At 100 TB nothing new materializes beyond what the component
+    queries already shuffle — the composition adds one anti-join
+    (labels are |clustered docs| rows, no forced broadcast: web-corpus
+    dup rates make that frame corpus-scale, AQE broadcasts it when it
+    measures small) and one broadcast join."""
     return (
-        mixed.select("source", split.alias("split"), "doc_id", "n_chars")
+        release_members(spark, sf_dir)
         .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),

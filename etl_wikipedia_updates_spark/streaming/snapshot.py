@@ -75,7 +75,12 @@ class SnapshotTable:
     META = "_meta.json"  # per-version metadata, inside the version dir
 
     # --- write side -------------------------------------------------------
-    def publish(self, df: DataFrame, meta: dict | None = None) -> int:
+    def publish(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Write ``df`` as the next version and atomically point the
         manifest at it. The data write happens entirely BEFORE the
         pointer moves, so a crash mid-write leaves an orphan version
@@ -105,7 +110,14 @@ class SnapshotTable:
                 break
             except FileExistsError:
                 continue
-        df.write.mode("append").parquet(vdir)
+        # partition_by: hive-style layout INSIDE the immutable version
+        # dir (v{N}/split=train/...). Readers prune on the partition
+        # column; the version/manifest mechanics are unchanged because
+        # the unit of atomicity is the pointer, not the layout.
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(vdir)
         if meta is not None:
             # Written INSIDE the immutable version dir (``_``-prefixed:
             # invisible to Spark's file listing), before the pointer

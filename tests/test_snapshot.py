@@ -172,3 +172,37 @@ def test_claimed_version_dir_exists_throughout_publish(spark, tmp_path):
     assert not vanished, "publish deleted the claimed version dir mid-write"
     assert t.current_version() == 2
     assert t.read(spark).count() == 200_000
+
+
+def test_write_release_publishes_data_with_audit(spark, sf_smoke, tmp_path):
+    """write_release: the published corpus matches the audit card's
+    totals, the layout is split-partitioned, the card rides in the
+    version metadata, and a pinned reader survives the next release."""
+    from etl_wikipedia_updates_spark.release import write_release
+
+    root = str(tmp_path / "release")
+    out = write_release(spark, sf_smoke, root)
+    assert out["version"] == 1
+    t = SnapshotTable(root)
+    data = t.read(spark)
+    audit_docs = sum(r["n_docs"] for r in out["audit"])
+    assert data.count() == audit_docs
+    # split survives as a (partition) column and prunes to the card
+    per_split = {
+        r.split: r.n
+        for r in data.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    card_per_split: dict[str, int] = {}
+    for r in out["audit"]:
+        card_per_split[r["split"]] = card_per_split.get(r["split"], 0) + r["n_docs"]
+    assert per_split == card_per_split
+    # hive layout: split=... dirs inside the immutable version dir
+    vdir = t.version_path(1)
+    assert any(d.startswith("split=") for d in os.listdir(vdir))
+    # audit card is the version's metadata
+    assert t.meta_for(1)["audit"] == out["audit"]
+    # second release bumps the version; a pinned reader keeps v1
+    pinned = t.read(spark, version=1)
+    out2 = write_release(spark, sf_smoke, root)
+    assert out2["version"] == 2
+    assert pinned.count() == audit_docs

@@ -35,6 +35,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "q25": (["BroadcastNestedLoopJoin", "row_number"], ["SortMergeJoin"]),
     "ann_ivf": (["BroadcastHashJoin"], []),
     "minhash_lsh": (["BroadcastHashJoin"], []),  # dictionary join broadcast
+    # r6: single tagged explode + map-side partials / broadcast-only
+    # corpus joins (mirrors tests/test_plans.py)
+    "rep_filter": (["Generate", "partial_"], []),
+    "source_mix": (["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
 }
 
 
