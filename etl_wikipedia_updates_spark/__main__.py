@@ -49,6 +49,19 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_release(args) -> int:
+    import json
+
+    from etl_wikipedia_updates_spark.release import write_release
+
+    spark = _spark()
+    out = write_release(
+        spark, args.sf_dir, args.out, keep_last=args.keep_last
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
     from etl_wikipedia_updates_spark.streaming.ingest import (
@@ -158,6 +171,15 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--sf-dir", default=sf_default)
     runp.add_argument("--limit", type=int, default=20)
 
+    rel = sub.add_parser(
+        "release",
+        help="publish a versioned corpus release (dedup + quality filter "
+        "+ mix + split) with its audit card",
+    )
+    rel.add_argument("--out", required=True, help="SnapshotTable root dir")
+    rel.add_argument("--sf-dir", default=sf_default)
+    rel.add_argument("--keep-last", type=int, default=2)
+
     ing = sub.add_parser("ingest", help="file-replay ingest with retention")
     ing.add_argument("--replay", required=True)
     ing.add_argument("--sink", required=True)
@@ -186,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
     return {
         "list": cmd_list,
         "run": cmd_run,
+        "release": cmd_release,
         "ingest": cmd_ingest,
         "sse": cmd_sse,
         "dashboard": cmd_dashboard,
