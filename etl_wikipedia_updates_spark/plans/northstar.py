@@ -2204,14 +2204,16 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage reuses a certified operator's exact logic
     (_q26_pairs + connected_components, _rep_per_doc, source_mix's
     integer membership rule, sample_hash's split rule), so Catalyst
-    sees one DAG: the explode/aggregate stages of dedup and quality
-    run off the same scan, the budget frame is |sources| rows
-    broadcast back, and membership/split are stateless per-row integer
-    math. At 100 TB nothing new materializes beyond what the component
-    queries already shuffle — the composition adds one anti-join
-    (labels are |clustered docs| rows, no forced broadcast: web-corpus
-    dup rates make that frame corpus-scale, AQE broadcasts it when it
-    measures small) and one broadcast join."""
+    sees one DAG: the dedup and quality branches each scan the
+    column-pruned documents table once (two parquet scans, no
+    intermediate tables materialized between stages), the budget frame
+    is |sources| rows broadcast back, and membership/split are
+    stateless per-row integer math. At 100 TB nothing new materializes
+    beyond what the component queries already shuffle — the
+    composition adds one anti-join (labels are |clustered docs| rows,
+    no forced broadcast: web-corpus dup rates make that frame
+    corpus-scale, AQE broadcasts it when it measures small) and one
+    broadcast join."""
     return (
         release_members(spark, sf_dir)
         .groupBy("source", "split")
