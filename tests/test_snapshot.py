@@ -206,3 +206,28 @@ def test_write_release_publishes_data_with_audit(spark, sf_smoke, tmp_path):
     out2 = write_release(spark, sf_smoke, root)
     assert out2["version"] == 2
     assert pinned.count() == audit_docs
+
+
+def test_release_refresh_dedups_new_duplicates(spark, tmp_path):
+    """Release lifecycle on a growing corpus: after ingesting an exact
+    duplicate of every document (fresh higher doc_ids), the next
+    release's audit card is IDENTICAL — connected components clusters
+    each copy with its original, survivor selection keeps the canonical
+    min doc_id, and the budgets/mix/split over the survivors are
+    untouched. 'Re-release after a dup-heavy crawl drop' is a no-op on
+    the released corpus, which is exactly what a dedup pipeline is
+    for."""
+    from etl_wikipedia_updates_spark.release import write_release
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sf1, sf2 = tmp_path / "sf_v1", tmp_path / "sf_v2"
+    docs.write.parquet(str(sf1 / "documents.parquet"))
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    docs.unionByName(copies).write.parquet(str(sf2 / "documents.parquet"))
+
+    root = str(tmp_path / "rel")
+    out1 = write_release(spark, str(sf1), root)
+    out2 = write_release(spark, str(sf2), root)
+    assert (out1["version"], out2["version"]) == (1, 2)
+    assert out2["audit"] == out1["audit"]
