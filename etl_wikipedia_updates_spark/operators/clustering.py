@@ -27,6 +27,7 @@ Determinism (oracle hash-matching):
 
 from __future__ import annotations
 
+from etl_wikipedia_updates_spark.caches import purge_stale
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -135,8 +136,7 @@ def _update_agg(dim: int, app: str) -> Column:
     # py4j round trip instead of dim+1 of them — measured ~0.3s of
     # driver time per round at dim=64 the other way).
     st = F.expr(f"named_struct('n', count(*), {sums})").alias("st")
-    for stale in [k for k in _UPDATE_AGG_CACHE if k[0] != app]:
-        del _UPDATE_AGG_CACHE[stale]
+    purge_stale(_UPDATE_AGG_CACHE, app)
     _UPDATE_AGG_CACHE[(app, dim)] = st
     return st
 

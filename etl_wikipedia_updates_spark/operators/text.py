@@ -215,13 +215,19 @@ def quality_features(docs: DataFrame, stop_terms: list[str]) -> DataFrame:
     the ratio expressions don't re-run the fold (CollapseProject keeps
     non-cheap aliases referenced more than once in their own project).
     """
-    stop_set = ", ".join(sql_str_lit(t) for t in stop_terms)
+    # An empty fitted model (degenerate corpus) must not render the
+    # unparsable `x IN ()` — no stopwords means nothing is a stopword.
+    if stop_terms:
+        stop_set = ", ".join(sql_str_lit(t) for t in stop_terms)
+        is_stop = f"x IN ({stop_set})"
+    else:
+        is_stop = "false"
     counts = (
         "element_at(transform(array(split(lower(text), ' ')), t -> named_struct("
         "'n_tokens', CAST(size(t) AS BIGINT), "
         "'n_distinct', CAST(size(array_distinct(t)) AS BIGINT), "
         "'sum_len', aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x)), "
-        f"'n_stop', CAST(size(filter(t, x -> x IN ({stop_set}))) AS BIGINT), "
+        f"'n_stop', CAST(size(filter(t, x -> {is_stop})) AS BIGINT), "
         "'n_alpha', CAST(size(filter(t, x -> x RLIKE '^[a-z]+$')) AS BIGINT)"
         ")), 1)"
     )

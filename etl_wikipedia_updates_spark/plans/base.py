@@ -9,6 +9,7 @@ total ORDER BY, and float outputs must be deterministic — see
 
 from __future__ import annotations
 
+from etl_wikipedia_updates_spark.caches import purge_stale
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -74,8 +75,7 @@ class DeclaredQuery:
                 # ever reused after a SparkContext restart). One live
                 # session at a time is the process model here, so this
                 # bounds the cache at 61 queries x live sf_dirs.
-                for stale in [k for k in _PLAN_CACHE if k[0] != app]:
-                    del _PLAN_CACHE[stale]
+                purge_stale(_PLAN_CACHE, app)
                 df = self.builder(spark, sf_dir)
                 _PLAN_CACHE[key] = df
             return df

@@ -24,6 +24,7 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
 from etl_wikipedia_updates_spark.operators import clustering as C
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.tables import load_table, spread
+from etl_wikipedia_updates_spark.caches import purge_stale
 
 KMEANS_K = 8
 # 2 Lloyd's rounds (was 3): the fit is a fixed-point ITERATION BUDGET,
@@ -50,8 +51,7 @@ def _fit_centroids(emb: DataFrame, sf_dir: str) -> list[list[float]]:
     key = (app, sf_dir, KMEANS_K, KMEANS_ITERS)
     cents = _FIT_CACHE.get(key)
     if cents is None:
-        for stale in [k for k in _FIT_CACHE if k[0] != app]:
-            del _FIT_CACHE[stale]
+        purge_stale(_FIT_CACHE, app)
         cents = C.kmeans_fit(emb, KMEANS_K, KMEANS_ITERS)
         _FIT_CACHE[key] = cents
     return cents

@@ -42,6 +42,7 @@ from etl_wikipedia_updates_spark.operators import multimodal as M
 from etl_wikipedia_updates_spark.operators import similarity as S
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.operators.text import HASH_P
+from etl_wikipedia_updates_spark.caches import purge_stale
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.tables import load_table, spread
 
@@ -645,8 +646,7 @@ def _memo_model(spark: SparkSession, sf_dir: str, name: str, fit):
     key = (app, sf_dir, name)
     model = _TEXT_MODEL_CACHE.get(key)
     if model is None:
-        for stale in [k for k in _TEXT_MODEL_CACHE if k[0] != app]:
-            del _TEXT_MODEL_CACHE[stale]
+        purge_stale(_TEXT_MODEL_CACHE, app)
         model = fit()
         _TEXT_MODEL_CACHE[key] = model
     return model
@@ -1070,14 +1070,20 @@ SAMPLE_BUCKETS = 1_000
 SAMPLE_TEST_BUCKETS = 100  # 10% eval holdout
 
 
-def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def split_col() -> "F.Column":
+    """The train/test hash-split verdict for the current row's doc_id —
+    THE split rule, shared by sample_hash and release_members so the
+    composed release and the standalone splitter can never diverge."""
     bucket = (
         F.col("doc_id").cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)
     ) % F.lit(HASH_P) % F.lit(SAMPLE_BUCKETS)
-    split = F.when(bucket < SAMPLE_TEST_BUCKETS, "test").otherwise("train")
+    return F.when(bucket < SAMPLE_TEST_BUCKETS, "test").otherwise("train")
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("source", split.alias("split"), "doc_id")
+        docs.select("source", split_col().alias("split"), "doc_id")
         .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -2077,6 +2083,15 @@ MIX_B = 1
 MIX_BUCKETS = 1_000
 
 
+def mix_keep_cond(budget_col: str, floor_col: str) -> "F.Column":
+    """The all-integer mixing membership rule — keep the row iff
+    bucket(doc_id) * budget < floor * BUCKETS. THE rule, shared by
+    source_mix and release_members so the composed release and the
+    standalone mixer can never diverge."""
+    bucket = (F.col("doc_id") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
+    return bucket * F.col(budget_col) < F.col(floor_col) * MIX_BUCKETS
+
+
 def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: per-source audit of a deterministic downsample to
     the smallest source's character budget.
@@ -2098,9 +2113,8 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     floor_b = budgets.agg(F.min("chars_in").alias("min_chars"))
     rates = budgets.crossJoin(F.broadcast(floor_b))
-    bucket = (F.col("doc_id") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
     kept = docs.join(F.broadcast(rates), "source").filter(
-        bucket * F.col("chars_in") < F.col("min_chars") * MIX_BUCKETS
+        mix_keep_cond("chars_in", "min_chars")
     )
     out = kept.groupBy("source").agg(
         F.count("*").alias("docs_kept"),
@@ -2179,17 +2193,12 @@ def release_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets = kept.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
     floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))
     rates = budgets.crossJoin(F.broadcast(floor_b))
-    mix_bucket = (F.col("doc_id") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
     mixed = kept.join(F.broadcast(rates), "source").filter(
-        mix_bucket * F.col("chars_q") < F.col("min_chars") * MIX_BUCKETS
+        mix_keep_cond("chars_q", "min_chars")
     )
-    split_bucket = (
-        F.col("doc_id") * SAMPLE_A + SAMPLE_B
-    ) % HASH_P % SAMPLE_BUCKETS
-    split = F.when(split_bucket < SAMPLE_TEST_BUCKETS, "test").otherwise(
-        "train"
+    return mixed.select(
+        "source", split_col().alias("split"), "doc_id", "n_chars"
     )
-    return mixed.select("source", split.alias("split"), "doc_id", "n_chars")
 
 
 def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2214,9 +2223,16 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     no forced broadcast: web-corpus dup rates make that frame
     corpus-scale, AQE broadcasts it when it measures small) and one
     broadcast join."""
+    return release_audit(release_members(spark, sf_dir))
+
+
+def release_audit(members: DataFrame) -> DataFrame:
+    """The audit card over a (source, split, doc_id, n_chars) member
+    frame — split out so release.write_release can aggregate the SAME
+    (persisted) members it materializes instead of rebuilding the
+    pipeline twice."""
     return (
-        release_members(spark, sf_dir)
-        .groupBy("source", "split")
+        members.groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("n_chars_total"),

@@ -21,22 +21,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_wikipedia_updates_spark.plans.northstar import (
-    corpus_release,
+    release_audit,
     release_members,
 )
 from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
 from etl_wikipedia_updates_spark.tables import load_table
 
 
-def release_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def release_corpus(
+    spark: SparkSession, sf_dir: str, members: DataFrame | None = None
+) -> DataFrame:
     """The released corpus as a DataFrame: every surviving document's
     full row plus its ``split``. The join key is the unique doc_id, so
     this is one co-partitionable shuffle join against the member set —
     no broadcast assumption (at web scale the member set is
     corpus-sized)."""
     docs = load_table(spark, sf_dir, "documents")
-    members = release_members(spark, sf_dir).select("doc_id", "split")
-    return docs.join(members, "doc_id")
+    if members is None:
+        members = release_members(spark, sf_dir)
+    return docs.join(members.select("doc_id", "split"), "doc_id")
 
 
 def write_release(
@@ -48,14 +51,24 @@ def write_release(
     """Publish one release version: data partitioned by split, audit
     card in the version metadata, old versions vacuumed to a horizon.
 
+    The member set — the expensive part (shingle-Jaccard pairs +
+    connected components + repetition signals) — is computed ONCE and
+    persisted across its two consumers (the audit aggregation and the
+    corpus join), then released; without the persist each action
+    re-runs the whole pipeline.
+
     Returns {"version": N, "audit": [card rows as dicts]}.
     """
     table = SnapshotTable(out_root)
-    audit = [r.asDict() for r in corpus_release(spark, sf_dir).collect()]
-    version = table.publish(
-        release_corpus(spark, sf_dir),
-        meta={"sf_dir": sf_dir, "audit": audit},
-        partition_by=["split"],
-    )
+    members = release_members(spark, sf_dir).persist()
+    try:
+        audit = [r.asDict() for r in release_audit(members).collect()]
+        version = table.publish(
+            release_corpus(spark, sf_dir, members=members),
+            meta={"sf_dir": sf_dir, "audit": audit},
+            partition_by=["split"],
+        )
+    finally:
+        members.unpersist()
     table.vacuum(keep_last=keep_last)
     return {"version": version, "audit": audit}

@@ -92,26 +92,62 @@ def _batch_dirs(sink_path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _committed_batch_dirs(sink_path: str) -> list[tuple[int, str]]:
+    """Batch dirs whose write JOB has committed — Spark leaves the
+    ``_SUCCESS`` marker at job commit, and ``append_batch``'s
+    mode("overwrite") deletes it first, so an in-flight append
+    (including an idempotent replay overwrite) has no marker. Only
+    committed dirs may be read by the composite view or folded by
+    maintenance: folding a dir mid-write would record its batch id as
+    folded while having read only part of its rows."""
+    return [
+        (b, p)
+        for b, p in _batch_dirs(sink_path)
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+
+
+def _view_parts(
+    sink_path: str, version: int | None = None
+) -> tuple[SnapshotTable, int | None, int, list[tuple[int, str]]]:
+    """THE resolution of the sink's composite view — (snapshot store,
+    resolved version, folded_through, unfolded committed (id, path)
+    batch dirs). Shared by read_sink / _view_file_count /
+    _publish_rewrite so the version pointer, fold marker, and
+    batch-dir filter can never disagree between the reader and the
+    maintenance paths."""
+    snap = sink_snapshot(sink_path)
+    v = snap.current_version() if version is None else version
+    if v is None:
+        return snap, None, -1, _committed_batch_dirs(sink_path)
+    folded = int(snap.meta_for(v).get("folded_through", -1))
+    newer = [(b, p) for b, p in _committed_batch_dirs(sink_path) if b > folded]
+    return snap, v, folded, newer
+
+
 def read_sink(
     spark: SparkSession, sink_path: str, version: int | None = None
 ) -> DataFrame:
     """The sink's current (or a pinned) consistent view: the snapshot
-    version's immutable files plus batch appends newer than its
-    ``folded_through`` marker. Before the first maintenance publish the
-    sink is pure appends and reads recursively (append-only needs no
-    manifest: every visible state is complete)."""
-    snap = sink_snapshot(sink_path)
-    v = snap.current_version() if version is None else version
+    version's immutable files plus COMMITTED batch appends newer than
+    its ``folded_through`` marker. Before the first maintenance publish
+    the sink is pure appends and reads the committed batch dirs
+    (append-only needs no manifest: every committed state is
+    complete)."""
+    snap, v, _folded, newer = _view_parts(sink_path, version)
+    paths = [p for _, p in newer]
     if v is None:
+        if paths:
+            return spark.read.parquet(*paths)
+        # no committed batch dirs (e.g. a sink written by something
+        # else): fall back to the whole tree
         return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
-    folded = int(snap.meta_for(v).get("folded_through", -1))
     base = snap.read(spark, v)
-    newer = [p for bid, p in _batch_dirs(sink_path) if bid > folded]
-    if not newer:
+    if not paths:
         return base
     # explicit schema: skips re-inference and keeps a 0-row batch dir
-    # (no part files) from failing the read
-    return base.unionByName(spark.read.schema(base.schema).parquet(*newer))
+    # (a committed empty batch has only _SUCCESS) from failing the read
+    return base.unionByName(spark.read.schema(base.schema).parquet(*paths))
 
 
 def _hidden_sibling(path: str, tag: str) -> str:
@@ -167,16 +203,13 @@ def _swap_dirs(new_dir: str, live_dir: str) -> None:
 
 def _view_file_count(sink_path: str) -> int:
     """Parquet files the CURRENT consistent view reads (version dir +
-    unfolded batch dirs; the whole tree before the first publish)."""
-    snap = sink_snapshot(sink_path)
-    v = snap.current_version()
+    unfolded committed batch dirs; the committed batch dirs — or the
+    whole tree when there are none — before the first publish)."""
+    snap, v, _folded, newer = _view_parts(sink_path)
     if v is None:
-        roots = [sink_path]
+        roots = [p for _, p in newer] or [sink_path]
     else:
-        folded = int(snap.meta_for(v).get("folded_through", -1))
-        roots = [snap.version_path(v)] + [
-            p for bid, p in _batch_dirs(sink_path) if bid > folded
-        ]
+        roots = [snap.version_path(v)] + [p for _, p in newer]
     return sum(
         1
         for root in roots
@@ -190,33 +223,38 @@ def _publish_rewrite(spark: SparkSession, sink_path: str, transform) -> int:
     """Publish ``transform(current view)`` as the sink's next snapshot
     version — the shared core of compaction and retention.
 
-    The batch-dir list is taken ONCE and the published version's
-    metadata records ``folded_through`` = the highest batch id it
-    contains, so appends racing this rewrite land after the marker and
-    stay visible in the composite view. Cleanup keeps one publish of
-    grace for in-flight readers: batch dirs are deleted only once the
-    PREVIOUS version had already folded them, and versions are
-    vacuumed keep_last=2."""
-    snap = sink_snapshot(sink_path)
-    prev_v = snap.current_version()
-    batches = _batch_dirs(sink_path)
+    The committed-batch-dir list is resolved ONCE (_view_parts) and the
+    fold reads EXACTLY those explicit paths — never a recursive listing
+    of the sink tree, which Spark would take at a later instant than
+    the dir list, so a batch committing in between would be read into
+    the version while staying above ``folded_through`` and be counted
+    twice forever. ``folded_through`` = the highest batch id actually
+    read, so appends racing this rewrite (not yet listed, or not yet
+    ``_SUCCESS``-committed) land after the marker and stay visible in
+    the composite view. Cleanup keeps one publish of grace for
+    in-flight readers: batch dirs are deleted only once the PREVIOUS
+    version had already folded them, and versions are vacuumed
+    keep_last=2."""
+    snap, prev_v, prev_folded, newer = _view_parts(sink_path)
+    folded_through = max([b for b, _ in newer], default=prev_folded)
+    paths = [p for _, p in newer]
     if prev_v is None:
-        prev_folded = -1
-        view = spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
-        folded_through = max([b for b, _ in batches], default=-1)
+        if paths:
+            view = spark.read.parquet(*paths)
+        else:
+            view = spark.read.option("recursiveFileLookup", "true").parquet(
+                sink_path
+            )
     else:
-        prev_folded = int(snap.meta_for(prev_v).get("folded_through", -1))
-        newer = [(b, p) for b, p in batches if b > prev_folded]
-        folded_through = max([b for b, _ in newer], default=prev_folded)
         view = snap.read(spark, prev_v)
-        if newer:
+        if paths:
             view = view.unionByName(
-                spark.read.schema(view.schema).parquet(*[p for _, p in newer])
+                spark.read.schema(view.schema).parquet(*paths)
             )
     version = snap.publish(
         transform(view), meta={"folded_through": folded_through}
     )
-    for b, p in batches:
+    for b, p in _batch_dirs(sink_path):
         if b <= prev_folded:
             shutil.rmtree(p, ignore_errors=True)
     snap.vacuum(keep_last=2)

@@ -10,6 +10,7 @@ so the storage layout is swappable in one place.
 
 from __future__ import annotations
 
+from etl_wikipedia_updates_spark.caches import purge_stale
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,8 +107,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # Purge entries from stopped sessions (stale py4j handles) on
     # insert — same policy as plans/base._PLAN_CACHE.
-    for stale in [k for k in _TABLE_CACHE if k[0] != key[0]]:
-        del _TABLE_CACHE[stale]
+    purge_stale(_TABLE_CACHE, key[0])
     _TABLE_CACHE[key] = df
     return df
 

@@ -577,3 +577,46 @@ def test_rollup_maintenance_equals_batch(spark, events, replay_dir, tmp_path):
     # partials folded down -> view unchanged, one partial per (day, key)
     compact_rollup(spark, str(tmp_path / "rollup"))
     assert normalize(rollup_view(spark, str(tmp_path / "rollup"))) == expected
+
+
+def test_maintenance_skips_uncommitted_batch_dir(spark, events, tmp_path):
+    """An in-flight append (batch dir without Spark's _SUCCESS job
+    marker — e.g. mid-overwrite) must be invisible to the composite
+    view AND unfolded by maintenance; once the marker lands, its rows
+    appear exactly once. This pins the fold-vs-append race fix: the
+    rewrite reads exactly the committed dirs it lists, so a racing
+    batch can be neither double-counted nor silently folded away."""
+    import os as _os
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        append_batch,
+        compact_sink,
+        read_sink,
+        sink_snapshot,
+    )
+
+    sink = str(tmp_path / "sink")
+    first = events.limit(50)
+    second = events.limit(120).exceptAll(first)
+    append_batch(first, sink, 0)
+    append_batch(second, sink, 1)
+    # simulate batch 1 caught mid-write: strip its job-commit marker
+    marker = None
+    for d in _os.listdir(sink):
+        if d.startswith("batch_") and d.endswith("1"):
+            marker = _os.path.join(sink, d, "_SUCCESS")
+    assert marker and _os.path.exists(marker)
+    _os.rename(marker, marker + ".held")
+
+    assert read_sink(spark, sink).count() == 50  # invisible while in-flight
+    compact_sink(spark, sink, target_files=1)
+    snap = sink_snapshot(sink)
+    v = snap.current_version()
+    assert int(snap.meta_for(v)["folded_through"]) == 0  # batch 1 NOT folded
+    assert read_sink(spark, sink).count() == 50
+
+    _os.rename(marker + ".held", marker)  # the write commits
+    assert _checksum(read_sink(spark, sink)) == _checksum(events.limit(120))
+    # the next maintenance folds it exactly once
+    compact_sink(spark, sink, target_files=1)
+    assert _checksum(read_sink(spark, sink)) == _checksum(events.limit(120))
