@@ -140,18 +140,6 @@ def token_dictionary(docs: DataFrame) -> DataFrame:
     )
 
 
-def corpus_top_terms(docs: DataFrame, n: int, per_lang: bool = False) -> DataFrame:
-    """Top-n terms by (count desc, term asc), optionally per language."""
-    toks = doc_tokens(docs)
-    keys = ["lang"] if per_lang else []
-    counts = toks.groupBy(*keys, "term").agg(F.count("*").alias("cnt"))
-    w = W.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col("term"))
-    return (
-        counts.select(*keys, "term", "cnt", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= n)
-    )
-
-
 def fit_stopwords(docs: DataFrame, n: int) -> list[str]:
     """Fit the corpus stopword model eagerly: top-n terms by
     (count desc, term asc), collected as n strings.
@@ -174,17 +162,30 @@ def fit_stopwords(docs: DataFrame, n: int) -> list[str]:
     return [r["term"] for r in rows]
 
 
-def fit_lang_profiles(docs: DataFrame, n: int) -> dict[str, list[str]]:
-    """Fit the per-language top-n-terms model eagerly: one count job,
-    |langs| * n strings collected (the per-lang top-n needs the window
-    in corpus_top_terms; each partition is one language's term counts)."""
+def fit_term_profiles(terms: DataFrame, n: int) -> dict[str, list[str]]:
+    """Fit per-language top-n profiles from a (lang, term) occurrence
+    frame: one count job, |langs| * n strings collected. The
+    (cnt desc, term asc) tie-break is THE profile contract the oracles
+    mirror — lang_id (whitespace tokens) and lang_id_chargram
+    (character trigrams) both fit through here so it cannot drift
+    between term representations."""
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
     rows = (
-        corpus_top_terms(docs, n, per_lang=True).select("lang", "term").collect()
+        counts.select("lang", "term", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= n)
+        .select("lang", "term")
+        .collect()
     )
     profiles: dict[str, list[str]] = {}
     for r in rows:
         profiles.setdefault(r["lang"], []).append(r["term"])
     return profiles
+
+
+def fit_lang_profiles(docs: DataFrame, n: int) -> dict[str, list[str]]:
+    """Fit the per-language top-n whitespace-token model eagerly."""
+    return fit_term_profiles(doc_tokens(docs).select("lang", "term"), n)
 
 
 def sql_str_lit(t: str) -> str:

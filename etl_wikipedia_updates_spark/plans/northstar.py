@@ -1680,23 +1680,11 @@ _CHARGRAM_EXPR = (
 
 def _fit_chargram_profiles(docs: DataFrame, n: int) -> dict[str, list[str]]:
     """Fit the per-language top-n trigram model eagerly: one count job
-    over the per-character explode, |langs| * n strings collected."""
-    counts = (
-        docs.select("lang", F.explode(F.expr(_CHARGRAM_EXPR)).alias("term"))
-        .groupBy("lang", "term")
-        .agg(F.count("*").alias("cnt"))
+    over the per-character explode (the shared fit_term_profiles
+    contract, with trigrams as the term representation)."""
+    return T.fit_term_profiles(
+        docs.select("lang", F.explode(F.expr(_CHARGRAM_EXPR)).alias("term")), n
     )
-    wp = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
-    rows = (
-        counts.select("lang", "term", F.row_number().over(wp).alias("rk"))
-        .filter(F.col("rk") <= n)
-        .select("lang", "term")
-        .collect()
-    )
-    profiles: dict[str, list[str]] = {}
-    for r in rows:
-        profiles.setdefault(r["lang"], []).append(r["term"])
-    return profiles
 
 
 def lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
