@@ -1,0 +1,160 @@
+"""Streaming near-dup dedup at ingest: LSH blocking per micro-batch.
+
+The batch near-dup family (minhash_lsh, dedup_corpus) dedups a corpus
+at rest; a training-data pipeline also needs the INGEST form — drop a
+crawled document the moment it collides with anything already
+ingested, without re-scanning the corpus per batch. This module is
+that operator, on the same MinHash/LSH machinery as the batch path
+(operators.dedup — same shingles, hash params, band layout):
+
+- Per micro-batch, each doc's signature unpivots into (lang, band,
+  band_key) bucket rows (``lsh_band_rows``).
+- A doc is DROPPED iff one of its buckets was seen in an EARLIER
+  batch, or a smaller doc_id in the SAME batch shares a bucket —
+  "collides with any earlier-arrived doc", the aggressive blocking
+  rule production dedup uses at ingest (no verify pass: at a
+  corpus-scale ingest rate the false-positive cost of a band
+  collision is accepted in exchange for never touching the corpus).
+- ALL of the batch's bucket rows (kept and dropped docs alike) are
+  appended to the bucket store, so later arrivals collide with
+  whichever representative arrived first.
+
+State = the bucket store, a per-batch-dir parquet table exactly like
+the data sink (append_batch layout): idempotent under foreachBatch
+replay because a retried batch overwrites its own dir, and the
+collision read EXCLUDES the current batch id, so a replay never
+collides with its own first attempt. At 100 TB the store is
+(lang, band, band_key, doc_id) rows — a fraction of corpus bytes —
+and the per-batch work is one signature aggregation over the BATCH
+plus one equi-join against the store: no corpus rescan, no driver
+state. The reference's analog is R10's UNIQUE-index dedup (exact ids,
+unbounded SQLite state, /root/reference/pipeline.py:173-174); this is
+the near-dup generalization with explicit, inspectable state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_wikipedia_updates_spark.operators import dedup as D
+from etl_wikipedia_updates_spark.operators import text as T
+from etl_wikipedia_updates_spark.plans.northstar import (
+    MINHASH_BANDS,
+    MINHASH_PARAMS,
+    MINHASH_ROWS,
+)
+from etl_wikipedia_updates_spark.streaming.ingest import (
+    _committed_batch_dirs,
+    append_batch,
+)
+
+BUCKETS_DIRNAME = "_lsh_buckets"  # _-prefixed: invisible to sink readers
+
+
+def bucket_store_path(sink_path: str) -> str:
+    return os.path.join(sink_path, BUCKETS_DIRNAME)
+
+
+def doc_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, band_key) bucket membership for a document
+    frame — the batch pipeline's exact shingle->tid->signature->band
+    chain, so streaming and batch dedup agree on every bucket."""
+    dtok = T.doc_shingles(docs).withColumn("tid", T.term_hash_col())
+    sig = D.minhash_signatures(
+        dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
+    )
+    return D.lsh_band_rows(sig, MINHASH_BANDS, MINHASH_ROWS)
+
+
+def batch_neardup_drops(
+    band: DataFrame, store: DataFrame | None
+) -> DataFrame:
+    """doc_ids of this batch to drop: bucket seen in the store (earlier
+    batches), or a smaller doc_id in this batch shares the bucket."""
+    keys = ["lang", "band", "band_key"]
+    keeper = band.groupBy(*keys).agg(F.min("doc_id").alias("keeper"))
+    within = (
+        band.join(keeper, keys)
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id")
+    )
+    if store is None:
+        return within.distinct()
+    prev = band.join(
+        store.select(*keys), keys, "left_semi"
+    ).select("doc_id")
+    return within.unionByName(prev).distinct()
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame, sink_path: str, batch_id: int
+) -> None:
+    """One micro-batch of near-dup-deduped ingest (foreachBatch body).
+
+    Reads the bucket store's COMMITTED dirs with id < batch_id (a
+    replayed batch must not collide with its own first attempt), drops
+    colliding docs, appends survivors to the data sink and ALL batch
+    buckets to the store — both under this batch's idempotent dir."""
+    spark = batch_df.sparkSession
+    band = doc_band_rows(batch_df)
+    store_dirs = [
+        p
+        for b, p in _committed_batch_dirs(bucket_store_path(sink_path))
+        if b < batch_id
+    ]
+    store = None
+    if store_dirs:
+        store = spark.read.schema(
+            "doc_id bigint, lang string, band int, band_key string"
+        ).parquet(*store_dirs)
+    drops = batch_neardup_drops(band, store)
+    survivors = batch_df.join(drops, "doc_id", "left_anti")
+    append_batch(survivors, sink_path, batch_id)
+    append_batch(
+        band.select("doc_id", "lang", "band", "band_key"),
+        bucket_store_path(sink_path),
+        batch_id,
+    )
+
+
+def ingest_with_neardup(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streamed documents -> near-dup-deduped sink, checkpointed."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(batch_df, sink_path, batch_id)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_neardup_keep(docs: DataFrame) -> DataFrame:
+    """The BATCH statement of the streaming rule, for equivalence
+    tests and backfills: a doc survives iff it is the smallest doc_id
+    in every bucket it occupies... i.e. iff NO smaller doc_id shares
+    any of its buckets. When a stream replays the corpus in doc_id
+    order, the streamed sink must equal this exactly (arrival order =
+    doc_id order makes 'earlier' and 'smaller' the same relation
+    across and within batches)."""
+    band = doc_band_rows(docs)
+    keys = ["lang", "band", "band_key"]
+    keeper = band.groupBy(*keys).agg(F.min("doc_id").alias("keeper"))
+    dropped = (
+        band.join(keeper, keys)
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(dropped, "doc_id", "left_anti")

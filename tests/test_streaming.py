@@ -620,3 +620,75 @@ def test_maintenance_skips_uncommitted_batch_dir(spark, events, tmp_path):
     # the next maintenance folds it exactly once
     compact_sink(spark, sink, target_files=1)
     assert _checksum(read_sink(spark, sink)) == _checksum(events.limit(120))
+
+
+def test_streaming_neardup_ingest_equals_batch(spark, tmp_path):
+    """S-style batch equivalence for ingest-time near-dup dedup: the
+    corpus replayed in doc_id order through ingest_with_neardup must
+    land exactly the docs the batch rule keeps (no smaller doc_id
+    shares any LSH bucket), and the rule must actually drop something
+    on this corpus. A second run over the same checkpoint replays
+    nothing and changes nothing (exactly-once)."""
+    from etl_wikipedia_updates_spark.sources.replay import (
+        read_replay_stream,
+        write_replay_splits,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_neardup_keep,
+        ingest_with_neardup,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    stream = read_replay_stream(spark, replay, docs.schema)
+    q = ingest_with_neardup(stream, sink, ckpt)
+    q.awaitTermination(300)
+
+    def checksum(df):
+        r = df.agg(
+            F.count("*").alias("n"), F.sum("doc_id").alias("s")
+        ).first()
+        return r["n"], r["s"]
+
+    expected = checksum(batch_neardup_keep(docs))
+    assert expected[0] < docs.count()  # the rule bites on this corpus
+    assert checksum(read_sink(spark, sink)) == expected
+
+    q2 = ingest_with_neardup(
+        read_replay_stream(spark, replay, docs.schema), sink, ckpt
+    )
+    q2.awaitTermination(300)
+    assert checksum(read_sink(spark, sink)) == expected
+
+
+def test_neardup_batch_replay_idempotent_and_blocks_later_dups(
+    spark, tmp_path
+):
+    """foreachBatch replay semantics for the neardup ingest: re-running
+    a batch under its own id must not self-collide (the store read
+    excludes the current id) nor duplicate output; a LATER batch of
+    exact duplicates must collide with the stored buckets and land
+    zero docs."""
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        dedup_ingest_batch,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    sink = str(tmp_path / "sink")
+
+    dedup_ingest_batch(docs, sink, 0)
+    first = read_sink(spark, sink).count()
+    assert 0 < first <= 100
+    dedup_ingest_batch(docs, sink, 0)  # at-least-once replay, same id
+    assert read_sink(spark, sink).count() == first
+
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    dedup_ingest_batch(copies, sink, 1)  # exact dups of batch 0
+    assert read_sink(spark, sink).count() == first
