@@ -49,6 +49,15 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from etl_wikipedia_updates_spark.tables import register_views
+
+    spark = _spark()
+    register_views(spark, args.sf_dir)
+    spark.sql(args.query).show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_release(args) -> int:
     import json
 
@@ -171,6 +180,13 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--sf-dir", default=sf_default)
     runp.add_argument("--limit", type=int, default=20)
 
+    sqlp = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the registered tables"
+    )
+    sqlp.add_argument("query")
+    sqlp.add_argument("--sf-dir", default=sf_default)
+    sqlp.add_argument("--limit", type=int, default=20)
+
     rel = sub.add_parser(
         "release",
         help="publish a versioned corpus release (dedup + quality filter "
@@ -208,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
     return {
         "list": cmd_list,
         "run": cmd_run,
+        "sql": cmd_sql,
         "release": cmd_release,
         "ingest": cmd_ingest,
         "sse": cmd_sse,

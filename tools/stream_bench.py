@@ -67,6 +67,39 @@ def main() -> None:
             }
         )
     )
+
+    # Second line: document ingest WITH ingest-time near-dup dedup
+    # (streaming/neardup.py) — shingle+MinHash per batch plus the
+    # bucket-store collision join on top of the plain append path.
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        ingest_with_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        replay = f"{tmp}/replay"
+        write_replay_splits(docs, replay, N_SPLITS, "doc_id")
+        stream = read_replay_stream(spark, replay, docs.schema)
+        t0 = time.perf_counter()
+        q = ingest_with_neardup(stream, f"{tmp}/sink", f"{tmp}/ckpt")
+        q.awaitTermination(600)
+        elapsed = time.perf_counter() - t0
+        kept = read_sink(spark, f"{tmp}/sink").count()
+    print(
+        json.dumps(
+            {
+                "metric": "neardup_ingest_docs_per_sec",
+                "value": round(n_docs / elapsed, 1),
+                "unit": "docs/sec",
+                "docs_in": n_docs,
+                "docs_kept": kept,
+                "elapsed_sec": round(elapsed, 2),
+                "micro_batches": N_SPLITS,
+                "sf": sf_dir,
+            }
+        )
+    )
     spark.stop()
 
 
