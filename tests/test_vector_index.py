@@ -1,0 +1,93 @@
+"""Persistent IVF index: build/publish/probe lifecycle + pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.operators import clustering as C
+from etl_wikipedia_updates_spark.operators import similarity as S
+from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+from etl_wikipedia_updates_spark.tables import load_table
+from etl_wikipedia_updates_spark.vector_index import (
+    build_ivf_index,
+    query_ivf_index,
+)
+
+
+def _queries(emb, n=3):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+
+
+def test_index_build_query_matches_inmemory_probe(spark, sf_smoke, tmp_path):
+    """The persisted index must answer exactly like an in-session IVF
+    probe under the same (deterministic) centroids — persistence adds
+    no approximation — and the probe's scan must prune to the queried
+    cell partitions."""
+    root = str(tmp_path / "idx")
+    out = build_ivf_index(spark, sf_smoke, root)
+    assert out["version"] == 1
+
+    table = SnapshotTable(root)
+    meta = table.meta_for(1)
+    assert len(meta["centroids"]) == out["k"]
+    assert any(
+        d.startswith("cell=") for d in os.listdir(table.version_path(1))
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb)
+    got = query_ivf_index(spark, root, q, topk=3)
+
+    # in-memory reference: same assignment + probe, no persistence
+    cents = meta["centroids"]
+    data = C.assignment(emb, cents).select(
+        "vec_id", "embedding", F.col("cid").cast("int").alias("cell")
+    )
+    qcell = C.assignment(
+        q.select(
+            F.col("q_vec_id").alias("vec_id"),
+            F.col("q_embedding").alias("embedding"),
+        ),
+        cents,
+    ).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("cid").cast("int").alias("cell"),
+    )
+    want = S.cosine_topk_ivf(data, qcell, k=3, cell_col="cell").orderBy(
+        "q_vec_id", "rank"
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [cell" in plan
+
+
+def test_index_rebuild_versions_and_pins(spark, sf_smoke, tmp_path):
+    """A rebuild publishes a new version; a reader pinned to the old
+    version keeps answering from it."""
+    root = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_smoke, root)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb)
+    v1_answer = [r.asDict() for r in query_ivf_index(spark, root, q).collect()]
+
+    out2 = build_ivf_index(spark, sf_smoke, root, k=4)
+    assert out2["version"] == 2
+    assert len(SnapshotTable(root).meta_for(2)["centroids"]) == 4
+    pinned = [
+        r.asDict()
+        for r in query_ivf_index(spark, root, q, version=1).collect()
+    ]
+    assert pinned == v1_answer
