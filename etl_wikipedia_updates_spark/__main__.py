@@ -71,6 +71,35 @@ def cmd_release(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.tables import load_table
+    from etl_wikipedia_updates_spark.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    spark = _spark()
+    if args.action == "build":
+        out = build_ivf_index(
+            spark, args.sf_dir, args.root, k=args.k
+        )
+        print(json.dumps(out))
+        return 0
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(args.vec_ids)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    query_ivf_index(spark, args.root, q, topk=args.topk).show(
+        args.topk * max(1, len(args.vec_ids)), truncate=False
+    )
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
     from etl_wikipedia_updates_spark.streaming.ingest import (
@@ -196,6 +225,19 @@ def main(argv: list[str] | None = None) -> int:
     rel.add_argument("--sf-dir", default=sf_default)
     rel.add_argument("--keep-last", type=int, default=2)
 
+    idx = sub.add_parser(
+        "index", help="build or probe the persistent IVF vector index"
+    )
+    idx.add_argument("action", choices=["build", "query"])
+    idx.add_argument("--root", required=True, help="SnapshotTable root dir")
+    idx.add_argument("--sf-dir", default=sf_default)
+    idx.add_argument("--k", type=int, default=8)
+    idx.add_argument(
+        "--vec-ids", type=int, nargs="+", default=[0],
+        help="query: vec_ids from the embeddings table to probe with",
+    )
+    idx.add_argument("--topk", type=int, default=5)
+
     ing = sub.add_parser("ingest", help="file-replay ingest with retention")
     ing.add_argument("--replay", required=True)
     ing.add_argument("--sink", required=True)
@@ -226,6 +268,7 @@ def main(argv: list[str] | None = None) -> int:
         "run": cmd_run,
         "sql": cmd_sql,
         "release": cmd_release,
+        "index": cmd_index,
         "ingest": cmd_ingest,
         "sse": cmd_sse,
         "dashboard": cmd_dashboard,
