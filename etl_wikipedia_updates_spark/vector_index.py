@@ -40,6 +40,24 @@ from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
 from etl_wikipedia_updates_spark.tables import load_table, spread
 
 
+# Symmetric SQ8 (same math as ann_sq8/quantize_embeddings): s =
+# 127/absmax, q_i = round(v_i * s) as int8, dq_i = q_i / s.
+_SQ8_ABSMAX = (
+    "aggregate(transform(embedding, v -> abs(CAST(v AS DOUBLE))), 0.0D, "
+    "(a, v) -> greatest(a, v))"
+)
+_SQ8_QV = (
+    "IF(absmax > 0.0D, transform(embedding, v -> "
+    "CAST(floor(CAST(v AS DOUBLE) * (127.0D / absmax) + 0.5D) AS TINYINT)), "
+    "transform(embedding, v -> CAST(0 AS TINYINT)))"
+)
+_SQ8_DEQUANT = (
+    "IF(absmax > 0.0D, transform(qv, x -> "
+    "CAST(x AS DOUBLE) / (127.0D / absmax)), "
+    "transform(qv, x -> 0.0D))"
+)
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -47,8 +65,16 @@ def build_ivf_index(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     keep_last: int = 2,
+    quantize: bool = False,
 ) -> dict:
-    """Fit, assign, publish. Returns {"version": N, "k": k}."""
+    """Fit, assign, publish. Returns {"version": N, "k": k}.
+
+    quantize=True additionally stores each vector's symmetric-int8
+    form (qv tinyint array + absmax) beside the exact floats — the
+    ann_sq8 storage trade INSIDE the cell layout: the approximate
+    probe scans 1-byte elements (column pruning keeps the float
+    column unread), exact floats are touched only for the overfetched
+    rescore rows."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
@@ -56,14 +82,24 @@ def build_ivf_index(
     assigned = C.assignment(emb, cents).select(
         "vec_id", "embedding", F.col("cid").cast("int").alias("cell")
     )
+    if quantize:
+        assigned = assigned.selectExpr(
+            "vec_id", "embedding", "cell", f"{_SQ8_ABSMAX} AS absmax"
+        ).selectExpr("vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv")
     table = SnapshotTable(out_root)
     version = table.publish(
         assigned,
-        meta={"k": k, "iters": iters, "sf_dir": sf_dir, "centroids": cents},
+        meta={
+            "k": k,
+            "iters": iters,
+            "sf_dir": sf_dir,
+            "centroids": cents,
+            "quantized": quantize,
+        },
         partition_by=["cell"],
     )
     table.vacuum(keep_last=keep_last)
-    return {"version": version, "k": k}
+    return {"version": version, "k": k, "quantized": quantize}
 
 
 def query_ivf_index(
@@ -72,24 +108,28 @@ def query_ivf_index(
     queries: DataFrame,
     topk: int = 5,
     version: int | None = None,
+    overfetch: int = 4,
 ) -> DataFrame:
     """Probe a published index. queries: (q_vec_id, q_embedding).
 
     Output: (q_vec_id, rank, vec_id, cos_sim), ordered. The query
     cells are collected (|queries| ints — bounded driver work) and
     pushed as a partition-column filter so only the probed cells'
-    files are ever read."""
+    files are ever read. On a quantized index the cell scan ranks by
+    int8-dequantized cosine first (the float column stays unread —
+    column pruning), then rescores the topk*overfetch candidates
+    against the exact floats."""
     table = SnapshotTable(index_root)
     v = table.current_version() if version is None else version
     if v is None:
         raise FileNotFoundError(f"no published index under {index_root}")
-    cents = table.meta_for(v)["centroids"]
+    meta = table.meta_for(v)
     qcell = C.assignment(
         queries.select(
             F.col("q_vec_id").alias("vec_id"),
             F.col("q_embedding").alias("embedding"),
         ),
-        cents,
+        meta["centroids"],
     ).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),
@@ -97,5 +137,39 @@ def query_ivf_index(
     )
     cells = [r["cell"] for r in qcell.select("cell").distinct().collect()]
     data = table.read(spark, v).filter(F.col("cell").isin(cells))
-    out = S.cosine_topk_ivf(data, qcell, k=topk, cell_col="cell")
-    return out.orderBy("q_vec_id", "rank")
+    if not meta.get("quantized"):
+        out = S.cosine_topk_ivf(data, qcell, k=topk, cell_col="cell")
+        return out.orderBy("q_vec_id", "rank")
+    # quantized: approximate scan over dq (reads qv/absmax, not the
+    # float column), then exact rescore of the overfetched candidates
+    approx_side = data.selectExpr(
+        "vec_id", "cell", f"{_SQ8_DEQUANT} AS embedding"
+    )
+    cand = S.cosine_topk_ivf(
+        approx_side, qcell, k=topk * overfetch, cell_col="cell"
+    ).select("q_vec_id", "vec_id")
+    from etl_wikipedia_updates_spark.functions.arrays import (
+        cosine_similarity,
+    )
+    from etl_wikipedia_updates_spark.functions.deterministic import det_round
+    from pyspark.sql import Window as W
+
+    exact = cand.join(
+        data.select("vec_id", "embedding"), "vec_id"
+    ).join(
+        F.broadcast(qcell.select("q_vec_id", "q_embedding")), "q_vec_id"
+    )
+    sim = cosine_similarity(F.col("q_embedding"), F.col("embedding"))
+    w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        exact.select("q_vec_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "q_vec_id",
+            "rank",
+            "vec_id",
+            det_round(F.col("sim"), 4).alias("cos_sim"),
+        )
+        .orderBy("q_vec_id", "rank")
+    )

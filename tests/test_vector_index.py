@@ -91,3 +91,40 @@ def test_index_rebuild_versions_and_pins(spark, sf_smoke, tmp_path):
         for r in query_ivf_index(spark, root, q, version=1).collect()
     ]
     assert pinned == v1_answer
+
+
+def test_quantized_index_rescore_recovers_exact_ranking(
+    spark, sf_smoke, tmp_path
+):
+    """SQ8-in-cells: the quantized index stores int8 vectors beside the
+    floats; with overfetch covering the whole cell, the exact rescore
+    must reproduce the float index's answer EXACTLY (the approximation
+    only prunes candidates, never the final scores). The stored qv
+    column must be 1-byte elements."""
+    froot, qroot = str(tmp_path / "f"), str(tmp_path / "q")
+    build_ivf_index(spark, sf_smoke, froot)
+    out = build_ivf_index(spark, sf_smoke, qroot, quantize=True)
+    assert out["quantized"] is True
+
+    qdata = SnapshotTable(qroot).read(spark, 1)
+    assert dict(qdata.dtypes)["qv"] == "array<tinyint>"
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb)
+    want = [
+        r.asDict() for r in query_ivf_index(spark, froot, q, topk=3).collect()
+    ]
+    got = [
+        r.asDict()
+        for r in query_ivf_index(
+            spark, qroot, q, topk=3, overfetch=10_000
+        ).collect()
+    ]
+    assert got == want
+    # default overfetch: same ids in the top-k at this scale
+    fast = [
+        r.asDict() for r in query_ivf_index(spark, qroot, q, topk=3).collect()
+    ]
+    assert {(r["q_vec_id"], r["vec_id"]) for r in fast} == {
+        (r["q_vec_id"], r["vec_id"]) for r in want
+    }
