@@ -27,9 +27,11 @@ under live query traffic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from etl_wikipedia_updates_spark.functions.arrays import cosine_similarity
+from etl_wikipedia_updates_spark.functions.deterministic import det_round
 from etl_wikipedia_updates_spark.operators import clustering as C
 from etl_wikipedia_updates_spark.operators import similarity as S
 from etl_wikipedia_updates_spark.plans.clustering import (
@@ -148,12 +150,6 @@ def query_ivf_index(
     cand = S.cosine_topk_ivf(
         approx_side, qcell, k=topk * overfetch, cell_col="cell"
     ).select("q_vec_id", "vec_id")
-    from etl_wikipedia_updates_spark.functions.arrays import (
-        cosine_similarity,
-    )
-    from etl_wikipedia_updates_spark.functions.deterministic import det_round
-    from pyspark.sql import Window as W
-
     exact = cand.join(
         data.select("vec_id", "embedding"), "vec_id"
     ).join(
