@@ -1124,12 +1124,13 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = T.doc_tokens(docs)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = (
-        tok.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # df derives FROM tf (its rows are exactly the distinct (doc_id,
+    # term) pairs) instead of a second explode+distinct over tok —
+    # same physical cost (Catalyst pushes the scored branch's doc_id
+    # filter below its tf aggregate, correctly for scale, so the two
+    # branches stay separate scans either way; measured neutral), one
+    # less way to express "distinct pairs" in the plan.
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.filter(F.col("doc_id") < TFIDF_N_DOCS)
@@ -1825,12 +1826,11 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qt = tok.filter(F.col("term").isin(*BM25_TERMS))
     tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = (
-        qt.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # df derives FROM tf (distinct (doc_id, term) pairs by
+    # construction): unlike tfidf there is no per-branch filter to
+    # break subplan identity, so both consumers share the one
+    # query-term token aggregation.
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
     idf = (
         F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
