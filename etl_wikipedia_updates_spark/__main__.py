@@ -94,7 +94,9 @@ def cmd_index(args) -> int:
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),
     )
-    query_ivf_index(spark, args.root, q, topk=args.topk).show(
+    query_ivf_index(
+        spark, args.root, q, topk=args.topk, n_probes=args.n_probes
+    ).show(
         args.topk * max(1, len(args.vec_ids)), truncate=False
     )
     return 0
@@ -237,6 +239,7 @@ def main(argv: list[str] | None = None) -> int:
         help="query: vec_ids from the embeddings table to probe with",
     )
     idx.add_argument("--topk", type=int, default=5)
+    idx.add_argument("--n-probes", type=int, default=1)
 
     ing = sub.add_parser("ingest", help="file-replay ingest with retention")
     ing.add_argument("--replay", required=True)

@@ -65,12 +65,35 @@ def sql_squared_l2(e: str, c: str) -> str:
     )
 
 
-def _best_expr(centroids: list[list[float]]) -> str:
+def _dist_structs_expr(centroids: list[list[float]]) -> str:
+    """Per-row array of (d2, cid) structs, one per centroid."""
     return (
-        f"array_min(transform({_matrix_sql(centroids)}, (c, i) -> "
+        f"transform({_matrix_sql(centroids)}, (c, i) -> "
         "named_struct('d2', aggregate(zip_with(embedding, c, "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "0.0D, (acc, v) -> acc + v), 'cid', CAST(i AS INT))))"
+        "0.0D, (acc, v) -> acc + v), 'cid', CAST(i AS INT)))"
+    )
+
+
+def _best_expr(centroids: list[list[float]]) -> str:
+    return f"array_min({_dist_structs_expr(centroids)})"
+
+
+def assignment_topp(
+    emb: DataFrame, centroids: list[list[float]], p: int
+) -> DataFrame:
+    """Multi-probe assignment: (vec_id, cid) rows for each vector's p
+    NEAREST centroids (struct array_sort orders by d2 then cid — the
+    same tie-break as assignment). Pure projection + a p-way explode;
+    p is a tiny constant, so this stays map-side at any corpus
+    size."""
+    return emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"explode(slice(array_sort({_dist_structs_expr(centroids)}), 1, {p}))"
+        " AS __probe",
+    ).select(
+        "vec_id", "embedding", F.col("__probe.cid").alias("cid")
     )
 
 

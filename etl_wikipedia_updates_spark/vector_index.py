@@ -111,13 +111,17 @@ def query_ivf_index(
     topk: int = 5,
     version: int | None = None,
     overfetch: int = 4,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Probe a published index. queries: (q_vec_id, q_embedding).
 
     Output: (q_vec_id, rank, vec_id, cos_sim), ordered. The query
-    cells are collected (|queries| ints — bounded driver work) and
-    pushed as a partition-column filter so only the probed cells'
-    files are ever read. On a quantized index the cell scan ranks by
+    cells are collected (|queries| * n_probes ints — bounded driver
+    work) and pushed as a partition-column filter so only the probed
+    cells' files are ever read. n_probes > 1 probes each query's
+    nearest P cells (the standard IVF recall knob — a corpus vector
+    lives in exactly one cell, so multi-probe unions candidates
+    without duplicates). On a quantized index the cell scan ranks by
     int8-dequantized cosine first (the float column stays unread —
     column pruning), then rescores the topk*overfetch candidates
     against the exact floats."""
@@ -126,12 +130,13 @@ def query_ivf_index(
     if v is None:
         raise FileNotFoundError(f"no published index under {index_root}")
     meta = table.meta_for(v)
-    qcell = C.assignment(
+    qcell = C.assignment_topp(
         queries.select(
             F.col("q_vec_id").alias("vec_id"),
             F.col("q_embedding").alias("embedding"),
         ),
         meta["centroids"],
+        p=n_probes,
     ).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),

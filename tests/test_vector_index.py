@@ -128,3 +128,43 @@ def test_quantized_index_rescore_recovers_exact_ranking(
     assert {(r["q_vec_id"], r["vec_id"]) for r in fast} == {
         (r["q_vec_id"], r["vec_id"]) for r in want
     }
+
+
+def test_multi_probe_widens_candidates_and_keeps_p1_semantics(
+    spark, sf_smoke, tmp_path
+):
+    """n_probes=1 must reproduce the single-cell probe exactly (the
+    top-1 of the sorted distance structs is assignment's struct-min);
+    n_probes=k (every cell) must equal brute-force top-k over the
+    whole corpus, and per-query similarity at n_probes=k is >= the
+    single-probe answer (more candidates can only improve recall)."""
+    root = str(tmp_path / "idx")
+    out = build_ivf_index(spark, sf_smoke, root)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb)
+
+    p1 = [r.asDict() for r in query_ivf_index(spark, root, q, topk=3).collect()]
+    p1_again = [
+        r.asDict()
+        for r in query_ivf_index(spark, root, q, topk=3, n_probes=1).collect()
+    ]
+    assert p1 == p1_again
+
+    allp = {
+        (r["q_vec_id"], r["rank"]): r
+        for r in (
+            r.asDict()
+            for r in query_ivf_index(
+                spark, root, q, topk=3, n_probes=out["k"]
+            ).collect()
+        )
+    }
+    brute = S.cosine_topk(emb, _queries(emb), k=3)
+    want = {
+        (r["q_vec_id"], r["rank"]): r.asDict()
+        for r in brute.orderBy("q_vec_id", "rank").collect()
+    }
+    assert set(allp) == set(want)
+    for key, row in allp.items():
+        assert row["vec_id"] == want[key]["vec_id"]
+        assert row["cos_sim"] == want[key]["cos_sim"]
