@@ -1927,12 +1927,13 @@ _REP_TAGGED = (
 )
 
 
-def _rep_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc repetition signals + keep/drop verdict — shared by
-    rep_filter (which aggregates the audit) and corpus_release (which
-    uses the verdict as its quality gate). Carries n_chars through the
-    aggregation keys (functionally dependent on doc_id) so downstream
-    budget math needs no extra join against documents.
+def _rep_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals + keep/drop verdict over a documents
+    frame — shared by rep_filter (which aggregates the audit) and
+    corpus_release (which uses the verdict as its quality gate).
+    Carries n_chars through the aggregation keys (functionally
+    dependent on doc_id) so downstream budget math needs no extra join
+    against documents.
 
     Scale shape: ONE explode of a tagged word+bigram array feeds one
     (doc_id, term) count shuffle and one per-doc reduction — both keys
@@ -1940,7 +1941,6 @@ def _rep_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id so no corpus-hot token exists), and both aggregations
     combine map-side. All per-doc math is integer counts + one double
     division, deterministic cross-engine."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.selectExpr(
         "doc_id", "source", "n_chars", f"explode({_REP_TAGGED}) AS term"
     )
@@ -1987,7 +1987,7 @@ def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal values per class (class means use the scaled-long exact sum,
     functions.deterministic; plan shape documented on _rep_per_doc)."""
     return (
-        _rep_per_doc(spark, sf_dir)
+        _rep_per_doc(spread(load_table(spark, sf_dir, "documents")))
         .groupBy("source", "verdict")
         .agg(
             F.count("*").alias("n_docs"),
@@ -2173,7 +2173,7 @@ def release_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     kept = (
-        _rep_per_doc(spark, sf_dir)
+        _rep_per_doc(spread(load_table(spark, sf_dir, "documents")))
         .filter(F.col("verdict") == "keep")
         .select("source", "doc_id", "n_chars")
         .join(dropped, "doc_id", "left_anti")

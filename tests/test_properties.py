@@ -246,3 +246,42 @@ def test_corpus_stats_totals_match_docs(spark, sf_smoke):
     assert sum(r.total_chars for r in rows) == docs.agg(
         F.sum("n_chars")
     ).first()[0]
+
+
+@given(docs=docs_strategy)
+@SLOW
+def test_rep_filter_per_doc_matches_python_reference(spark, docs):
+    """rep_filter's per-doc repetition signals must equal a
+    from-scratch Python computation on ANY corpus: word/bigram counts,
+    fractions, and the keep/drop verdict — guards the tagged-explode
+    expression (word vs bigram tagging, slice indexing) and the
+    NULL-bigram coalesce for single-word docs."""
+    from collections import Counter
+
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    rows = [
+        (doc_id, text, "en", "src", len(text))
+        for doc_id, text in docs
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    got = {r["doc_id"]: r.asDict() for r in N._rep_per_doc(df).collect()}
+    for doc_id, text in docs:
+        ws = text.lower().split(" ")
+        wc = Counter(ws)
+        n, nd, topw = len(ws), len(wc), max(wc.values())
+        bigrams = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        bc = Counter(bigrams)
+        dup = 1 - nd / n
+        topwf = topw / n
+        topbf = (max(bc.values()) / len(bigrams)) if bigrams else 0.0
+        keep = (
+            topwf <= N.REP_TOPW_MAX
+            and topbf <= N.REP_TOPB_MAX
+            and dup <= N.REP_DUP_MAX
+        )
+        r = got[doc_id]
+        assert r["dup"] == dup and r["topw"] == topwf and r["topb"] == topbf
+        assert r["verdict"] == ("keep" if keep else "drop")
