@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from etl_wikipedia_updates_spark.operators import dedup as D
+from etl_wikipedia_updates_spark.operators import similarity as S
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.plans.northstar import (
     MINHASH_BANDS,
@@ -90,17 +91,60 @@ def batch_neardup_drops(
     return within.unionByName(prev).distinct()
 
 
-def dedup_ingest_batch(
-    batch_df: DataFrame, sink_path: str, batch_id: int
+# --- embedding-space variant (SemDeDup-style blocking) ------------------------
+# 4 bands of 16 sign bits: a pair collides iff some band's 16
+# hyperplane signs all agree — a coarse cosine proximity proxy (at
+# sf0.001 it drops 14/500; 8-bit bands dropped 438/500, far too
+# aggressive for random-ish vectors). Seeds decorrelate the bands.
+EMB_BANDS = 4
+EMB_BITS = 16
+EMB_DIM = 64  # the embeddings table's dimensionality
+
+
+def embedding_band_rows(emb: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, band_key) bucket membership for an
+    embeddings frame — doc_id carries vec_id and lang is a constant so
+    the frame is shape-compatible with batch_neardup_drops and the
+    bucket store."""
+    bands = []
+    for b in range(EMB_BANDS):
+        planes = S.lsh_hyperplanes(EMB_BITS, EMB_DIM, seed=11 + 97 * b)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                S.lsh_bucket_col("embedding", planes)
+                .cast("string")
+                .alias("band_key"),
+            )
+        )
+    return emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit("*").alias("lang"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def _ingest_dedup_batch(
+    batch_df: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    band_fn,
+    id_col: str,
 ) -> None:
-    """One micro-batch of near-dup-deduped ingest (foreachBatch body).
+    """One micro-batch of dedup ingest (foreachBatch body), shared by
+    the document (MinHash) and embedding (sign-bucket) variants.
 
     Reads the bucket store's COMMITTED dirs with id < batch_id (a
     replayed batch must not collide with its own first attempt), drops
-    colliding docs, appends survivors to the data sink and ALL batch
+    colliding rows, appends survivors to the data sink and ALL batch
     buckets to the store — both under this batch's idempotent dir."""
     spark = batch_df.sparkSession
-    band = doc_band_rows(batch_df)
+    band = band_fn(batch_df)
     store_dirs = [
         p
         for b, p in _committed_batch_dirs(bucket_store_path(sink_path))
@@ -112,12 +156,23 @@ def dedup_ingest_batch(
             "doc_id bigint, lang string, band int, band_key string"
         ).parquet(*store_dirs)
     drops = batch_neardup_drops(band, store)
-    survivors = batch_df.join(drops, "doc_id", "left_anti")
+    survivors = batch_df.join(
+        drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
     append_batch(survivors, sink_path, batch_id)
     append_batch(
         band.select("doc_id", "lang", "band", "band_key"),
         bucket_store_path(sink_path),
         batch_id,
+    )
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame, sink_path: str, batch_id: int
+) -> None:
+    """Document (MinHash/LSH) dedup ingest micro-batch."""
+    _ingest_dedup_batch(
+        batch_df, sink_path, batch_id, doc_band_rows, "doc_id"
     )
 
 
@@ -140,6 +195,48 @@ def ingest_with_neardup(
     return writer.start()
 
 
+def ingest_with_embedding_neardup(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streamed embeddings -> sign-bucket-deduped sink (SemDeDup-style
+    ingest blocking), checkpointed."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _ingest_dedup_batch(
+            batch_df, sink_path, batch_id, embedding_band_rows, "vec_id"
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _batch_keep(df: DataFrame, band_fn, id_col: str) -> DataFrame:
+    band = band_fn(df)
+    keys = ["lang", "band", "band_key"]
+    keeper = band.groupBy(*keys).agg(F.min("doc_id").alias("keeper"))
+    dropped = (
+        band.join(keeper, keys)
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
+def batch_embedding_neardup_keep(emb: DataFrame) -> DataFrame:
+    """Batch statement of the embedding streaming rule (equivalence
+    tests and backfills) — survives iff no smaller vec_id shares any
+    sign-bucket band."""
+    return _batch_keep(emb, embedding_band_rows, "vec_id")
+
+
 def batch_neardup_keep(docs: DataFrame) -> DataFrame:
     """The BATCH statement of the streaming rule, for equivalence
     tests and backfills: a doc survives iff it is the smallest doc_id
@@ -148,13 +245,4 @@ def batch_neardup_keep(docs: DataFrame) -> DataFrame:
     order, the streamed sink must equal this exactly (arrival order =
     doc_id order makes 'earlier' and 'smaller' the same relation
     across and within batches)."""
-    band = doc_band_rows(docs)
-    keys = ["lang", "band", "band_key"]
-    keeper = band.groupBy(*keys).agg(F.min("doc_id").alias("keeper"))
-    dropped = (
-        band.join(keeper, keys)
-        .filter(F.col("doc_id") > F.col("keeper"))
-        .select("doc_id")
-        .distinct()
-    )
-    return docs.join(dropped, "doc_id", "left_anti")
+    return _batch_keep(docs, doc_band_rows, "doc_id")

@@ -692,3 +692,39 @@ def test_neardup_batch_replay_idempotent_and_blocks_later_dups(
     copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
     dedup_ingest_batch(copies, sink, 1)  # exact dups of batch 0
     assert read_sink(spark, sink).count() == first
+
+
+def test_streaming_embedding_neardup_equals_batch(spark, tmp_path):
+    """Embedding-space (SemDeDup-style) ingest dedup: the embeddings
+    table replayed in vec_id order must land exactly the vectors the
+    batch sign-bucket rule keeps, and the rule must drop a small
+    nonzero fraction on this corpus."""
+    from etl_wikipedia_updates_spark.sources.replay import (
+        read_replay_stream,
+        write_replay_splits,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_embedding_neardup_keep,
+        ingest_with_embedding_neardup,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(emb, replay, 4, "vec_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_embedding_neardup(
+        read_replay_stream(spark, replay, emb.schema), sink, ckpt
+    )
+    q.awaitTermination(300)
+
+    def checksum(df):
+        r = df.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s")).first()
+        return r["n"], r["s"]
+
+    expected = checksum(batch_embedding_neardup_keep(emb))
+    total = emb.count()
+    assert 0 < total - expected[0] < total * 0.2  # drops some, not most
+    assert checksum(read_sink(spark, sink)) == expected
