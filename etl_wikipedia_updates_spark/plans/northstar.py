@@ -2082,7 +2082,16 @@ def mix_keep_cond(budget_col: str, floor_col: str) -> "F.Column":
 
 def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: per-source audit of a deterministic downsample to
-    the smallest source's character budget.
+    the smallest source's character budget."""
+    return _source_mix(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+    )
+
+
+def _source_mix(docs: DataFrame) -> DataFrame:
+    """The mixing audit over a (doc_id, source, n_chars) frame.
 
     Scale shape: the budget pass is one map-side-combined tiny agg
     (|sources| rows) broadcast back onto the corpus; membership is
@@ -2092,9 +2101,6 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 columns, and at 100 TB the first is a cheap partial-agg pass,
     strictly better than shuffling the corpus once on a skewed
     source key to window it."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
     budgets = docs.groupBy("source").agg(
         F.count("*").alias("docs_in"),
         F.sum("n_chars").alias("chars_in"),

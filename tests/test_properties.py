@@ -285,3 +285,52 @@ def test_rep_filter_per_doc_matches_python_reference(spark, docs):
         r = got[doc_id]
         assert r["dup"] == dup and r["topw"] == topwf and r["topb"] == topbf
         assert r["verdict"] == ("keep" if keep else "drop")
+
+
+mix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id
+        st.sampled_from(["a", "b", "c"]),  # source
+        st.integers(min_value=1, max_value=500),  # n_chars
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=mix_rows)
+@SLOW
+def test_source_mix_matches_python_reference(spark, rows):
+    """source_mix's all-integer membership rule and audit arithmetic
+    must equal a from-scratch Python computation on ANY corpus —
+    guards the LCG bucket math, the budget-floor comparison direction,
+    and the left-join zero-fill for sources whose sample came up
+    empty."""
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int"
+    )
+    got = {r["source"]: r.asDict() for r in N._source_mix(df).collect()}
+
+    budgets: dict[str, list[int]] = {}
+    for d, s_, c in rows:
+        budgets.setdefault(s_, [0, 0])
+        budgets[s_][0] += 1
+        budgets[s_][1] += c
+    min_chars = min(v[1] for v in budgets.values())
+    for s_, (docs_in, chars_in) in budgets.items():
+        kept = [
+            (d, c)
+            for d, src, c in rows
+            if src == s_
+            and ((d * N.MIX_A + N.MIX_B) % 2_147_483_647 % N.MIX_BUCKETS)
+            * chars_in
+            < min_chars * N.MIX_BUCKETS
+        ]
+        r = got[s_]
+        assert (r["docs_in"], r["chars_in"]) == (docs_in, chars_in)
+        assert r["docs_kept"] == len(kept)
+        assert r["chars_kept"] == sum(c for _, c in kept)
+        assert r["kept_checksum"] == sum(d for d, _ in kept)
