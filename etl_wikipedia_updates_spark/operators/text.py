@@ -134,10 +134,7 @@ def token_dictionary(docs: DataFrame) -> DataFrame:
     tables are tiny relative to corpora either way, and the result is
     broadcast wherever it's joined.
     """
-    terms = doc_tokens(docs, distinct=True).select("term").distinct()
-    return terms.select(
-        "term", F.row_number().over(W.orderBy("term")).alias("tid")
-    )
+    return term_dictionary(doc_tokens(docs, distinct=True))
 
 
 def fit_stopwords(docs: DataFrame, n: int) -> list[str]:
