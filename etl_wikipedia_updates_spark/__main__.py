@@ -102,6 +102,28 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_dedup_ingest(args) -> int:
+    from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        ingest_with_embedding_neardup,
+        ingest_with_neardup,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    spark = _spark()
+    table = "documents" if args.mode == "doc" else "embeddings"
+    schema = load_table(spark, args.sf_dir, table).schema
+    stream = read_replay_stream(spark, args.replay, schema)
+    start = ingest_with_neardup if args.mode == "doc" else (
+        ingest_with_embedding_neardup
+    )
+    q = start(stream, args.sink, args.checkpoint or args.sink + "_ckpt")
+    q.awaitTermination(args.timeout)
+    print(f"rows kept: {read_sink(spark, args.sink).count()}")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
     from etl_wikipedia_updates_spark.streaming.ingest import (
@@ -241,6 +263,18 @@ def main(argv: list[str] | None = None) -> int:
     idx.add_argument("--topk", type=int, default=5)
     idx.add_argument("--n-probes", type=int, default=1)
 
+    ded = sub.add_parser(
+        "dedup-ingest",
+        help="file-replay ingest with near-dup dedup at ingest "
+        "(doc: MinHash bands; embedding: sign-bucket LSH)",
+    )
+    ded.add_argument("--replay", required=True)
+    ded.add_argument("--sink", required=True)
+    ded.add_argument("--checkpoint")
+    ded.add_argument("--mode", choices=["doc", "embedding"], default="doc")
+    ded.add_argument("--sf-dir", default=sf_default)
+    ded.add_argument("--timeout", type=int, default=600)
+
     ing = sub.add_parser("ingest", help="file-replay ingest with retention")
     ing.add_argument("--replay", required=True)
     ing.add_argument("--sink", required=True)
@@ -272,6 +306,7 @@ def main(argv: list[str] | None = None) -> int:
         "sql": cmd_sql,
         "release": cmd_release,
         "index": cmd_index,
+        "dedup-ingest": cmd_dedup_ingest,
         "ingest": cmd_ingest,
         "sse": cmd_sse,
         "dashboard": cmd_dashboard,
