@@ -85,7 +85,7 @@ def cmd_index(args) -> int:
     spark = _spark()
     if args.action == "build":
         out = build_ivf_index(
-            spark, args.sf_dir, args.root, k=args.k
+            spark, args.sf_dir, args.root, k=args.k, quantize=args.quantize
         )
         print(json.dumps(out))
         return 0
@@ -119,7 +119,11 @@ def cmd_dedup_ingest(args) -> int:
         ingest_with_embedding_neardup
     )
     q = start(stream, args.sink, args.checkpoint or args.sink + "_ckpt")
-    q.awaitTermination(args.timeout)
+    finished = q.awaitTermination(args.timeout)
+    if not finished:
+        q.stop()
+        print(f"TIMEOUT after {args.timeout}s; sink is partial", file=sys.stderr)
+        return 1
     print(f"rows kept: {read_sink(spark, args.sink).count()}")
     return 0
 
@@ -262,6 +266,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     idx.add_argument("--topk", type=int, default=5)
     idx.add_argument("--n-probes", type=int, default=1)
+    idx.add_argument(
+        "--quantize", action="store_true",
+        help="build: store SQ8 int8 vectors beside the floats",
+    )
 
     ded = sub.add_parser(
         "dedup-ingest",

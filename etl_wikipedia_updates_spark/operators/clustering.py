@@ -79,21 +79,22 @@ def _best_expr(centroids: list[list[float]]) -> str:
     return f"array_min({_dist_structs_expr(centroids)})"
 
 
-def assignment_topp(
+def probe_cells(
     emb: DataFrame, centroids: list[list[float]], p: int
 ) -> DataFrame:
-    """Multi-probe assignment: (vec_id, cid) rows for each vector's p
-    NEAREST centroids (struct array_sort orders by d2 then cid — the
-    same tie-break as assignment). Pure projection + a p-way explode;
-    p is a tiny constant, so this stays map-side at any corpus
-    size."""
+    """Multi-probe assignment: (vec_id, embedding, probe_cells) with
+    each vector's p NEAREST centroid ids as an ARRAY (struct
+    array_sort orders by d2 then cid — the same tie-break as
+    assignment). One row per vector — the shape
+    similarity.cosine_topk_multiprobe consumes, and the shape that
+    keeps downstream rescore joins duplicate-free by construction.
+    Pure projection; p is a tiny constant, so this stays map-side at
+    any corpus size."""
     return emb.selectExpr(
         "vec_id",
         "embedding",
-        f"explode(slice(array_sort({_dist_structs_expr(centroids)}), 1, {p}))"
-        " AS __probe",
-    ).select(
-        "vec_id", "embedding", F.col("__probe.cid").alias("cid")
+        f"transform(slice(array_sort({_dist_structs_expr(centroids)}), 1, {p}), "
+        "s -> s.cid) AS probe_cells",
     )
 
 

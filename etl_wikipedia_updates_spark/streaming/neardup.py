@@ -144,27 +144,34 @@ def _ingest_dedup_batch(
     colliding rows, appends survivors to the data sink and ALL batch
     buckets to the store — both under this batch's idempotent dir."""
     spark = batch_df.sparkSession
-    band = band_fn(batch_df)
-    store_dirs = [
-        p
-        for b, p in _committed_batch_dirs(bucket_store_path(sink_path))
-        if b < batch_id
-    ]
-    store = None
-    if store_dirs:
-        store = spark.read.schema(
-            "doc_id bigint, lang string, band int, band_key string"
-        ).parquet(*store_dirs)
-    drops = batch_neardup_drops(band, store)
-    survivors = batch_df.join(
-        drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-    )
-    append_batch(survivors, sink_path, batch_id)
-    append_batch(
-        band.select("doc_id", "lang", "band", "band_key"),
-        bucket_store_path(sink_path),
-        batch_id,
-    )
+    # Persisted across the two actions below: the survivors write
+    # evaluates band (through drops) and the store write evaluates it
+    # again — without the persist each batch would pay the signature
+    # aggregation (the dominant per-batch cost) twice.
+    band = band_fn(batch_df).persist()
+    try:
+        store_dirs = [
+            p
+            for b, p in _committed_batch_dirs(bucket_store_path(sink_path))
+            if b < batch_id
+        ]
+        store = None
+        if store_dirs:
+            store = spark.read.schema(
+                "doc_id bigint, lang string, band int, band_key string"
+            ).parquet(*store_dirs)
+        drops = batch_neardup_drops(band, store)
+        survivors = batch_df.join(
+            drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        )
+        append_batch(survivors, sink_path, batch_id)
+        append_batch(
+            band.select("doc_id", "lang", "band", "band_key"),
+            bucket_store_path(sink_path),
+            batch_id,
+        )
+    finally:
+        band.unpersist()
 
 
 def dedup_ingest_batch(
@@ -218,16 +225,13 @@ def ingest_with_embedding_neardup(
 
 
 def _batch_keep(df: DataFrame, band_fn, id_col: str) -> DataFrame:
-    band = band_fn(df)
-    keys = ["lang", "band", "band_key"]
-    keeper = band.groupBy(*keys).agg(F.min("doc_id").alias("keeper"))
-    dropped = (
-        band.join(keeper, keys)
-        .filter(F.col("doc_id") > F.col("keeper"))
-        .select(F.col("doc_id").alias(id_col))
-        .distinct()
+    # The batch rule IS the streaming rule with an empty store — one
+    # implementation (batch_neardup_drops), so the equivalence
+    # reference can never drift from what the ingest path computes.
+    drops = batch_neardup_drops(band_fn(df), None)
+    return df.join(
+        drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
-    return df.join(dropped, id_col, "left_anti")
 
 
 def batch_embedding_neardup_keep(emb: DataFrame) -> DataFrame:

@@ -130,7 +130,11 @@ def query_ivf_index(
     if v is None:
         raise FileNotFoundError(f"no published index under {index_root}")
     meta = table.meta_for(v)
-    qcell = C.assignment_topp(
+    # ONE row per query with its probe cells as an ARRAY — the shape
+    # cosine_topk_multiprobe consumes, and the shape that keeps the
+    # rescore join below duplicate-free by construction (a per-probe
+    # ROW form would multiply every candidate by n_probes there).
+    qprobe = C.probe_cells(
         queries.select(
             F.col("q_vec_id").alias("vec_id"),
             F.col("q_embedding").alias("embedding"),
@@ -140,25 +144,27 @@ def query_ivf_index(
     ).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),
-        F.col("cid").cast("int").alias("cell"),
+        F.col("probe_cells").cast("array<int>").alias("probe_cells"),
     )
-    cells = [r["cell"] for r in qcell.select("cell").distinct().collect()]
+    cells = sorted(
+        {c for r in qprobe.select("probe_cells").collect() for c in r[0]}
+    )
     data = table.read(spark, v).filter(F.col("cell").isin(cells))
     if not meta.get("quantized"):
-        out = S.cosine_topk_ivf(data, qcell, k=topk, cell_col="cell")
+        out = S.cosine_topk_multiprobe(data, qprobe, k=topk, cell_col="cell")
         return out.orderBy("q_vec_id", "rank")
     # quantized: approximate scan over dq (reads qv/absmax, not the
     # float column), then exact rescore of the overfetched candidates
     approx_side = data.selectExpr(
         "vec_id", "cell", f"{_SQ8_DEQUANT} AS embedding"
     )
-    cand = S.cosine_topk_ivf(
-        approx_side, qcell, k=topk * overfetch, cell_col="cell"
+    cand = S.cosine_topk_multiprobe(
+        approx_side, qprobe, k=topk * overfetch, cell_col="cell"
     ).select("q_vec_id", "vec_id")
     exact = cand.join(
         data.select("vec_id", "embedding"), "vec_id"
     ).join(
-        F.broadcast(qcell.select("q_vec_id", "q_embedding")), "q_vec_id"
+        F.broadcast(qprobe.select("q_vec_id", "q_embedding")), "q_vec_id"
     )
     sim = cosine_similarity(F.col("q_embedding"), F.col("embedding"))
     w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))

@@ -168,3 +168,42 @@ def test_multi_probe_widens_candidates_and_keeps_p1_semantics(
     for key, row in allp.items():
         assert row["vec_id"] == want[key]["vec_id"]
         assert row["cos_sim"] == want[key]["cos_sim"]
+
+
+def test_quantized_multiprobe_no_duplicates_and_converges(
+    spark, sf_smoke, tmp_path
+):
+    """The quantized rescore with n_probes > 1 must emit each
+    (q_vec_id, vec_id) at most once with contiguous ranks (the
+    per-probe ROW form of the query side would multiply candidates by
+    n_probes here), and with all cells probed + unbounded overfetch it
+    must equal brute-force top-k exactly."""
+    root = str(tmp_path / "q")
+    out = build_ivf_index(spark, sf_smoke, root, quantize=True)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb)
+
+    got = [
+        r.asDict()
+        for r in query_ivf_index(spark, root, q, topk=3, n_probes=2).collect()
+    ]
+    pairs = [(r["q_vec_id"], r["vec_id"]) for r in got]
+    assert len(pairs) == len(set(pairs))
+    for qid in {p[0] for p in pairs}:
+        assert [r["rank"] for r in got if r["q_vec_id"] == qid] == [1, 2, 3]
+
+    full = [
+        r.asDict()
+        for r in query_ivf_index(
+            spark, root, q, topk=3, n_probes=out["k"], overfetch=10_000
+        ).collect()
+    ]
+    brute = [
+        r.asDict()
+        for r in S.cosine_topk(emb, _queries(emb), k=3)
+        .orderBy("q_vec_id", "rank")
+        .collect()
+    ]
+    assert [(r["q_vec_id"], r["rank"], r["vec_id"]) for r in full] == [
+        (r["q_vec_id"], r["rank"], r["vec_id"]) for r in brute
+    ]
