@@ -69,3 +69,81 @@ def test_cli_dashboard(spark, sf_smoke, tmp_path, capsys):
     assert lines[1]["delta"]["rows"] == 0  # static sink between polls
     assert lines[1]["events_per_min"] == 0.0
     assert lines[0]["bytes"] > 0
+
+
+def test_cli_sql(spark, sf_smoke, capsys):
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT count(*) AS n FROM region",
+                "--sf-dir", sf_smoke,
+            ]
+        )
+        == 0
+    )
+    assert "n" in capsys.readouterr().out
+
+
+def test_cli_release_and_index(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    assert (
+        main(
+            ["release", "--out", str(tmp_path / "rel"), "--sf-dir", sf_smoke]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["audit"]
+
+    assert (
+        main(
+            [
+                "index", "build",
+                "--root", str(tmp_path / "idx"),
+                "--sf-dir", sf_smoke,
+                "--quantize",
+            ]
+        )
+        == 0
+    )
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built == {"version": 1, "k": 8, "quantized": True}
+    assert (
+        main(
+            [
+                "index", "query",
+                "--root", str(tmp_path / "idx"),
+                "--sf-dir", sf_smoke,
+                "--vec-ids", "0", "1",
+                "--topk", "2",
+                "--n-probes", "2",
+            ]
+        )
+        == 0
+    )
+    shown = capsys.readouterr().out
+    assert "q_vec_id" in shown and "cos_sim" in shown
+
+
+def test_cli_dedup_ingest(spark, sf_smoke, tmp_path, capsys):
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 2, "doc_id")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", str(tmp_path / "sink"),
+                "--sf-dir", sf_smoke,
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "rows kept:" in out
