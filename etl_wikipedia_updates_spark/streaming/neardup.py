@@ -202,6 +202,58 @@ def ingest_with_neardup(
     return writer.start()
 
 
+def quality_neardup_ingest_batch(
+    batch_df: DataFrame, sink_path: str, batch_id: int
+) -> None:
+    """corpus_release's ingest-time twin: the Gopher-style repetition
+    quality gate (plans.northstar._rep_per_doc — fit-free, stateless
+    per doc, so it streams without any model state) runs FIRST, then
+    the surviving docs go through near-dup dedup against the bucket
+    store. Mixing/splitting need corpus-global budgets, so they stay
+    release-time; quality + dedup are the stages a crawl pipeline
+    applies per batch."""
+    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+
+    keeps = (
+        _rep_per_doc(batch_df)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    kept = batch_df.join(keeps, "doc_id", "left_semi")
+    _ingest_dedup_batch(kept, sink_path, batch_id, doc_band_rows, "doc_id")
+
+
+def ingest_with_quality_neardup(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streamed documents -> quality-gated, near-dup-deduped sink."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        quality_neardup_ingest_batch(batch_df, sink_path, batch_id)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_quality_neardup_keep(docs: DataFrame) -> DataFrame:
+    """Batch statement of the quality+dedup ingest: quality gate over
+    the corpus, then the no-smaller-id-shares-a-bucket rule over the
+    survivors."""
+    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+
+    keeps = (
+        _rep_per_doc(docs).filter(F.col("verdict") == "keep").select("doc_id")
+    )
+    return batch_neardup_keep(docs.join(keeps, "doc_id", "left_semi"))
+
+
 def ingest_with_embedding_neardup(
     stream: DataFrame,
     sink_path: str,

@@ -728,3 +728,38 @@ def test_streaming_embedding_neardup_equals_batch(spark, tmp_path):
     total = emb.count()
     assert 0 < total - expected[0] < total * 0.2  # drops some, not most
     assert checksum(read_sink(spark, sink)) == expected
+
+
+def test_streaming_quality_neardup_equals_batch(spark, tmp_path):
+    """The combined ingest pipeline (repetition quality gate -> near-dup
+    dedup) replayed in doc_id order must equal its batch statement, and
+    both stages must bite: fewer docs than dedup alone would keep."""
+    from etl_wikipedia_updates_spark.sources.replay import (
+        read_replay_stream,
+        write_replay_splits,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_neardup_keep,
+        batch_quality_neardup_keep,
+        ingest_with_quality_neardup,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 4, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_quality_neardup(
+        read_replay_stream(spark, replay, docs.schema), sink, ckpt
+    )
+    q.awaitTermination(300)
+
+    def checksum(df):
+        r = df.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).first()
+        return r["n"], r["s"]
+
+    expected = checksum(batch_quality_neardup_keep(docs))
+    assert expected[0] < batch_neardup_keep(docs).count()  # quality bites
+    assert checksum(read_sink(spark, sink)) == expected
