@@ -2,10 +2,14 @@
 
 The batch near-dup family (minhash_lsh, dedup_corpus) dedups a corpus
 at rest; a training-data pipeline also needs the INGEST form — drop a
-crawled document the moment it collides with anything already
-ingested, without re-scanning the corpus per batch. This module is
-that operator, on the same MinHash/LSH machinery as the batch path
-(operators.dedup — same shingles, hash params, band layout):
+crawled row the moment it collides with anything already ingested,
+without re-scanning the corpus per batch. This module is that
+operator family: three pipelines over one shared batch engine —
+MinHash-band blocking for documents (the batch path's exact shingle/
+hash/band machinery, operators.dedup), multi-band sign-bucket LSH for
+embeddings (SemDeDup-style semantic blocking), and the document form
+composed with the repetition quality gate (corpus_release's
+ingest-time twin). The shared mechanics:
 
 - Per micro-batch, each doc's signature unpivots into (lang, band,
   band_key) bucket rows (``lsh_band_rows``).
