@@ -82,6 +82,18 @@ def main() -> None:
         # not driver-side collect overhead on wide outputs.
         build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Suite-position warm-up: whichever query runs FIRST absorbs the
+    # JVM's C2 tiering ramp and first-touch box loading on top of its
+    # own plan's warm-up (measured: q1 0.25s at position 1 vs 0.12s
+    # later; tfidf 0.74s official at position 1 vs 0.65s min-of-3
+    # mid-session). One untimed run of a cheap query before the first
+    # timed entry pays that suite-level cost outside every timing.
+    warmup = REGISTRY.builders().get("q1")
+    if warmup is not None:
+        run(warmup)
+        spark.catalog.clearCache()
+        gc.collect()
+
     timings: dict[str, float] = {}
     for name, build in builders.items():
         run(build)  # warm: classload, codegen, page cache (untimed)

@@ -6,18 +6,20 @@ entries. The external correctness gate records the first 50 entries
 per round, so 11 entries always sit past the cutoff; the rotation
 policy keeps every official row at most one round stale:
 
-- Entries whose newest official row is OLDEST go FIRST (round 6: the
-  8 that fell past round 5's cutoff — tfidf_topterms through
-  grouped_agg_udf — whose newest rows date to r2-r4).
+- Entries whose newest official row is OLDEST go FIRST (round 7: the
+  11 that fell past round 6's cutoff — grouped_zscore through
+  percentiles_approx — whose newest official rows date to r5).
 - The contract rows Q1-Q28 + wiki and every entry CHANGED this round
   stay inside the first 50 (a changed query needs a fresh row; its
-  old row certifies code that no longer exists).
-- NEW entries (round 6: rep_filter, source_mix, corpus_release) have no official row
-  at all, so they must sit inside the first 50.
+  old row certifies code that no longer exists). Round 7 changed
+  source_mix (64-bit cast in mix_keep_cond) and thereby
+  corpus_release (shared rule), so both stay inside.
+- NEW entries (none in round 7) have no official row at all, so they
+  must sit inside the first 50.
 - The 11 that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round — plus
-  q12_approx/percentiles_approx, whose official rows are rows-only by
-  design (no oracle), so cutoff position costs them nothing.
+  certified green in the immediately-preceding round (round 7: the 8
+  re-certified-fresh-in-r6 former head plus kmeans_clusters /
+  ann_kmeans / rep_filter, all r6-fresh green).
 
 All 61 entries are benched by bench.py and oracle-tested every run in
 tests/test_queries_oracle.py regardless of position; the rotation
@@ -34,42 +36,9 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-6 rotation head: past-cutoff-in-r5 entries (stalest
-    # official rows, r2-r4) regain certification first ---
-    "tfidf_topterms",
-    "quantize_embeddings",
-    "corpus_stats",
-    "bm25_rank",
-    "dedup_corpus",
-    "lang_id_chargram",
-    "ann_sq8",
-    "grouped_agg_udf",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- remaining extensions, document order; entries changed in
-    # round 6 (kmeans pair, lang_id, text_quality) are in this block ---
-    "minhash_lsh",
-    "simhash_pairs",
-    "lang_id",
-    "text_quality",
-    "ann_ivf",
-    "dedup_clusters",
-    "contamination",
-    "percentiles",
-    "kmeans_clusters",
-    "ann_kmeans",
-    # --- NEW in round 6 (never certified — must sit inside the gate
-    # window): repetition quality filter, token-budget data mixing,
-    # and the end-to-end release composition ---
-    "rep_filter",
-    "source_mix",
-    "corpus_release",
-    # --- positions 51-61: yield their slots this round (all r5-green
-    # and unchanged in r6 — cosine_neardup/multimodal_bytes/ann_lsh
-    # rotate out to make room for the three new queries; the two
-    # *_approx rows are rows-only by design, so cutoff position costs
-    # them nothing) ---
+    # --- round-7 rotation head: past-cutoff-in-r6 entries (newest
+    # official rows r5, or rows-only by design) regain certification
+    # first ---
     "grouped_zscore",
     "stratified_sample",
     "token_stats",
@@ -81,6 +50,36 @@ DECLARATION_ORDER: list[str] = [
     "ann_lsh",
     "q12_approx",
     "percentiles_approx",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- remaining extensions, document order; source_mix and
+    # corpus_release CHANGED in round 7 (mix_keep_cond 64-bit cast),
+    # so they must hold in-window slots ---
+    "minhash_lsh",
+    "simhash_pairs",
+    "lang_id",
+    "text_quality",
+    "ann_ivf",
+    "dedup_clusters",
+    "contamination",
+    "percentiles",
+    "source_mix",
+    "corpus_release",
+    # --- positions 51-61: yield their slots this round (all fresh
+    # r6-official green and unchanged in r7: the former r6 rotation
+    # head plus the kmeans pair and rep_filter) ---
+    "tfidf_topterms",
+    "quantize_embeddings",
+    "corpus_stats",
+    "bm25_rank",
+    "dedup_corpus",
+    "lang_id_chargram",
+    "ann_sq8",
+    "grouped_agg_udf",
+    "kmeans_clusters",
+    "ann_kmeans",
+    "rep_filter",
 ]
 
 _declared = QueryRegistry()
