@@ -2076,7 +2076,11 @@ def mix_keep_cond(budget_col: str, floor_col: str) -> "F.Column":
     bucket(doc_id) * budget < floor * BUCKETS. THE rule, shared by
     source_mix and release_members so the composed release and the
     standalone mixer can never diverge."""
-    bucket = (F.col("doc_id") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
+    # cast("long") mirrors split_col: if doc_id were ever a 32-bit
+    # column, doc_id * 69069 would silently wrap in int32 (ANSI off)
+    # while the DuckDB oracle promotes to 64-bit — a silent membership
+    # divergence. int64 doc_ids are unaffected.
+    bucket = (F.col("doc_id").cast("long") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
     return bucket * F.col(budget_col) < F.col(floor_col) * MIX_BUCKETS
 
 

@@ -146,9 +146,16 @@ def query_ivf_index(
         F.col("embedding").alias("q_embedding"),
         F.col("probe_cells").cast("array<int>").alias("probe_cells"),
     )
-    cells = sorted(
-        {c for r in qprobe.select("probe_cells").collect() for c in r[0]}
-    )
+    # Materialize the probe assignment ONCE: the rows are |queries|-
+    # bounded by the serving contract, so collecting them and
+    # rebuilding qprobe as a local relation both yields the partition
+    # filter AND stops the joined plan from re-embedding (and
+    # re-executing) the k x dim centroid-literal projection a second
+    # time per probe.
+    schema = qprobe.schema
+    qrows = qprobe.collect()
+    cells = sorted({c for r in qrows for c in r["probe_cells"]})
+    qprobe = spark.createDataFrame(qrows, schema)
     data = table.read(spark, v).filter(F.col("cell").isin(cells))
     if not meta.get("quantized"):
         out = S.cosine_topk_multiprobe(data, qprobe, k=topk, cell_col="cell")
