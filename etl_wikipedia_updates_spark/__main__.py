@@ -108,17 +108,25 @@ def cmd_dedup_ingest(args) -> int:
     from etl_wikipedia_updates_spark.streaming.neardup import (
         ingest_with_embedding_neardup,
         ingest_with_neardup,
+        ingest_with_quality_neardup,
     )
     from etl_wikipedia_updates_spark.tables import load_table
 
     spark = _spark()
-    table = "documents" if args.mode == "doc" else "embeddings"
+    table = "embeddings" if args.mode == "embedding" else "documents"
     schema = load_table(spark, args.sf_dir, table).schema
     stream = read_replay_stream(spark, args.replay, schema)
-    start = ingest_with_neardup if args.mode == "doc" else (
-        ingest_with_embedding_neardup
+    start = {
+        "doc": ingest_with_neardup,
+        "quality": ingest_with_quality_neardup,
+        "embedding": ingest_with_embedding_neardup,
+    }[args.mode]
+    q = start(
+        stream,
+        args.sink,
+        args.checkpoint or args.sink + "_ckpt",
+        compact_every=args.compact_every,
     )
-    q = start(stream, args.sink, args.checkpoint or args.sink + "_ckpt")
     finished = q.awaitTermination(args.timeout)
     if not finished:
         q.stop()
@@ -274,14 +282,21 @@ def main(argv: list[str] | None = None) -> int:
     ded = sub.add_parser(
         "dedup-ingest",
         help="file-replay ingest with near-dup dedup at ingest "
-        "(doc: MinHash bands; embedding: sign-bucket LSH)",
+        "(doc: MinHash bands; quality: repetition gate + MinHash "
+        "bands; embedding: sign-bucket LSH)",
     )
     ded.add_argument("--replay", required=True)
     ded.add_argument("--sink", required=True)
     ded.add_argument("--checkpoint")
-    ded.add_argument("--mode", choices=["doc", "embedding"], default="doc")
+    ded.add_argument(
+        "--mode", choices=["doc", "quality", "embedding"], default="doc"
+    )
     ded.add_argument("--sf-dir", default=sf_default)
     ded.add_argument("--timeout", type=int, default=600)
+    ded.add_argument(
+        "--compact-every", type=int, default=None,
+        help="fold the LSH bucket store every N batches",
+    )
 
     ing = sub.add_parser("ingest", help="file-replay ingest with retention")
     ing.add_argument("--replay", required=True)

@@ -139,8 +139,20 @@ def read_sink(
     if v is None:
         if paths:
             return spark.read.parquet(*paths)
-        # no committed batch dirs (e.g. a sink written by something
-        # else): fall back to the whole tree
+        if _batch_dirs(sink_path):
+            # Batch dirs exist but NONE has committed yet (the first
+            # append is mid-write). The committed view is empty and we
+            # have no schema to synthesize an empty frame with — and
+            # falling back to a recursive listing here would read the
+            # in-flight dir's partial part-files, rows that reappear
+            # once its _SUCCESS lands. Fail like an unpublished
+            # snapshot does; the reader retries after the commit.
+            raise FileNotFoundError(
+                f"{sink_path}: no committed batch yet (first append "
+                "in flight); retry after its _SUCCESS lands"
+            )
+        # no batch_* dirs at all (a sink written by something else):
+        # fall back to the whole tree
         return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
     base = snap.read(spark, v)
     if not paths:
@@ -219,9 +231,19 @@ def _view_file_count(sink_path: str) -> int:
     )
 
 
-def _publish_rewrite(spark: SparkSession, sink_path: str, transform) -> int:
+def _publish_rewrite(
+    spark: SparkSession, sink_path: str, transform, below: int | None = None
+) -> int:
     """Publish ``transform(current view)`` as the sink's next snapshot
     version — the shared core of compaction and retention.
+
+    ``below`` (exclusive) caps which committed batch dirs are folded —
+    the knob a caller uses when batches >= some id may still be
+    REPLAYED (foreachBatch at-least-once): a replayed batch must never
+    find its own output already folded into the snapshot, so the
+    neardup bucket-store compaction folds only ids strictly below the
+    in-flight batch. Dirs at or above ``below`` stay unfolded and
+    remain visible through the composite view.
 
     The committed-batch-dir list is resolved ONCE (_view_parts) and the
     fold reads EXACTLY those explicit paths — never a recursive listing
@@ -236,11 +258,23 @@ def _publish_rewrite(spark: SparkSession, sink_path: str, transform) -> int:
     version had already folded them, and versions are vacuumed
     keep_last=2."""
     snap, prev_v, prev_folded, newer = _view_parts(sink_path)
+    if below is not None:
+        newer = [(b, p) for b, p in newer if b < below]
     folded_through = max([b for b, _ in newer], default=prev_folded)
     paths = [p for _, p in newer]
     if prev_v is None:
         if paths:
             view = spark.read.parquet(*paths)
+        elif _batch_dirs(sink_path):
+            # Same pre-first-commit hole as read_sink: recursing here
+            # would fold the in-flight dir's partial part-files into
+            # the version while recording folded_through=-1, so the
+            # batch's rows would double once its _SUCCESS lands.
+            # Abort; maintenance retries after the first commit.
+            raise FileNotFoundError(
+                f"{sink_path}: nothing committed to fold yet (first "
+                "append in flight); retry after its _SUCCESS lands"
+            )
         else:
             view = spark.read.option("recursiveFileLookup", "true").parquet(
                 sink_path

@@ -27,7 +27,11 @@ State = the bucket store, a per-batch-dir parquet table exactly like
 the data sink (append_batch layout): idempotent under foreachBatch
 replay because a retried batch overwrites its own dir, and the
 collision read EXCLUDES the current batch id, so a replay never
-collides with its own first attempt. At 100 TB the store is
+collides with its own first attempt. The store COMPACTS through the
+same SnapshotTable fold the data sink uses (compact_bucket_store /
+compact_every), so its file count is bounded by the compaction cadence
+instead of growing one directory per trigger forever. At 100 TB the
+store is
 (lang, band, band_key, doc_id) rows — a fraction of corpus bytes —
 and the per-batch work is one signature aggregation over the BATCH
 plus one equi-join against the store: no corpus rescan, no driver
@@ -54,14 +58,86 @@ from etl_wikipedia_updates_spark.plans.northstar import (
 )
 from etl_wikipedia_updates_spark.streaming.ingest import (
     _committed_batch_dirs,
+    _publish_rewrite,
+    _view_parts,
     append_batch,
 )
 
 BUCKETS_DIRNAME = "_lsh_buckets"  # _-prefixed: invisible to sink readers
 
+_STORE_SCHEMA = "doc_id bigint, lang string, band int, band_key string"
+
 
 def bucket_store_path(sink_path: str) -> str:
     return os.path.join(sink_path, BUCKETS_DIRNAME)
+
+
+def _store_view(
+    spark: SparkSession, store_path: str, below: int
+) -> DataFrame | None:
+    """Committed bucket rows from batches with id < ``below``: the
+    compacted snapshot version (if any) plus unfolded committed batch
+    dirs. None when nothing qualifying is committed yet (first batch,
+    or an empty store). The ``below`` exclusion is the replay guard —
+    a batch retried under its own id must not collide with its first
+    attempt's buckets, folded or not."""
+    snap, v, folded, newer = _view_parts(store_path)
+    dirs = [p for b, p in newer if b < below]
+    if v is None:
+        if not dirs:
+            return None
+        return spark.read.schema(_STORE_SCHEMA).parquet(*dirs)
+    if folded >= below:
+        # Only possible through an external compaction run with an
+        # explicit too-high ``below`` while the stream was in flight;
+        # reading on would let a replayed batch collide with itself
+        # and silently drop every row.
+        raise RuntimeError(
+            f"bucket store {store_path} folded through {folded} but "
+            f"batch {below} may replay; compact only below the "
+            "in-flight batch id"
+        )
+    base = snap.read(spark, v)
+    if dirs:
+        base = base.unionByName(spark.read.schema(base.schema).parquet(*dirs))
+    return base
+
+
+def compact_bucket_store(
+    spark: SparkSession,
+    sink_path: str,
+    target_files: int = 4,
+    below: int | None = None,
+) -> dict | None:
+    """Fold the accumulating LSH bucket store into one snapshot
+    version — the same SnapshotTable fold the data sink uses
+    (``_publish_rewrite``), so the store's file count stops growing
+    with batch count. Without this the store gains one directory per
+    trigger forever and the per-batch collision join pays an
+    ever-growing file-listing + footer cost.
+
+    ``below`` (exclusive) bounds which batch ids are folded. The
+    default folds everything EXCEPT the newest committed batch — a
+    one-batch grace horizon, because with at-least-once foreachBatch
+    the newest appended batch may be replayed if the checkpoint commit
+    did not land, and a replayed batch must never find its own buckets
+    already folded (``_store_view`` raises on that invariant). The
+    in-handler call sites pass ``below=batch_id`` for the same reason.
+
+    Returns {"version": N, "folded_dirs": n} or None when there was
+    nothing new to fold (no pointless full-store rewrite)."""
+    store = bucket_store_path(sink_path)
+    committed = _committed_batch_dirs(store)
+    if below is None:
+        below = max((b for b, _ in committed), default=-1)
+    _snap, _v, folded, newer = _view_parts(store)
+    foldable = [b for b, p in newer if b < below]
+    if not foldable:
+        return None
+    version = _publish_rewrite(
+        spark, store, lambda view: view.coalesce(target_files), below=below
+    )
+    return {"version": version, "folded_dirs": len(foldable)}
 
 
 def doc_band_rows(docs: DataFrame) -> DataFrame:
@@ -139,14 +215,21 @@ def _ingest_dedup_batch(
     batch_id: int,
     band_fn,
     id_col: str,
+    compact_every: int | None = None,
 ) -> None:
     """One micro-batch of dedup ingest (foreachBatch body), shared by
     the document (MinHash) and embedding (sign-bucket) variants.
 
-    Reads the bucket store's COMMITTED dirs with id < batch_id (a
-    replayed batch must not collide with its own first attempt), drops
-    colliding rows, appends survivors to the data sink and ALL batch
-    buckets to the store — both under this batch's idempotent dir."""
+    Reads the bucket store's COMMITTED view below batch_id — the
+    compacted snapshot plus unfolded batch dirs (a replayed batch must
+    not collide with its own first attempt) — drops colliding rows,
+    appends survivors to the data sink and ALL batch buckets to the
+    store, both under this batch's idempotent dir. Every
+    ``compact_every`` batches the store is folded into one snapshot
+    version (strictly below this batch id, so a retry of THIS batch
+    still excludes its own buckets); re-running the compaction on a
+    batch retry publishes an identical extra version — idempotent in
+    content."""
     spark = batch_df.sparkSession
     # Persisted across the two actions below: the survivors write
     # evaluates band (through drops) and the store write evaluates it
@@ -154,16 +237,7 @@ def _ingest_dedup_batch(
     # aggregation (the dominant per-batch cost) twice.
     band = band_fn(batch_df).persist()
     try:
-        store_dirs = [
-            p
-            for b, p in _committed_batch_dirs(bucket_store_path(sink_path))
-            if b < batch_id
-        ]
-        store = None
-        if store_dirs:
-            store = spark.read.schema(
-                "doc_id bigint, lang string, band int, band_key string"
-            ).parquet(*store_dirs)
+        store = _store_view(spark, bucket_store_path(sink_path), batch_id)
         drops = batch_neardup_drops(band, store)
         survivors = batch_df.join(
             drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
@@ -174,16 +248,22 @@ def _ingest_dedup_batch(
             bucket_store_path(sink_path),
             batch_id,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_bucket_store(spark, sink_path, below=batch_id)
     finally:
         band.unpersist()
 
 
 def dedup_ingest_batch(
-    batch_df: DataFrame, sink_path: str, batch_id: int
+    batch_df: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
 ) -> None:
     """Document (MinHash/LSH) dedup ingest micro-batch."""
     _ingest_dedup_batch(
-        batch_df, sink_path, batch_id, doc_band_rows, "doc_id"
+        batch_df, sink_path, batch_id, doc_band_rows, "doc_id",
+        compact_every=compact_every,
     )
 
 
@@ -192,11 +272,15 @@ def ingest_with_neardup(
     sink_path: str,
     checkpoint: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
-    """Streamed documents -> near-dup-deduped sink, checkpointed."""
+    """Streamed documents -> near-dup-deduped sink, checkpointed.
+    ``compact_every=N`` folds the bucket store every N batches."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_ingest_batch(batch_df, sink_path, batch_id)
+        dedup_ingest_batch(
+            batch_df, sink_path, batch_id, compact_every=compact_every
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint
@@ -207,7 +291,10 @@ def ingest_with_neardup(
 
 
 def quality_neardup_ingest_batch(
-    batch_df: DataFrame, sink_path: str, batch_id: int
+    batch_df: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
 ) -> None:
     """corpus_release's ingest-time twin: the Gopher-style repetition
     quality gate (plans.northstar._rep_per_doc — fit-free, stateless
@@ -224,7 +311,10 @@ def quality_neardup_ingest_batch(
         .select("doc_id")
     )
     kept = batch_df.join(keeps, "doc_id", "left_semi")
-    _ingest_dedup_batch(kept, sink_path, batch_id, doc_band_rows, "doc_id")
+    _ingest_dedup_batch(
+        kept, sink_path, batch_id, doc_band_rows, "doc_id",
+        compact_every=compact_every,
+    )
 
 
 def ingest_with_quality_neardup(
@@ -232,11 +322,14 @@ def ingest_with_quality_neardup(
     sink_path: str,
     checkpoint: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streamed documents -> quality-gated, near-dup-deduped sink."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        quality_neardup_ingest_batch(batch_df, sink_path, batch_id)
+        quality_neardup_ingest_batch(
+            batch_df, sink_path, batch_id, compact_every=compact_every
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint
@@ -263,13 +356,15 @@ def ingest_with_embedding_neardup(
     sink_path: str,
     checkpoint: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streamed embeddings -> sign-bucket-deduped sink (SemDeDup-style
     ingest blocking), checkpointed."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         _ingest_dedup_batch(
-            batch_df, sink_path, batch_id, embedding_band_rows, "vec_id"
+            batch_df, sink_path, batch_id, embedding_band_rows, "vec_id",
+            compact_every=compact_every,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

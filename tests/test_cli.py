@@ -147,3 +147,53 @@ def test_cli_dedup_ingest(spark, sf_smoke, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "rows kept:" in out
+
+
+def test_cli_dedup_ingest_quality_mode(spark, sf_smoke, tmp_path, capsys):
+    """--mode quality wires the quality-gate + dedup composition
+    (corpus_release's streaming twin): the sink must equal the batch
+    statement batch_quality_neardup_keep exactly, and --compact-every
+    must leave the bucket store folded into a snapshot version."""
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _batch_dirs,
+        read_sink,
+        sink_snapshot,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_quality_neardup_keep,
+        bucket_store_path,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", sink,
+                "--sf-dir", sf_smoke,
+                "--mode", "quality",
+                "--compact-every", "2",
+            ]
+        )
+        == 0
+    )
+    assert "rows kept:" in capsys.readouterr().out
+
+    def checksum(df):
+        r = df.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).first()
+        return r["n"], r["s"]
+
+    assert checksum(read_sink(spark, sink)) == checksum(
+        batch_quality_neardup_keep(docs)
+    )
+    store = bucket_store_path(sink)
+    assert sink_snapshot(store).current_version() is not None
+    assert len(_batch_dirs(store)) < 5

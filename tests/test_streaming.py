@@ -763,3 +763,137 @@ def test_streaming_quality_neardup_equals_batch(spark, tmp_path):
     expected = checksum(batch_quality_neardup_keep(docs))
     assert expected[0] < batch_neardup_keep(docs).count()  # quality bites
     assert checksum(read_sink(spark, sink)) == expected
+
+
+def test_neardup_bucket_store_compaction(spark, tmp_path):
+    """The bucket store folds through the sink's SnapshotTable
+    machinery: batches keep colliding with buckets that moved into the
+    snapshot, a replayed batch still excludes its own buckets after a
+    fold, no bucket row is lost or doubled, and the store's live
+    file/dir count is bounded by the compaction cadence instead of
+    growing one dir per batch."""
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _batch_dirs,
+        sink_snapshot,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        _store_view,
+        batch_neardup_keep,
+        bucket_store_path,
+        compact_bucket_store,
+        dedup_ingest_batch,
+        doc_band_rows,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    cuts = [n * k // 6 for k in range(7)]
+
+    def part(k):
+        return docs.filter(F.col("doc_id").isin(ids[cuts[k]:cuts[k + 1]]))
+
+    sink = str(tmp_path / "sink")
+    store = bucket_store_path(sink)
+    for k in range(4):
+        dedup_ingest_batch(part(k), sink, k)
+    assert len(_batch_dirs(store)) == 4
+
+    # Maintenance-form compaction: default folds everything below the
+    # newest committed batch (one-batch replay grace horizon).
+    out = compact_bucket_store(spark, sink)
+    assert out == {"version": 1, "folded_dirs": 3}
+    snap = sink_snapshot(store)
+    assert int(snap.meta_for(1)["folded_through"]) == 2
+    # Nothing new to fold -> no pointless full-store rewrite.
+    assert compact_bucket_store(spark, sink) is None
+
+    # A replay of the newest batch after the fold must not self-collide
+    # (its own buckets stayed unfolded) nor duplicate output.
+    before = _checksum_docs(read_sink(spark, sink))
+    dedup_ingest_batch(part(3), sink, 3)
+    assert _checksum_docs(read_sink(spark, sink)) == before
+
+    # In-handler cadence: batch 4 compacts below itself (folds batch 3,
+    # deletes the already-folded dirs one cycle late), batch 5 appends.
+    dedup_ingest_batch(part(4), sink, 4, compact_every=2)
+    dedup_ingest_batch(part(5), sink, 5)
+    assert _checksum_docs(read_sink(spark, sink)) == _checksum_docs(
+        batch_neardup_keep(docs)
+    )
+    live = sorted(b for b, _ in _batch_dirs(store))
+    assert live == [3, 4, 5]  # bounded: 3 live dirs after 6 batches
+
+    # The composite store view neither lost nor doubled a bucket row.
+    total_rows = _store_view(spark, store, 10**9).count()
+    assert total_rows == doc_band_rows(docs).count()
+
+
+def _checksum_docs(df):
+    row = df.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).first()
+    return row["n"], row["s"]
+
+
+def test_streaming_neardup_compaction_equals_batch(spark, tmp_path):
+    """ingest_with_neardup(compact_every=2) over a 5-split replay:
+    result still equals the batch rule exactly, the store has folded
+    into a snapshot version, and fewer live batch dirs remain than
+    batches ran."""
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _batch_dirs,
+        sink_snapshot,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_neardup_keep,
+        bucket_store_path,
+        ingest_with_neardup,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_neardup(
+        read_replay_stream(spark, replay, docs.schema),
+        sink,
+        ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    assert _checksum_docs(read_sink(spark, sink)) == _checksum_docs(
+        batch_neardup_keep(docs)
+    )
+    store = bucket_store_path(sink)
+    assert sink_snapshot(store).current_version() is not None
+    assert len(_batch_dirs(store)) < 5
+
+
+def test_sink_invisible_before_first_commit(spark, tmp_path):
+    """A sink whose FIRST append is still mid-write (batch dir exists,
+    no _SUCCESS) must refuse both the composite read and a maintenance
+    fold — falling back to a recursive listing would surface the
+    in-flight dir's partial part-files, rows that double once the
+    commit lands."""
+    import os as _os
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        append_batch,
+        compact_sink,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(10)
+    sink = str(tmp_path / "sink")
+    append_batch(events, sink, 0)
+    marker = _os.path.join(sink, "batch_0000000000", "_SUCCESS")
+    _os.rename(marker, marker + ".held")  # simulate mid-write
+
+    with pytest.raises(FileNotFoundError):
+        read_sink(spark, sink).count()
+    with pytest.raises(FileNotFoundError):
+        compact_sink(spark, sink, target_files=1)
+
+    _os.rename(marker + ".held", marker)  # the write commits
+    assert read_sink(spark, sink).count() == 10
+    assert compact_sink(spark, sink, target_files=1)["rows"] == 10
