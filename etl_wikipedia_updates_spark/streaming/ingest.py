@@ -41,6 +41,7 @@ are identical.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -48,10 +49,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+from etl_wikipedia_updates_spark.streaming.snapshot import (
+    SnapshotTable,
+    dir_row_count,
+)
 
 # Reference fires cleanup at >= 1.1x the cap (pipeline.py:44).
 RETENTION_SLACK = 1.1
+
+NROWS_SIDECAR = "_nrows.json"  # _-prefixed: invisible to Spark readers
 
 
 def append_batch(batch_df: DataFrame, sink_path: str, batch_id: int) -> None:
@@ -60,10 +66,58 @@ def append_batch(batch_df: DataFrame, sink_path: str, batch_id: int) -> None:
     retried after a crash/restart (at-least-once foreachBatch) lands in
     the same place instead of duplicating. This is the parquet version
     of the reference's commit-after-insert-or-ignore recovery
-    (pipeline.py:36-40,173-174)."""
-    batch_df.write.mode("overwrite").parquet(
-        os.path.join(sink_path, f"batch_{batch_id:010d}")
-    )
+    (pipeline.py:36-40,173-174).
+
+    After the write commits, the batch's exact row count (from the
+    just-written parquet footers — no extra Spark job) is recorded in
+    a ``_nrows.json`` sidecar inside the batch dir, so maintained
+    counts (sink_row_count) never re-scan data. A crash between write
+    and sidecar leaves a committed dir without one; readers fall back
+    to the same footer sum."""
+    target = os.path.join(sink_path, f"batch_{batch_id:010d}")
+    batch_df.write.mode("overwrite").parquet(target)
+    with open(os.path.join(target, NROWS_SIDECAR), "w") as fh:
+        json.dump({"n": dir_row_count(target)}, fh)
+
+
+def _batch_dir_rows(path: str) -> int:
+    """Row count of one committed batch dir: the append-time sidecar,
+    else the parquet-footer sum (sidecar lost to a crash window, or a
+    dir written before sidecars existed)."""
+    try:
+        with open(os.path.join(path, NROWS_SIDECAR)) as fh:
+            return int(json.load(fh)["n"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+        return dir_row_count(path)
+
+
+def sink_row_count(sink_path: str) -> int:
+    """Exact row count of the sink's current composite view WITHOUT a
+    Spark job: the snapshot version's published ``n_rows`` plus each
+    unfolded committed batch dir's append-time sidecar. O(unfolded
+    batch dirs) tiny-file reads — and the compaction cadence bounds
+    that number — vs the full-scan count() per trigger this replaces;
+    at a 2 s trigger cadence over a 100 TB sink the difference is the
+    retention check being free vs being the dominant per-trigger cost.
+    Same visibility contract as read_sink (committed-only; raises
+    before the first commit)."""
+    snap, v, _folded, newer = _view_parts(sink_path)
+    if v is None and not newer:
+        if _batch_dirs(sink_path):
+            raise FileNotFoundError(
+                f"{sink_path}: no committed batch yet (first append "
+                "in flight); retry after its _SUCCESS lands"
+            )
+        return dir_row_count(sink_path)  # foreign sink: footer walk
+    total = 0
+    if v is not None:
+        meta = snap.meta_for(v)
+        total += (
+            int(meta["n_rows"])
+            if "n_rows" in meta
+            else dir_row_count(snap.version_path(v))
+        )
+    return total + sum(_batch_dir_rows(p) for _b, p in newer)
 
 
 SNAPSHOT_DIRNAME = "_snapshot"
@@ -319,7 +373,7 @@ def compact_sink(
     version = _publish_rewrite(
         spark, sink_path, lambda view: view.coalesce(target_files)
     )
-    rows = sink_snapshot(sink_path).read(spark, version).count()
+    rows = int(sink_snapshot(sink_path).meta_for(version)["n_rows"])
     return {
         "files_before": before,
         "files_after": _view_file_count(sink_path),
@@ -334,9 +388,12 @@ def apply_retention(
     exceeds slack x cap, published as the next snapshot version (see
     module docstring; at this container's parquet sink the rewrite is
     full-file — retain_newest_partitioned is the partition-level 100 TB
-    path). Returns True when a rewrite happened."""
+    path). The cap check reads the MAINTAINED count (version meta +
+    per-batch sidecars, sink_row_count) — per-trigger cost is a few
+    tiny file reads, not a count() scan of the sink. Returns True when
+    a rewrite happened."""
     _recover_swap(sink_path)  # heal a pre-snapshot-era crashed swap
-    total = read_sink(spark, sink_path).count()
+    total = sink_row_count(sink_path)
     if total < RETENTION_SLACK * max_rows:
         return False
     _publish_rewrite(

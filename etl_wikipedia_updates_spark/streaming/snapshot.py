@@ -35,9 +35,25 @@ import os
 import shutil
 import time
 
+import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_current.json"  # _-prefixed: invisible to Spark's file lists
+
+
+def dir_row_count(root: str) -> int:
+    """Exact row count of every parquet file under ``root`` from the
+    files' FOOTER metadata — driver-side I/O of a few KB per file, no
+    Spark job, no data pages read. Mirrors Spark's reader visibility:
+    ``_``/``.``-prefixed files and directories are skipped, so hidden
+    state (manifests, in-flight rewrites) never counts."""
+    total = 0
+    for r, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                total += _pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+    return total
 
 
 class SnapshotTable:
@@ -118,16 +134,20 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(vdir)
-        if meta is not None:
-            # Written INSIDE the immutable version dir (``_``-prefixed:
-            # invisible to Spark's file listing), before the pointer
-            # moves — so a version and its metadata are always published
-            # together and a pinned reader of version N resolves N's own
-            # metadata regardless of later publishes.
-            with open(os.path.join(vdir, self.META), "w") as fh:
-                json.dump(meta, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
+        # Every version records its own exact row count (footer sums of
+        # the files just written — no extra Spark job), so consumers
+        # like retention's cap check read one json instead of running a
+        # count() over the data per trigger.
+        meta = {**(meta or {}), "n_rows": dir_row_count(vdir)}
+        # Written INSIDE the immutable version dir (``_``-prefixed:
+        # invisible to Spark's file listing), before the pointer
+        # moves — so a version and its metadata are always published
+        # together and a pinned reader of version N resolves N's own
+        # metadata regardless of later publishes.
+        with open(os.path.join(vdir, self.META), "w") as fh:
+            json.dump(meta, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": version, "published_at": time.time()}, fh)

@@ -897,3 +897,46 @@ def test_sink_invisible_before_first_commit(spark, tmp_path):
     _os.rename(marker + ".held", marker)  # the write commits
     assert read_sink(spark, sink).count() == 10
     assert compact_sink(spark, sink, target_files=1)["rows"] == 10
+
+
+def test_sink_row_count_maintained(spark, tmp_path):
+    """The maintained count (version-meta n_rows + per-batch-dir
+    sidecars) equals read_sink().count() at every point of an
+    append / compaction / append / retention cycle, and stays exact
+    when a sidecar is lost to the write-then-sidecar crash window
+    (parquet-footer fallback)."""
+    import os as _os
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        NROWS_SIDECAR,
+        append_batch,
+        apply_retention,
+        compact_sink,
+        sink_row_count,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    sink = str(tmp_path / "sink")
+
+    def check():
+        assert sink_row_count(sink) == read_sink(spark, sink).count()
+
+    append_batch(events.limit(40), sink, 0)
+    check()
+    append_batch(events.limit(70).exceptAll(events.limit(40)), sink, 1)
+    check()
+    compact_sink(spark, sink, target_files=1)
+    check()
+    batch2 = events.limit(100).exceptAll(events.limit(70))
+    append_batch(batch2, sink, 2)
+    check()
+    # crash window: batch 3 committed but its sidecar never landed
+    batch3 = events.limit(120).exceptAll(events.limit(100))
+    append_batch(batch3, sink, 3)
+    _os.remove(_os.path.join(sink, "batch_0000000003", NROWS_SIDECAR))
+    check()
+    assert sink_row_count(sink) == 120
+    # retention fires off the maintained count (120 >= 1.1 * 50)
+    assert apply_retention(spark, sink, max_rows=50, ts_col="ts")
+    check()
+    assert sink_row_count(sink) == 50
