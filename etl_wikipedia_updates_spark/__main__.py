@@ -78,6 +78,7 @@ def cmd_index(args) -> int:
 
     from etl_wikipedia_updates_spark.tables import load_table
     from etl_wikipedia_updates_spark.vector_index import (
+        append_to_ivf_index,
         build_ivf_index,
         query_ivf_index,
     )
@@ -86,6 +87,15 @@ def cmd_index(args) -> int:
     if args.action == "build":
         out = build_ivf_index(
             spark, args.sf_dir, args.root, k=args.k, quantize=args.quantize
+        )
+        print(json.dumps(out))
+        return 0
+    if args.action == "append":
+        if not args.vectors:
+            print("append needs --vectors PARQUET_PATH", file=sys.stderr)
+            return 2
+        out = append_to_ivf_index(
+            spark, args.root, spark.read.parquet(args.vectors)
         )
         print(json.dumps(out))
         return 0
@@ -264,10 +274,14 @@ def main(argv: list[str] | None = None) -> int:
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"
     )
-    idx.add_argument("action", choices=["build", "query"])
+    idx.add_argument("action", choices=["build", "append", "query"])
     idx.add_argument("--root", required=True, help="SnapshotTable root dir")
     idx.add_argument("--sf-dir", default=sf_default)
     idx.add_argument("--k", type=int, default=8)
+    idx.add_argument(
+        "--vectors",
+        help="append: parquet path of new (vec_id, embedding) rows",
+    )
     idx.add_argument(
         "--vec-ids", type=int, nargs="+", default=[0],
         help="query: vec_ids from the embeddings table to probe with",

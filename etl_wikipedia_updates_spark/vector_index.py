@@ -38,7 +38,10 @@ from etl_wikipedia_updates_spark.plans.clustering import (
     KMEANS_ITERS,
     KMEANS_K,
 )
-from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+from etl_wikipedia_updates_spark.streaming.snapshot import (
+    SnapshotTable,
+    dir_row_count,
+)
 from etl_wikipedia_updates_spark.tables import load_table, spread
 
 
@@ -102,6 +105,69 @@ def build_ivf_index(
     )
     table.vacuum(keep_last=keep_last)
     return {"version": version, "k": k, "quantized": quantize}
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    index_root: str,
+    new_vectors: DataFrame,
+    version: int | None = None,
+    keep_last: int = 2,
+) -> dict:
+    """Incremental index maintenance: fold NEW vectors into a published
+    index without refitting.
+
+    Only the new rows are assigned — against the centroid matrix read
+    from the base version's metadata (a k x dim driver-side literal,
+    no Spark job to fetch) — and existing ∪ new publishes as the next
+    version carrying the SAME centroids. The expensive steps of a
+    rebuild (the k-means fit's Lloyd's rounds over the corpus, and the
+    corpus-wide re-assignment) are skipped entirely; the Spark work is
+    O(new vectors) plus the union write. On this filesystem layout the
+    union write is the snapshot cost of an immutable complete version;
+    on Delta/Iceberg the same operation is a partition-level append of
+    just the new rows' cell files.
+
+    The refit-vs-append trade: with frozen centroids the space
+    partition stays VALID — queries probe with the same matrix, so a
+    vector appended here is found exactly as if a from-scratch
+    assignment had placed it (the equality the tests pin). What drifts
+    is BALANCE: as the ingested distribution shifts, frozen cells
+    grow unevenly, degrading probe selectivity (hot cells make probes
+    read more rows) — never correctness. Periodic build_ivf_index
+    rebuilds refit; SnapshotTable's pointer makes that rebuild
+    lock-free under live queries.
+
+    new_vectors: (vec_id, embedding). Returns {"version", "base",
+    "appended_rows"}."""
+    table = SnapshotTable(index_root)
+    base = table.current_version() if version is None else version
+    if base is None:
+        raise FileNotFoundError(f"no published index under {index_root}")
+    meta = table.meta_for(base)
+    assigned = C.assignment(
+        new_vectors.select("vec_id", "embedding"), meta["centroids"]
+    ).select("vec_id", "embedding", F.col("cid").cast("int").alias("cell"))
+    if meta.get("quantized"):
+        assigned = assigned.selectExpr(
+            "vec_id", "embedding", "cell", f"{_SQ8_ABSMAX} AS absmax"
+        ).selectExpr(
+            "vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv"
+        )
+    existing = table.read(spark, base)
+    merged = existing.unionByName(assigned)
+    new_version = table.publish(
+        merged,
+        meta={**{k: v for k, v in meta.items() if k != "n_rows"},
+              "appended_from": base},
+        partition_by=["cell"],
+    )
+    table.vacuum(keep_last=keep_last)
+    base_rows = int(
+        meta.get("n_rows", dir_row_count(table.version_path(base)))
+    )
+    appended = int(table.meta_for(new_version)["n_rows"]) - base_rows
+    return {"version": new_version, "base": base, "appended_rows": appended}
 
 
 def query_ivf_index(

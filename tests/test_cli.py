@@ -110,6 +110,27 @@ def test_cli_release_and_index(spark, sf_smoke, tmp_path, capsys):
     )
     built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert built == {"version": 1, "k": 8, "quantized": True}
+
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    newvecs = str(tmp_path / "newvecs")
+    load_table(spark, sf_smoke, "embeddings").limit(10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).write.parquet(newvecs)
+    assert (
+        main(
+            [
+                "index", "append",
+                "--root", str(tmp_path / "idx"),
+                "--vectors", newvecs,
+            ]
+        )
+        == 0
+    )
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended == {"version": 2, "base": 1, "appended_rows": 10}
     assert (
         main(
             [

@@ -207,3 +207,81 @@ def test_quantized_multiprobe_no_duplicates_and_converges(
     assert [(r["q_vec_id"], r["rank"], r["vec_id"]) for r in full] == [
         (r["q_vec_id"], r["rank"], r["vec_id"]) for r in brute
     ]
+
+
+def test_append_equals_from_scratch_assignment_under_fixed_centroids(
+    spark, sf_smoke, tmp_path
+):
+    """Incremental maintenance: build, then append new vectors. Given
+    the (frozen) centroids of the base version, the appended index's
+    contents must equal a from-scratch assignment over the union —
+    appending skips the fit and the corpus re-assignment but changes
+    nothing about where any vector lives. A query probing an appended
+    vector must find it through the same partition-pruned path."""
+    from etl_wikipedia_updates_spark.vector_index import append_to_ivf_index
+
+    root = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_smoke, root)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    base_n = emb.count()
+
+    # "newly crawled" vectors: fresh ids, same distribution
+    new = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = append_to_ivf_index(spark, root, new)
+    assert out == {"version": 2, "base": 1, "appended_rows": 50}
+
+    table = SnapshotTable(root)
+    meta2 = table.meta_for(2)
+    assert meta2["centroids"] == table.meta_for(1)["centroids"]
+    assert meta2["appended_from"] == 1
+    assert int(meta2["n_rows"]) == base_n + 50
+
+    union = emb.select("vec_id", "embedding").unionByName(new)
+    want = C.assignment(union, meta2["centroids"]).select(
+        "vec_id", F.col("cid").cast("int").alias("cell")
+    )
+    got = table.read(spark, 2).select("vec_id", "cell")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # an appended vector is served: its nearest neighbor is the
+    # original it duplicates, at cosine 1.0
+    probe = new.filter(F.col("vec_id") == 1_000_007).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    top = query_ivf_index(spark, root, probe, topk=2).collect()
+    assert {r["vec_id"] for r in top} >= {7}
+    assert top[0]["cos_sim"] == 1.0
+
+
+def test_append_to_quantized_index_preserves_sq8_columns(
+    spark, sf_smoke, tmp_path
+):
+    """Appending to a quantized index derives qv/absmax for the new
+    rows, so the approximate scan keeps working over old + new alike."""
+    from etl_wikipedia_updates_spark.vector_index import append_to_ivf_index
+
+    root = str(tmp_path / "q")
+    build_ivf_index(spark, sf_smoke, root, quantize=True)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    new = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = append_to_ivf_index(spark, root, new)
+    assert out["appended_rows"] == 20
+
+    data = SnapshotTable(root).read(spark, out["version"])
+    assert dict(data.dtypes)["qv"] == "array<tinyint>"
+    assert data.filter(
+        F.col("vec_id") >= 1_000_000
+    ).filter(F.col("qv").isNull() | F.col("absmax").isNull()).count() == 0
+
+    probe = new.limit(1).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    top = query_ivf_index(spark, root, probe, topk=2).collect()
+    assert top[0]["cos_sim"] == 1.0
