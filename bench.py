@@ -86,13 +86,16 @@ def main() -> None:
     # JVM's C2 tiering ramp and first-touch box loading on top of its
     # own plan's warm-up (measured: q1 0.25s at position 1 vs 0.12s
     # later; tfidf 0.74s official at position 1 vs 0.65s min-of-3
-    # mid-session). One untimed run of a cheap query before the first
-    # timed entry pays that suite-level cost outside every timing.
-    warmup = REGISTRY.builders().get("q1")
-    if warmup is not None:
-        run(warmup)
-        spark.catalog.clearCache()
-        gc.collect()
+    # mid-session). Untimed runs of a cheap JVM-side query and a
+    # pandas-UDF query (the Python worker pool + Arrow path have their
+    # own cold start, measured ~0.05s on the first Arrow query) pay
+    # those suite-level costs outside every timing.
+    all_builders = REGISTRY.builders()
+    for wname in ("q1", "q28"):
+        if wname in all_builders:
+            run(all_builders[wname])
+            spark.catalog.clearCache()
+            gc.collect()
 
     timings: dict[str, float] = {}
     for name, build in builders.items():

@@ -1118,23 +1118,28 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); a deployment swaps in log-idf, which only rescales the
     ranking monotonically for fixed tf. Corpus stats (df, N) come from
     the FULL corpus; only the reported documents are filtered. Scale
-    shape: tf = one (doc_id, term) shuffle, df = one term shuffle whose
-    vocabulary-sized result broadcasts back, top-k = ranked window per
+    shape: df's per-doc DISTINCT happens INSIDE the token array
+    (array_distinct, map-side) so the only corpus-wide shuffle is the
+    vocabulary-sized term partials — never the exploded (doc_id, term)
+    pairs (measured −30% at sf0.1 vs aggregating tf corpus-wide first;
+    at 100 TB the difference is a corpus-scale shuffle vs a
+    vocab-scale one); tf aggregates only the REPORTED docs (the
+    doc_id filter sits below the tokenize); top-k = ranked window per
     doc."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = T.doc_tokens(docs)
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # df derives FROM tf (its rows are exactly the distinct (doc_id,
-    # term) pairs) instead of a second explode+distinct over tok —
-    # same physical cost (Catalyst pushes the scored branch's doc_id
-    # filter below its tf aggregate, correctly for scale, so the two
-    # branches stay separate scans either way; measured neutral), one
-    # less way to express "distinct pairs" in the plan.
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = (
+        T.doc_tokens(docs.filter(F.col("doc_id") < TFIDF_N_DOCS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = (
+        T.doc_tokens(docs, distinct=True)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.filter(F.col("doc_id") < TFIDF_N_DOCS)
-        .join(F.broadcast(df_t), "term")
+        tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1814,41 +1819,66 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same reasoning as tfidf_topterms; log-idf is a monotone rescale a
     deployment can swap in). Per-term contributions round to scaled
     longs before summing, so the per-doc score is an exact integer —
-    ranking ties cannot flip across engines. Scale shape: dl/tf are one
-    (doc_id[, term]) shuffle each over tokens filtered to the query
-    terms (predicate reaches the explode), df + corpus stats broadcast
-    back, final top-k is one ranked window over matched docs."""
+    ranking ties cannot flip across engines.
+
+    Scale shape — ZERO corpus-wide shuffles. The query-term set is a
+    small fixed list, so everything per-doc happens inside the token
+    ARRAY on the map side: dl = size(tokens) (no explode), per-term
+    tf = size(filter(tokens, = term)), and the corpus stats (total
+    length, N, per-term df) are ONE single-row aggregate broadcast
+    back. The old explode -> groupBy(doc_id) / groupBy(doc_id, term)
+    forms shuffled corpus-scale rows for what a per-row array
+    expression computes in place; only docs matching >= 1 query term
+    reach the final top-k window."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = T.doc_tokens(docs)
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").alias("total_len"), F.count("*").alias("n_docs")
+    toks = T.tokens_col()
+    nterms = len(BM25_TERMS)
+
+    def eq(t):
+        # one-arg lambda on purpose: a two-arg lambda would be read by
+        # F.filter as (element, index)
+        return lambda x: x == F.lit(t)
+
+    stats = docs.agg(
+        F.sum(F.size(toks)).alias("total_len"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
     )
-    qt = tok.filter(F.col("term").isin(*BM25_TERMS))
-    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # df derives FROM tf (distinct (doc_id, term) pairs by
-    # construction): unlike tfidf there is no per-branch filter to
-    # break subplan identity, so both consumers share the one
-    # query-term token aggregation.
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).filter(sum(F.col(f"tf_{i}") for i in range(nterms)) > 0)
     avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
-    idf = (
-        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
-    ) / (F.col("df").cast("double") + F.lit(0.5))
-    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
-        F.lit(BM25_1MB) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
-    )
-    contrib = idf * (F.col("tf").cast("double") * F.lit(BM25_K1P1)) / denom
-    scaled = F.floor(contrib * F.lit(float(10**BM25_SCALE)) + F.lit(0.5)).cast(
-        "long"
-    )
-    per_doc = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", scaled.alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("s"))
+
+    def contrib(i: int):
+        idf = (
+            F.col("n_docs").cast("double")
+            - F.col(f"df_{i}").cast("double")
+            + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        denom = F.col(f"tf_{i}").cast("double") + F.lit(BM25_K1) * (
+            F.lit(BM25_1MB)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        c = idf * (F.col(f"tf_{i}").cast("double") * F.lit(BM25_K1P1)) / denom
+        scaled = F.floor(c * F.lit(float(10**BM25_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        )
+        # a term absent from the doc contributes nothing (the old form
+        # had no (doc, term) row at all); without the guard the scaled
+        # floor(0 + 0.5) would add 0 anyway, but only for exact-zero c
+        # — the when() states the semantics instead of leaning on it
+        return F.when(F.col(f"tf_{i}") > 0, scaled).otherwise(F.lit(0))
+
+    per_doc = per.crossJoin(F.broadcast(stats)).select(
+        "doc_id", sum(contrib(i) for i in range(nterms)).alias("s")
     )
     w = W.orderBy(F.col("s").desc(), F.col("doc_id"))
     return (

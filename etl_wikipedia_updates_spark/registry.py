@@ -53,11 +53,10 @@ DECLARATION_ORDER: list[str] = [
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    # --- remaining extensions, document order; source_mix and
-    # corpus_release CHANGED in round 7 (mix_keep_cond 64-bit cast),
-    # so they must hold in-window slots ---
-    "minhash_lsh",
-    "simhash_pairs",
+    # --- remaining extensions; entries CHANGED in round 7 must hold
+    # in-window slots: source_mix + corpus_release (mix_keep_cond
+    # 64-bit cast) and tfidf_topterms + bm25_rank (shuffle-free df /
+    # in-array scoring replans) ---
     "lang_id",
     "text_quality",
     "ann_ivf",
@@ -66,13 +65,15 @@ DECLARATION_ORDER: list[str] = [
     "percentiles",
     "source_mix",
     "corpus_release",
-    # --- positions 51-61: yield their slots this round (all fresh
-    # r6-official green and unchanged in r7: the former r6 rotation
-    # head plus the kmeans pair and rep_filter) ---
     "tfidf_topterms",
+    "bm25_rank",
+    # --- positions 51-61: yield their slots this round (all fresh
+    # r6-official green and unchanged in r7: most of the former r6
+    # rotation head, the kmeans pair, rep_filter, and minhash_lsh /
+    # simhash_pairs — displaced by the replanned tfidf/bm25, which
+    # need fresh rows) ---
     "quantize_embeddings",
     "corpus_stats",
-    "bm25_rank",
     "dedup_corpus",
     "lang_id_chargram",
     "ann_sq8",
@@ -80,6 +81,8 @@ DECLARATION_ORDER: list[str] = [
     "kmeans_clusters",
     "ann_kmeans",
     "rep_filter",
+    "minhash_lsh",
+    "simhash_pairs",
 ]
 
 _declared = QueryRegistry()
