@@ -6,6 +6,11 @@ pipeline, graceful shutdown).
     python -m etl_wikipedia_updates_spark run q5 [--sf-dir DIR] [--limit N]
     python -m etl_wikipedia_updates_spark ingest --replay DIR --sink DIR
         [--max-rows N]            # file-replay ingest with retention (R11-R14)
+    python -m etl_wikipedia_updates_spark dedup-ingest --replay DIR --sink DIR
+        [--mode doc|quality|embedding] [--compact-every N]
+                                  # near-dup dedup at ingest
+    python -m etl_wikipedia_updates_spark index build|append|query --root DIR
+        [--vectors PARQUET]       # persistent IVF index lifecycle
     python -m etl_wikipedia_updates_spark sse --url URL --sink DIR
         [--max-batches N]         # live SSE ingest (R1-R3, R15)
     python -m etl_wikipedia_updates_spark dashboard --sink DIR
