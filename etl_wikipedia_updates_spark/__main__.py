@@ -151,6 +151,43 @@ def cmd_dedup_ingest(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """One maintenance pass over a sink tree — the operational
+    counterpart of the reference's in-loop cleanup (R14,
+    /root/reference/pipeline.py:41-51), run OUT of band here because
+    at scale maintenance is a scheduled job, not trigger-path work:
+    fold the data sink's batch appends into a compacted snapshot
+    version, optionally fold the neardup bucket store and the rollup
+    partials. Each fold is the same crash-safe SnapshotTable /
+    swap publish the streaming path uses, so running this against a
+    live sink is safe (replay grace horizons are preserved). Prints
+    one JSON line of what happened."""
+    import json
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        compact_rollup,
+        compact_sink,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        bucket_store_path,
+        compact_bucket_store,
+    )
+
+    spark = _spark()
+    out: dict = {}
+    out["sink"] = compact_sink(spark, args.sink, args.target_files)
+    if os.path.isdir(bucket_store_path(args.sink)):
+        folded = compact_bucket_store(
+            spark, args.sink, target_files=args.target_files
+        )
+        out["bucket_store"] = folded if folded else "nothing to fold"
+    if args.rollup:
+        compact_rollup(spark, args.rollup)
+        out["rollup"] = "compacted"
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
     from etl_wikipedia_updates_spark.streaming.ingest import (
@@ -317,6 +354,15 @@ def main(argv: list[str] | None = None) -> int:
         help="fold the LSH bucket store every N batches",
     )
 
+    mnt = sub.add_parser(
+        "maintain",
+        help="one out-of-band maintenance pass: compact the sink (and "
+        "its neardup bucket store if present; optionally a rollup dir)",
+    )
+    mnt.add_argument("--sink", required=True)
+    mnt.add_argument("--target-files", type=int, default=4)
+    mnt.add_argument("--rollup", help="rollup partials dir to fold")
+
     ing = sub.add_parser("ingest", help="file-replay ingest with retention")
     ing.add_argument("--replay", required=True)
     ing.add_argument("--sink", required=True)
@@ -349,6 +395,7 @@ def main(argv: list[str] | None = None) -> int:
         "release": cmd_release,
         "index": cmd_index,
         "dedup-ingest": cmd_dedup_ingest,
+        "maintain": cmd_maintain,
         "ingest": cmd_ingest,
         "sse": cmd_sse,
         "dashboard": cmd_dashboard,

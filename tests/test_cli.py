@@ -218,3 +218,49 @@ def test_cli_dedup_ingest_quality_mode(spark, sf_smoke, tmp_path, capsys):
     store = bucket_store_path(sink)
     assert sink_snapshot(store).current_version() is not None
     assert len(_batch_dirs(store)) < 5
+
+
+def test_cli_maintain_compacts_sink_and_bucket_store(
+    spark, sf_smoke, tmp_path, capsys
+):
+    """The maintain subcommand folds a dedup-ingest sink's batch
+    appends AND its neardup bucket store in one pass, without changing
+    the data; a second pass with nothing new to fold says so."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 3, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            ["dedup-ingest", "--replay", replay, "--sink", sink,
+             "--sf-dir", sf_smoke]
+        )
+        == 0
+    )
+    capsys.readouterr()
+
+    def checksum(df):
+        r = df.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).first()
+        return r["n"], r["s"]
+
+    before = checksum(read_sink(spark, sink))
+    assert main(["maintain", "--sink", sink, "--target-files", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sink"]["files_after"] <= 2
+    assert out["bucket_store"]["folded_dirs"] >= 1
+    assert checksum(read_sink(spark, sink)) == before
+
+    # second pass: sink re-folds (no new appends is still a rewrite of
+    # the published version — cheap), bucket store reports no-op
+    assert main(["maintain", "--sink", sink]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["bucket_store"] == "nothing to fold"
+    assert checksum(read_sink(spark, sink)) == before
