@@ -124,6 +124,7 @@ def cmd_dedup_ingest(args) -> int:
         ingest_with_embedding_neardup,
         ingest_with_neardup,
         ingest_with_quality_neardup,
+        ingest_with_verified_neardup,
     )
     from etl_wikipedia_updates_spark.tables import load_table
 
@@ -134,6 +135,7 @@ def cmd_dedup_ingest(args) -> int:
     start = {
         "doc": ingest_with_neardup,
         "quality": ingest_with_quality_neardup,
+        "verified": ingest_with_verified_neardup,
         "embedding": ingest_with_embedding_neardup,
     }[args.mode]
     q = start(
@@ -171,6 +173,8 @@ def cmd_maintain(args) -> int:
     from etl_wikipedia_updates_spark.streaming.neardup import (
         bucket_store_path,
         compact_bucket_store,
+        compact_shingle_store,
+        shingle_store_path,
     )
 
     spark = _spark()
@@ -181,6 +185,11 @@ def cmd_maintain(args) -> int:
             spark, args.sink, target_files=args.target_files
         )
         out["bucket_store"] = folded if folded else "nothing to fold"
+    if os.path.isdir(shingle_store_path(args.sink)):
+        folded = compact_shingle_store(
+            spark, args.sink, target_files=args.target_files
+        )
+        out["shingle_store"] = folded if folded else "nothing to fold"
     if args.rollup:
         compact_rollup(spark, args.rollup)
         out["rollup"] = "compacted"
@@ -345,7 +354,9 @@ def main(argv: list[str] | None = None) -> int:
     ded.add_argument("--sink", required=True)
     ded.add_argument("--checkpoint")
     ded.add_argument(
-        "--mode", choices=["doc", "quality", "embedding"], default="doc"
+        "--mode",
+        choices=["doc", "quality", "verified", "embedding"],
+        default="doc",
     )
     ded.add_argument("--sf-dir", default=sf_default)
     ded.add_argument("--timeout", type=int, default=600)

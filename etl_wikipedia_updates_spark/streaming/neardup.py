@@ -4,12 +4,15 @@ The batch near-dup family (minhash_lsh, dedup_corpus) dedups a corpus
 at rest; a training-data pipeline also needs the INGEST form — drop a
 crawled row the moment it collides with anything already ingested,
 without re-scanning the corpus per batch. This module is that
-operator family: three pipelines over one shared batch engine —
+operator family: four pipelines over one shared batch engine —
 MinHash-band blocking for documents (the batch path's exact shingle/
 hash/band machinery, operators.dedup), multi-band sign-bucket LSH for
-embeddings (SemDeDup-style semantic blocking), and the document form
+embeddings (SemDeDup-style semantic blocking), the document form
 composed with the repetition quality gate (corpus_release's
-ingest-time twin). The shared mechanics:
+ingest-time twin), and a VERIFIED precision mode (band collisions
+only nominate; exact shingle-Jaccard against the colliding earlier
+doc decides, at the cost of a second store of per-doc shingle sets).
+The shared mechanics:
 
 - Per micro-batch, each doc's signature unpivots into (lang, band,
   band_key) bucket rows (``lsh_band_rows``).
@@ -64,36 +67,45 @@ from etl_wikipedia_updates_spark.streaming.ingest import (
 )
 
 BUCKETS_DIRNAME = "_lsh_buckets"  # _-prefixed: invisible to sink readers
+SHINGLES_DIRNAME = "_shingle_store"  # verified mode: per-doc shingle sets
 
 _STORE_SCHEMA = "doc_id bigint, lang string, band int, band_key string"
+_SHINGLE_SCHEMA = "doc_id bigint, toks array<bigint>"
 
 
 def bucket_store_path(sink_path: str) -> str:
     return os.path.join(sink_path, BUCKETS_DIRNAME)
 
 
+def shingle_store_path(sink_path: str) -> str:
+    return os.path.join(sink_path, SHINGLES_DIRNAME)
+
+
 def _store_view(
-    spark: SparkSession, store_path: str, below: int
+    spark: SparkSession,
+    store_path: str,
+    below: int,
+    schema: str = _STORE_SCHEMA,
 ) -> DataFrame | None:
-    """Committed bucket rows from batches with id < ``below``: the
+    """Committed store rows from batches with id < ``below``: the
     compacted snapshot version (if any) plus unfolded committed batch
     dirs. None when nothing qualifying is committed yet (first batch,
     or an empty store). The ``below`` exclusion is the replay guard —
     a batch retried under its own id must not collide with its first
-    attempt's buckets, folded or not."""
+    attempt's rows, folded or not."""
     snap, v, folded, newer = _view_parts(store_path)
     dirs = [p for b, p in newer if b < below]
     if v is None:
         if not dirs:
             return None
-        return spark.read.schema(_STORE_SCHEMA).parquet(*dirs)
+        return spark.read.schema(schema).parquet(*dirs)
     if folded >= below:
         # Only possible through an external compaction run with an
         # explicit too-high ``below`` while the stream was in flight;
         # reading on would let a replayed batch collide with itself
         # and silently drop every row.
         raise RuntimeError(
-            f"bucket store {store_path} folded through {folded} but "
+            f"store {store_path} folded through {folded} but "
             f"batch {below} may replay; compact only below the "
             "in-flight batch id"
         )
@@ -103,16 +115,16 @@ def _store_view(
     return base
 
 
-def compact_bucket_store(
+def _compact_store(
     spark: SparkSession,
-    sink_path: str,
-    target_files: int = 4,
-    below: int | None = None,
+    store_path: str,
+    target_files: int,
+    below: int | None,
 ) -> dict | None:
-    """Fold the accumulating LSH bucket store into one snapshot
-    version — the same SnapshotTable fold the data sink uses
+    """Fold one accumulating per-batch store (bucket or shingle) into a
+    snapshot version — the same SnapshotTable fold the data sink uses
     (``_publish_rewrite``), so the store's file count stops growing
-    with batch count. Without this the store gains one directory per
+    with batch count. Without this a store gains one directory per
     trigger forever and the per-batch collision join pays an
     ever-growing file-listing + footer cost.
 
@@ -120,24 +132,50 @@ def compact_bucket_store(
     default folds everything EXCEPT the newest committed batch — a
     one-batch grace horizon, because with at-least-once foreachBatch
     the newest appended batch may be replayed if the checkpoint commit
-    did not land, and a replayed batch must never find its own buckets
+    did not land, and a replayed batch must never find its own rows
     already folded (``_store_view`` raises on that invariant). The
     in-handler call sites pass ``below=batch_id`` for the same reason.
 
     Returns {"version": N, "folded_dirs": n} or None when there was
     nothing new to fold (no pointless full-store rewrite)."""
-    store = bucket_store_path(sink_path)
-    committed = _committed_batch_dirs(store)
+    committed = _committed_batch_dirs(store_path)
     if below is None:
         below = max((b for b, _ in committed), default=-1)
-    _snap, _v, folded, newer = _view_parts(store)
+    _snap, _v, folded, newer = _view_parts(store_path)
     foldable = [b for b, p in newer if b < below]
     if not foldable:
         return None
     version = _publish_rewrite(
-        spark, store, lambda view: view.coalesce(target_files), below=below
+        spark,
+        store_path,
+        lambda view: view.coalesce(target_files),
+        below=below,
     )
     return {"version": version, "folded_dirs": len(foldable)}
+
+
+def compact_bucket_store(
+    spark: SparkSession,
+    sink_path: str,
+    target_files: int = 4,
+    below: int | None = None,
+) -> dict | None:
+    """Fold the LSH bucket store (see ``_compact_store``)."""
+    return _compact_store(
+        spark, bucket_store_path(sink_path), target_files, below
+    )
+
+
+def compact_shingle_store(
+    spark: SparkSession,
+    sink_path: str,
+    target_files: int = 4,
+    below: int | None = None,
+) -> dict | None:
+    """Fold the verified-mode shingle store (see ``_compact_store``)."""
+    return _compact_store(
+        spark, shingle_store_path(sink_path), target_files, below
+    )
 
 
 def doc_band_rows(docs: DataFrame) -> DataFrame:
@@ -401,3 +439,154 @@ def batch_neardup_keep(docs: DataFrame) -> DataFrame:
     doc_id order makes 'earlier' and 'smaller' the same relation
     across and within batches)."""
     return _batch_keep(docs, doc_band_rows, "doc_id")
+
+
+# --- verified (precision-mode) ingest dedup -----------------------------------
+# The aggressive pipelines above drop on ANY band collision (recall-
+# first, zero extra state). Verified mode adds the precision pass the
+# batch path already has (minhash_lsh's jaccard_verify): a doc is
+# dropped only when an exact shingle-Jaccard against the colliding
+# earlier doc clears the threshold. The extra state is the shingle
+# store — each doc's sorted-distinct shingle-id array (ids, not
+# strings: the same stateless term_hash the signatures use, so the
+# store is integers and collisions — identical on every engine — are
+# tolerated by construction). Per batch the verify join touches only
+# CANDIDATE pairs (band-colliding), so its cost scales with collision
+# rate, not corpus size; at 100 TB the shingle store is bucketed by
+# doc_id (operators/layout.py) so the candidate lookup co-locates.
+VERIFY_THRESHOLD = 0.5  # == plans.northstar.JACCARD_THRESHOLD (q26/minhash)
+
+
+def doc_shingle_tid_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks): each doc's sorted-distinct shingle ids — the
+    exact arrays jaccard_verify consumes, via the same shingle->tid
+    chain the signatures use (so verify and blocking can never see
+    different shingle sets)."""
+    dtok = T.doc_shingles(docs).withColumn("tid", T.term_hash_col())
+    return dtok.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tid")).alias("toks")
+    )
+
+
+def _band_pairs_within(band: DataFrame) -> DataFrame:
+    """Distinct candidate (doc_id, doc_id2) pairs within one frame of
+    band rows, doc_id < doc_id2 — the batch pair enumeration's
+    posting-list shape (operators.dedup.enumerate_sorted_pairs)."""
+    buckets = band.groupBy("lang", "band", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    return (
+        D.enumerate_sorted_pairs(buckets)
+        .select(F.col("x").alias("doc_id"), F.col("y").alias("doc_id2"))
+        .distinct()
+    )
+
+
+def verified_ingest_batch(
+    batch_df: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
+) -> None:
+    """One micro-batch of VERIFIED dedup ingest: candidates come from
+    band collisions (within the batch, and batch x bucket store),
+    but a doc is dropped only when exact shingle-Jaccard against the
+    earlier doc clears VERIFY_THRESHOLD. Appends the survivors, ALL
+    batch buckets, and ALL batch shingle sets under this batch's
+    idempotent dirs; the store reads exclude this batch id, so a
+    replayed batch never verifies against its own first attempt."""
+    spark = batch_df.sparkSession
+    keys = ["lang", "band", "band_key"]
+    band = doc_band_rows(batch_df).persist()
+    toks = doc_shingle_tid_arrays(batch_df).persist()
+    try:
+        store_band = _store_view(
+            spark, bucket_store_path(sink_path), batch_id
+        )
+        pairs = _band_pairs_within(band)
+        tok_lookup = toks
+        if store_band is not None:
+            # cross-batch candidates: earlier doc (store) is doc_id,
+            # this batch's doc is doc_id2 — the only droppable side
+            cross = (
+                band.join(
+                    store_band.withColumnRenamed("doc_id", "doc_id_prev"),
+                    keys,
+                )
+                .select(
+                    F.col("doc_id_prev").alias("doc_id"),
+                    F.col("doc_id").alias("doc_id2"),
+                )
+                .distinct()
+            )
+            pairs = pairs.unionByName(cross)
+            store_toks = _store_view(
+                spark,
+                shingle_store_path(sink_path),
+                batch_id,
+                schema=_SHINGLE_SCHEMA,
+            )
+            if store_toks is not None:
+                tok_lookup = toks.unionByName(store_toks)
+        verified = D.jaccard_verify(pairs, tok_lookup, VERIFY_THRESHOLD)
+        drops = verified.select("doc_id2").distinct()
+        survivors = batch_df.join(
+            drops.withColumnRenamed("doc_id2", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        append_batch(survivors, sink_path, batch_id)
+        append_batch(
+            band.select("doc_id", "lang", "band", "band_key"),
+            bucket_store_path(sink_path),
+            batch_id,
+        )
+        append_batch(toks, shingle_store_path(sink_path), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_bucket_store(spark, sink_path, below=batch_id)
+            compact_shingle_store(spark, sink_path, below=batch_id)
+    finally:
+        band.unpersist()
+        toks.unpersist()
+
+
+def ingest_with_verified_neardup(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streamed documents -> Jaccard-VERIFIED near-dup-deduped sink
+    (precision mode: band collisions only nominate, the exact overlap
+    decides)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        verified_ingest_batch(
+            batch_df, sink_path, batch_id, compact_every=compact_every
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_verified_neardup_keep(docs: DataFrame) -> DataFrame:
+    """The BATCH statement of the verified streaming rule: a doc
+    survives iff NO smaller doc_id both shares a band bucket AND has
+    exact shingle-Jaccard >= VERIFY_THRESHOLD with it. When a stream
+    replays the corpus in doc_id order, the verified sink must equal
+    this exactly (same candidate set: global bucket enumeration covers
+    within-batch and cross-batch pairs alike; same verify arrays:
+    batch and store shingle sets come from one builder)."""
+    band = doc_band_rows(docs)
+    pairs = _band_pairs_within(band)
+    toks = doc_shingle_tid_arrays(docs)
+    verified = D.jaccard_verify(pairs, toks, VERIFY_THRESHOLD)
+    drops = verified.select(
+        F.col("doc_id2").alias("doc_id")
+    ).distinct()
+    return docs.join(drops, "doc_id", "left_anti")

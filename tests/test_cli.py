@@ -264,3 +264,37 @@ def test_cli_maintain_compacts_sink_and_bucket_store(
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["bucket_store"] == "nothing to fold"
     assert checksum(read_sink(spark, sink)) == before
+
+
+def test_cli_dedup_ingest_verified_mode(spark, sf_smoke, tmp_path, capsys):
+    """--mode verified wires the precision pipeline: the sink equals
+    batch_verified_neardup_keep exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_verified_neardup_keep,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 3, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            ["dedup-ingest", "--replay", replay, "--sink", sink,
+             "--sf-dir", sf_smoke, "--mode", "verified"]
+        )
+        == 0
+    )
+    assert "rows kept:" in capsys.readouterr().out
+
+    def checksum(df):
+        r = df.agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).first()
+        return r["n"], r["s"]
+
+    assert checksum(read_sink(spark, sink)) == checksum(
+        batch_verified_neardup_keep(docs)
+    )

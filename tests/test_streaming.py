@@ -940,3 +940,71 @@ def test_sink_row_count_maintained(spark, tmp_path):
     assert apply_retention(spark, sink, max_rows=50, ts_col="ts")
     check()
     assert sink_row_count(sink) == 50
+
+
+def test_streaming_verified_neardup_equals_batch(spark, tmp_path):
+    """Precision-mode ingest dedup: the corpus replayed in doc_id
+    order through ingest_with_verified_neardup (with store compaction
+    mid-stream) must equal the batch statement — a doc drops only when
+    a smaller doc_id shares a band bucket AND exact shingle-Jaccard
+    clears the threshold. Verified must keep at least as many docs as
+    the aggressive band-blocking rule (collisions only nominate), and
+    both stores must have folded."""
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _batch_dirs,
+        sink_snapshot,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_neardup_keep,
+        batch_verified_neardup_keep,
+        bucket_store_path,
+        ingest_with_verified_neardup,
+        shingle_store_path,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_verified_neardup(
+        read_replay_stream(spark, replay, docs.schema),
+        sink,
+        ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    expected = _checksum_docs(batch_verified_neardup_keep(docs))
+    got = _checksum_docs(read_sink(spark, sink))
+    assert got == expected
+    n_all = docs.count()
+    n_aggressive = batch_neardup_keep(docs).count()
+    assert expected[0] < n_all  # the verified rule still bites
+    assert expected[0] >= n_aggressive  # precision: never drops more
+    for store in (bucket_store_path(sink), shingle_store_path(sink)):
+        assert sink_snapshot(store).current_version() is not None
+        assert len(_batch_dirs(store)) < 5
+
+
+def test_verified_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a verified batch under its own id must not verify
+    against its own first attempt (both store reads exclude the
+    current id) nor duplicate output; a later batch of exact copies
+    verifies at jaccard 1.0 and lands zero docs."""
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        verified_ingest_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    sink = str(tmp_path / "sink")
+
+    verified_ingest_batch(docs, sink, 0)
+    first = read_sink(spark, sink).count()
+    assert 0 < first <= 100
+    verified_ingest_batch(docs, sink, 0)  # at-least-once replay
+    assert read_sink(spark, sink).count() == first
+
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    verified_ingest_batch(copies, sink, 1)  # exact dups: jaccard 1.0
+    assert read_sink(spark, sink).count() == first
