@@ -2201,6 +2201,102 @@ ORDER BY source
 """
 
 
+# --- seq_pack: GPT-style sequence-packing audit -------------------------------
+# Concat-then-chunk packing (the standard pretraining shape): per
+# source, documents concatenate in doc_id order and the token stream
+# chunks into fixed SEQ_LEN sequences — no padding except the final
+# partial sequence, docs may span a boundary. The audit reports, per
+# source, how many sequences the corpus packs into, how many docs get
+# split across a boundary, and the fill fraction — the numbers a
+# training run sizes its dataloader with.
+SEQ_LEN = 512
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit over the documents table.
+
+    Scale shape: token counts are a map-side projection
+    (size(split()) — no explode); the running total is ONE window
+    shuffle partitioned on source and ordered by doc_id (packing is
+    inherently sequential PER STREAM, and source is the stream key a
+    real pretraining mix packs within); the report is a map-side
+    per-source aggregate of the window output. Nothing corpus-scale
+    crosses a second shuffle, and every quantity is integer arithmetic
+    until the final rounded fill fraction — hash-exact across
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(T.tokens_col()).alias("n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    per = docs.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w).alias("cum"),
+    ).select(
+        "source",
+        "n_tok",
+        "cum",
+        # a doc is SPLIT when its first and last token land in
+        # different chunks: floor((cum-1)/L) > floor((cum-n_tok)/L)
+        (
+            F.floor((F.col("cum") - 1) / F.lit(SEQ_LEN))
+            > F.floor((F.col("cum") - F.col("n_tok")) / F.lit(SEQ_LEN))
+        )
+        .cast("bigint")
+        .alias("split"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.floor(
+                (F.max("cum") + F.lit(SEQ_LEN - 1)) / F.lit(SEQ_LEN)
+            )
+            .cast("bigint")
+            .alias("n_seqs"),
+            F.sum("split").cast("bigint").alias("n_split_docs"),
+        )
+        .withColumn(
+            "fill_frac",
+            det_round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_seqs") * F.lit(SEQ_LEN)).cast("double"),
+                4,
+            ),
+        )
+        .transform(total_order, "source")
+    )
+
+
+SEQ_PACK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+),
+marked AS (
+  SELECT source, n_tok, cum,
+         CASE WHEN floor(CAST(cum - 1 AS DOUBLE) / {SEQ_LEN})
+                 > floor(CAST(cum - n_tok AS DOUBLE) / {SEQ_LEN})
+              THEN 1 ELSE 0 END AS split
+  FROM per
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(floor(CAST(MAX(cum) + {SEQ_LEN - 1} AS DOUBLE) / {SEQ_LEN}) AS BIGINT) AS n_seqs,
+       CAST(SUM(split) AS BIGINT) AS n_split_docs,
+       {sql_det_round(f"CAST(SUM(n_tok) AS DOUBLE) / (floor(CAST(MAX(cum) + {SEQ_LEN - 1} AS DOUBLE) / {SEQ_LEN}) * {SEQ_LEN})", 4)} AS fill_frac
+FROM marked GROUP BY source ORDER BY source
+"""
+
+
 # --- corpus_release: the end-to-end training-data release -------------------
 def release_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The released doc set — (source, split, doc_id, n_chars), one row
@@ -2422,5 +2518,11 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         CORPUS_RELEASE_SQL,
         "end-to-end release: dedup + quality filter + mix + split",
         eager=True,  # CC strategy probe runs jobs at build time
+    ),
+    DeclaredQuery(
+        "seq_pack",
+        seq_pack,
+        SEQ_PACK_SQL,
+        "GPT-style sequence-packing audit (concat-then-chunk)",
     ),
 ]

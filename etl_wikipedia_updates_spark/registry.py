@@ -1,10 +1,10 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 61
-entries. The external correctness gate records the first 50 entries
-per round, so 11 entries always sit past the cutoff; the rotation
-policy keeps every official row at most one round stale:
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
+entries (62 as of round 7). The external correctness gate records the
+first 50 entries per round, so 12 entries now sit past the cutoff;
+the rotation policy keeps every official row at most one round stale:
 
 - Entries whose newest official row is OLDEST go FIRST (round 7: the
   11 that fell past round 6's cutoff — grouped_zscore through
@@ -14,12 +14,12 @@ policy keeps every official row at most one round stale:
   old row certifies code that no longer exists). Round 7 changed
   source_mix (64-bit cast in mix_keep_cond) and thereby
   corpus_release (shared rule), so both stay inside.
-- NEW entries (none in round 7) have no official row at all, so they
-  must sit inside the first 50.
-- The 11 that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (round 7: the 8
-  re-certified-fresh-in-r6 former head plus kmeans_clusters /
-  ann_kmeans / rep_filter, all r6-fresh green).
+- NEW entries (round 7: seq_pack) have no official row at all, so
+  they must sit inside the first 50.
+- The 12 that yield their slots are UNCHANGED-this-round entries
+  certified green in the immediately-preceding round (round 7: the
+  former r6 head, the kmeans pair, rep_filter, minhash_lsh /
+  simhash_pairs, and lang_id — all r6-fresh green).
 
 All 61 entries are benched by bench.py and oracle-tested every run in
 tests/test_queries_oracle.py regardless of position; the rotation
@@ -57,7 +57,6 @@ DECLARATION_ORDER: list[str] = [
     # in-window slots: source_mix + corpus_release (mix_keep_cond
     # 64-bit cast) and tfidf_topterms + bm25_rank (shuffle-free df /
     # in-array scoring replans) ---
-    "lang_id",
     "text_quality",
     "ann_ivf",
     "dedup_clusters",
@@ -67,11 +66,15 @@ DECLARATION_ORDER: list[str] = [
     "corpus_release",
     "tfidf_topterms",
     "bm25_rank",
-    # --- positions 51-61: yield their slots this round (all fresh
+    # --- NEW in round 7 (never certified — must sit inside the gate
+    # window): sequence-packing audit ---
+    "seq_pack",
+    # --- positions 51-62: yield their slots this round (all fresh
     # r6-official green and unchanged in r7: most of the former r6
-    # rotation head, the kmeans pair, rep_filter, and minhash_lsh /
-    # simhash_pairs — displaced by the replanned tfidf/bm25, which
-    # need fresh rows) ---
+    # rotation head, the kmeans pair, rep_filter, minhash_lsh /
+    # simhash_pairs — displaced by the replanned tfidf/bm25 — and
+    # lang_id, displaced by the new seq_pack) ---
+    "lang_id",
     "quantize_embeddings",
     "corpus_stats",
     "dedup_corpus",
