@@ -69,6 +69,23 @@ CASES = [
     # corpus — the corpus itself must never shuffle on the skewed
     # source key before the final audit agg
     ("source_mix", ["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
+    # bm25 (r7 replan): ZERO corpus-wide shuffles — per-doc scoring is
+    # in-array map work, corpus stats are one single-row broadcast
+    # agg; a hashpartitioning exchange or an explode would mean the
+    # old corpus-scale shuffle crept back
+    ("bm25_rank", ["BroadcastExchange"], ["hashpartitioning", "Generate"]),
+    # tfidf (r7 replan): the vocab-sized df frame broadcasts onto the
+    # reported-docs tf branch; never a merge join
+    ("tfidf_topterms", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # seq_pack (r7): ONE window shuffle on the stream key; token
+    # counts are size(split) projections — no explode, no doc-keyed
+    # shuffle, and the per-source report reuses the window's
+    # partitioning
+    (
+        "seq_pack",
+        ["hashpartitioning(source", "Window"],
+        ["Generate", "hashpartitioning(doc_id"],
+    ),
 ]
 
 
