@@ -334,3 +334,49 @@ def test_source_mix_matches_python_reference(spark, rows):
         assert r["docs_kept"] == len(kept)
         assert r["chars_kept"] == sum(c for _, c in kept)
         assert r["kept_checksum"] == sum(d for d, _ in kept)
+
+
+def test_seq_pack_matches_python_packing(spark, sf_smoke):
+    """seq_pack's per-source numbers must equal a from-scratch Python
+    simulation of concat-then-chunk packing in doc_id order: sequence
+    count = ceil(total/L), split docs = docs whose first and last
+    token land in different chunks, fill = total/(n_seqs*L). Guards
+    the window arithmetic (cum-1 vs cum-n_tok flooring) against
+    off-by-one drift."""
+    import math
+
+    from etl_wikipedia_updates_spark.plans.northstar import SEQ_LEN, seq_pack
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = sorted(
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    want: dict[str, dict] = {}
+    cursors: dict[str, int] = {}
+    for r in docs:
+        n_tok = len(r.text.lower().split(" "))
+        s = want.setdefault(
+            r.source, {"n_docs": 0, "total": 0, "split": 0}
+        )
+        start = cursors.get(r.source, 0)
+        end = start + n_tok
+        s["n_docs"] += 1
+        s["total"] += n_tok
+        if (end - 1) // SEQ_LEN > start // SEQ_LEN:
+            s["split"] += 1
+        cursors[r.source] = end
+
+    got = {r.source: r for r in seq_pack(spark, sf_smoke).collect()}
+    assert set(got) == set(want)
+    for src, s in want.items():
+        g = got[src]
+        n_seqs = math.ceil(s["total"] / SEQ_LEN)
+        assert g.n_docs == s["n_docs"]
+        assert g.total_tokens == s["total"]
+        assert g.n_seqs == n_seqs
+        assert g.n_split_docs == s["split"]
+        assert 0 < g.fill_frac <= 1.0
+        assert abs(g.fill_frac - s["total"] / (n_seqs * SEQ_LEN)) < 1e-3
