@@ -7,7 +7,7 @@ pipeline, graceful shutdown).
     python -m etl_wikipedia_updates_spark ingest --replay DIR --sink DIR
         [--max-rows N]            # file-replay ingest with retention (R11-R14)
     python -m etl_wikipedia_updates_spark dedup-ingest --replay DIR --sink DIR
-        [--mode doc|quality|embedding] [--compact-every N]
+        [--mode doc|quality|verified|embedding] [--compact-every N]
                                   # near-dup dedup at ingest
     python -m etl_wikipedia_updates_spark index build|append|query --root DIR
         [--vectors PARQUET]       # persistent IVF index lifecycle
@@ -348,7 +348,8 @@ def main(argv: list[str] | None = None) -> int:
         "dedup-ingest",
         help="file-replay ingest with near-dup dedup at ingest "
         "(doc: MinHash bands; quality: repetition gate + MinHash "
-        "bands; embedding: sign-bucket LSH)",
+        "bands; verified: bands nominate + exact Jaccard decides; "
+        "embedding: sign-bucket LSH)",
     )
     ded.add_argument("--replay", required=True)
     ded.add_argument("--sink", required=True)

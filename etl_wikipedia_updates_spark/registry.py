@@ -21,7 +21,7 @@ the rotation policy keeps every official row at most one round stale:
   former r6 head, the kmeans pair, rep_filter, minhash_lsh /
   simhash_pairs, and lang_id — all r6-fresh green).
 
-All 61 entries are benched by bench.py and oracle-tested every run in
+All 62 entries are benched by bench.py and oracle-tested every run in
 tests/test_queries_oracle.py regardless of position; the rotation
 affects only which 50 the external gate re-certifies this round.
 """

@@ -100,7 +100,11 @@ def sink_row_count(sink_path: str) -> int:
     at a 2 s trigger cadence over a 100 TB sink the difference is the
     retention check being free vs being the dominant per-trigger cost.
     Same visibility contract as read_sink (committed-only; raises
-    before the first commit)."""
+    before the first commit, and on a missing sink path rather than
+    reporting 0 — a silent zero would make retention no-op forever on
+    a typo'd path)."""
+    if not os.path.isdir(sink_path):
+        raise FileNotFoundError(f"no such sink: {sink_path}")
     snap, v, _folded, newer = _view_parts(sink_path)
     if v is None and not newer:
         if _batch_dirs(sink_path):

@@ -60,7 +60,6 @@ from etl_wikipedia_updates_spark.plans.northstar import (
     MINHASH_ROWS,
 )
 from etl_wikipedia_updates_spark.streaming.ingest import (
-    _committed_batch_dirs,
     _publish_rewrite,
     _view_parts,
     append_batch,
@@ -138,11 +137,13 @@ def _compact_store(
 
     Returns {"version": N, "folded_dirs": n} or None when there was
     nothing new to fold (no pointless full-store rewrite)."""
-    committed = _committed_batch_dirs(store_path)
+    _snap, _v, _folded, newer = _view_parts(store_path)
     if below is None:
-        below = max((b for b, _ in committed), default=-1)
-    _snap, _v, folded, newer = _view_parts(store_path)
-    foldable = [b for b, p in newer if b < below]
+        # newest UNFOLDED committed id; when everything committed is
+        # already folded the max is over an empty set and foldable
+        # below comes out empty either way
+        below = max((b for b, _ in newer), default=-1)
+    foldable = [b for b, _ in newer if b < below]
     if not foldable:
         return None
     version = _publish_rewrite(
@@ -497,8 +498,22 @@ def verified_ingest_batch(
     replayed batch never verifies against its own first attempt."""
     spark = batch_df.sparkSession
     keys = ["lang", "band", "band_key"]
-    band = doc_band_rows(batch_df).persist()
-    toks = doc_shingle_tid_arrays(batch_df).persist()
+    # ONE shingle -> per-char term-hash pass per batch (the dominant
+    # per-batch map cost): band rows AND the verify arrays both derive
+    # from the persisted dtok instead of re-running the chain each.
+    dtok = (
+        T.doc_shingles(batch_df).withColumn("tid", T.term_hash_col()).persist()
+    )
+    band = D.lsh_band_rows(
+        D.minhash_signatures(
+            dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
+        ),
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+    ).persist()
+    toks = dtok.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tid")).alias("toks")
+    ).persist()
     try:
         store_band = _store_view(
             spark, bucket_store_path(sink_path), batch_id
@@ -548,6 +563,7 @@ def verified_ingest_batch(
     finally:
         band.unpersist()
         toks.unpersist()
+        dtok.unpersist()
 
 
 def ingest_with_verified_neardup(

@@ -46,7 +46,12 @@ def dir_row_count(root: str) -> int:
     files' FOOTER metadata — driver-side I/O of a few KB per file, no
     Spark job, no data pages read. Mirrors Spark's reader visibility:
     ``_``/``.``-prefixed files and directories are skipped, so hidden
-    state (manifests, in-flight rewrites) never counts."""
+    state (manifests, in-flight rewrites) never counts. A missing root
+    raises rather than reading as 0 — a silent zero turns a typo'd or
+    vacuumed path into a wrong count downstream (a retention check
+    that never fires, an append delta equal to the whole table)."""
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"no such directory to count: {root}")
     total = 0
     for r, dirs, files in os.walk(root):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]

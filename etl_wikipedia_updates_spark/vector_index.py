@@ -155,6 +155,12 @@ def append_to_ivf_index(
             "vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv"
         )
     existing = table.read(spark, base)
+    # resolved BEFORE publish+vacuum: the footer-count fallback (a base
+    # version published before n_rows metadata existed) must read the
+    # base dir while it is still guaranteed on disk
+    base_rows = int(
+        meta.get("n_rows", dir_row_count(table.version_path(base)))
+    )
     merged = existing.unionByName(assigned)
     new_version = table.publish(
         merged,
@@ -163,9 +169,6 @@ def append_to_ivf_index(
         partition_by=["cell"],
     )
     table.vacuum(keep_last=keep_last)
-    base_rows = int(
-        meta.get("n_rows", dir_row_count(table.version_path(base)))
-    )
     appended = int(table.meta_for(new_version)["n_rows"]) - base_rows
     return {"version": new_version, "base": base, "appended_rows": appended}
 
