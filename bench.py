@@ -86,12 +86,16 @@ def main() -> None:
     # JVM's C2 tiering ramp and first-touch box loading on top of its
     # own plan's warm-up (measured: q1 0.25s at position 1 vs 0.12s
     # later; tfidf 0.74s official at position 1 vs 0.65s min-of-3
-    # mid-session). Untimed runs of a cheap JVM-side query and a
+    # mid-session). Untimed runs of a cheap JVM-side query, a scalar
     # pandas-UDF query (the Python worker pool + Arrow path have their
-    # own cold start, measured ~0.05s on the first Arrow query) pay
-    # those suite-level costs outside every timing.
+    # own cold start, measured ~0.05s on the first Arrow query) and a
+    # grouped-map query pay those suite-level costs outside every
+    # timing. The grouped-map entry is new in r8: FlatMapGroupsInPandas
+    # has its own first-touch the scalar Arrow path doesn't absorb
+    # (measured r7: grouped_zscore 0.545s official at suite position 1
+    # vs 0.381s min-of-3 isolated; bm25_rank 0.595s vs 0.407s).
     all_builders = REGISTRY.builders()
-    for wname in ("q1", "q28"):
+    for wname in ("q1", "q28", "grouped_zscore"):
         if wname in all_builders:
             run(all_builders[wname])
             spark.catalog.clearCache()

@@ -1125,7 +1125,11 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the difference is a corpus-scale shuffle vs a
     vocab-scale one); tf aggregates only the REPORTED docs (the
     doc_id filter sits below the tokenize); top-k = ranked window per
-    doc."""
+    doc. Broadcast DIRECTION matters at scale: the tf side is bounded
+    by the doc_id < TFIDF_N_DOCS filter (a handful of docs' terms),
+    while the df side is the FULL VOCABULARY — 1e8-1e9 terms at
+    web scale, unbroadcastable — so tf broadcasts onto the streamed
+    df branch, never the reverse."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         T.doc_tokens(docs.filter(F.col("doc_id") < TFIDF_N_DOCS))
@@ -1139,7 +1143,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        df_t.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1830,7 +1834,15 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms shuffled corpus-scale rows for what a per-row array
     expression computes in place; only docs matching >= 1 query term
     reach the final top-k window."""
-    docs = load_table(spark, sf_dir, "documents")
+    # The oracle derives every corpus stat (n_docs, total_len, df)
+    # from exploded tokens, so a NULL-text doc contributes nothing
+    # there; size(NULL)=-1 under this session's legacy sizeOfNull
+    # would instead poison total_len and keep the doc in n_docs.
+    # Filtering upfront is exact parity and pushes IsNotNull(text)
+    # into the parquet scan. Identical on non-null corpora.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = T.tokens_col()
     nterms = len(BM25_TERMS)
 
@@ -2210,28 +2222,88 @@ ORDER BY source
 # split across a boundary, and the fill fraction — the numbers a
 # training run sizes its dataloader with.
 SEQ_LEN = 512
+# Sub-octave bits for the two-phase prefix sum's range bucketing.
+# Purely a parallelism knob: the cumulative offsets are exact, so the
+# audit's integers are invariant to it. The bucket is
+# (bit_length(doc_id), top SUB_BITS+1 bits) — monotone in doc_id with
+# NO bounds scan needed (no data-dependent range), at most
+# 64 * 2^(SUB_BITS+1) buckets (so the offsets frame stays trivially
+# broadcastable at any corpus size), and for dense ids the largest
+# bucket holds ~2^-(SUB_BITS+1) of the corpus (~0.1% at 9 bits) —
+# thousands of independent tasks for the corpus-side window.
+SEQ_PACK_SUB_BITS = 9
 
 
 def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing audit over the documents table.
 
-    Scale shape: token counts are a map-side projection
-    (size(split()) — no explode); the running total is ONE window
-    shuffle partitioned on source and ordered by doc_id (packing is
-    inherently sequential PER STREAM, and source is the stream key a
-    real pretraining mix packs within); the report is a map-side
-    per-source aggregate of the window output. Nothing corpus-scale
-    crosses a second shuffle, and every quantity is integer arithmetic
-    until the final rounded fill fraction — hash-exact across
-    engines."""
+    Scale shape — a TWO-PHASE DISTRIBUTED PREFIX SUM. Packing is
+    inherently sequential per stream (source), but a single window
+    partitioned on source would funnel the whole corpus's count stream
+    into |sources| single-stream tasks — a full shuffle onto a tiny,
+    skewed key. Instead: (1) docs range-bucket on doc_id (monotone, so
+    bucket order == doc order); per-(bucket, source) token subtotals
+    are ONE tiny map-side-combined aggregate (buckets x sources rows);
+    the exclusive running offsets over that frame are a window over
+    thousands of rows, not the corpus. (2) The offsets broadcast back
+    and the intra-bucket running sum is a window on the COMPOSITE
+    (bucket, source) key — the corpus's one shuffle lands on
+    buckets x sources keys, parallel and skew-free; cum = offset +
+    intra-bucket sum, bit-identical to the single-stream total. Token
+    counts are map-side size(split()) projections (no explode); the
+    report is a map-side per-source aggregate; every quantity is
+    integer arithmetic until the final rounded fill fraction —
+    hash-exact across engines.
+
+    One scan, one shuffle: BOTH phases hang off the SAME explicit
+    repartition(bkt, source) exchange — the subtotal branch is a
+    co-located hash aggregate directly over the exchange output (the
+    explicit repartition stops Catalyst from pushing the partial agg
+    below it, which would split the exchange in two and force a
+    second scan), so at runtime AQE wires it as a ReusedExchange
+    consumer: the corpus is scanned, tokenized, and shuffled exactly
+    once, and the bucket is stateless per-row bit math (no bounds
+    pass, no sampling job)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(T.tokens_col()).alias("n_tok")
     )
-    w = W.partitionBy("source").orderBy("doc_id")
-    per = docs.select(
+    # Range-bucket on doc_id via (bit_length, top bits): monotone in
+    # doc_id, so per-source concatenation order is preserved across
+    # bucket boundaries — see SEQ_PACK_SUB_BITS. bin()/shiftright are
+    # exact integer ops (floor(log2()) would wobble a ULP at exact
+    # powers of two).
+    _w = SEQ_PACK_SUB_BITS + 1
+    b = docs.withColumn(
+        "bkt",
+        F.length(F.bin(F.col("doc_id"))).cast("long") * F.lit(1 << _w)
+        + F.expr(
+            f"shiftright(doc_id, greatest(length(bin(doc_id)) - {_w}, 0))"
+        ),
+    )
+    rep = b.repartition("bkt", "source")
+    # subtotal branch: grouping keys == exchange partitioning, so this
+    # plans as a co-located aggregate with no further exchange
+    sub = rep.groupBy("bkt", "source").agg(F.sum("n_tok").alias("sub"))
+    wo = (
+        W.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = sub.select(
+        "bkt",
         "source",
-        "n_tok",
-        F.sum("n_tok").over(w).alias("cum"),
+        F.coalesce(F.sum("sub").over(wo), F.lit(0)).alias("off"),
+    )
+    # probe branch: broadcast join preserves the streamed side's
+    # partitioning, so the intra-bucket window needs only a sort
+    wi = W.partitionBy("bkt", "source").orderBy("doc_id")
+    per = (
+        rep.join(F.broadcast(off), ["bkt", "source"])
+        .select(
+            "source",
+            "n_tok",
+            (F.col("off") + F.sum("n_tok").over(wi)).alias("cum"),
+        )
     ).select(
         "source",
         "n_tok",

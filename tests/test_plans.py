@@ -74,19 +74,66 @@ CASES = [
     # agg; a hashpartitioning exchange or an explode would mean the
     # old corpus-scale shuffle crept back
     ("bm25_rank", ["BroadcastExchange"], ["hashpartitioning", "Generate"]),
-    # tfidf (r7 replan): the vocab-sized df frame broadcasts onto the
-    # reported-docs tf branch; never a merge join
+    # tfidf (r8 broadcast-direction fix): the doc_id-bounded tf frame
+    # broadcasts onto the streamed vocab-scale df branch — never a
+    # merge join, and never a broadcast of the vocabulary (1e8-1e9
+    # terms at web scale)
     ("tfidf_topterms", ["BroadcastHashJoin"], ["SortMergeJoin"]),
-    # seq_pack (r7): ONE window shuffle on the stream key; token
-    # counts are size(split) projections — no explode, no doc-keyed
-    # shuffle, and the per-source report reuses the window's
-    # partitioning
+    # seq_pack (r8 replan): two-phase distributed prefix sum — the
+    # corpus's one shuffle is the window on the COMPOSITE range-bucket
+    # key (hashpartitioning(bkt, source)), and the per-bucket offsets
+    # broadcast back; a corpus window partitioned on source alone
+    # (the |sources|-task funnel) would show as a Window whose
+    # exchange precedes any bkt column, which the bkt requirement plus
+    # the broadcast join excludes. Token counts stay size(split)
+    # projections — no explode, no doc-keyed shuffle.
     (
         "seq_pack",
-        ["hashpartitioning(source", "Window"],
-        ["Generate", "hashpartitioning(doc_id"],
+        ["hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
+        ["Generate", "hashpartitioning(doc_id", "SortMergeJoin"],
     ),
 ]
+
+
+def _subtree_lines(tree: str, marker: str):
+    """Yield the lines strictly below each ``marker`` node in a Spark
+    plan tree string (children are the following lines with deeper
+    tree-prefix indentation; prefixes are built from ' ', ':', '+',
+    '-' only)."""
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if marker not in line:
+            continue
+        d = depth(line)
+        for sub in lines[i + 1 :]:
+            if sub.strip() and depth(sub) <= d:
+                break
+            yield sub
+
+
+def test_tfidf_broadcasts_tf_not_vocab(spark, sf_smoke):
+    """Pin the broadcast DIRECTION, not just its existence: the
+    BroadcastExchange subtree must be the doc_id-bounded tf branch,
+    never the vocabulary-sized df branch (the vocab is 1e8-1e9 terms
+    at web scale — unbroadcastable). The df branch is the only
+    subtree containing array_distinct, so no broadcast subtree may
+    contain it; conversely at least one must carry tf's pushed
+    doc_id range filter."""
+    df = REGISTRY.queries["tfidf_topterms"].builder(spark, sf_smoke)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in physical
+    bcast = list(_subtree_lines(physical, "BroadcastExchange"))
+    assert bcast, "no broadcast subtree found"
+    assert not any("array_distinct" in ln for ln in bcast), (
+        "vocab (array_distinct) branch is being broadcast"
+    )
+    assert any("doc_id" in ln for ln in bcast), (
+        "expected the doc_id-bounded tf branch under the broadcast"
+    )
 
 
 @pytest.mark.parametrize("name,need,forbid", CASES, ids=[c[0] for c in CASES])
