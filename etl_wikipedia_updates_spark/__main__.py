@@ -7,7 +7,8 @@ pipeline, graceful shutdown).
     python -m etl_wikipedia_updates_spark ingest --replay DIR --sink DIR
         [--max-rows N]            # file-replay ingest with retention (R11-R14)
     python -m etl_wikipedia_updates_spark dedup-ingest --replay DIR --sink DIR
-        [--mode doc|quality|verified|embedding] [--compact-every N]
+        [--mode doc|quality|verified|embedding|embedding-verified]
+        [--compact-every N]
                                   # near-dup dedup at ingest
     python -m etl_wikipedia_updates_spark index build|append|query --root DIR
         [--vectors PARQUET]       # persistent IVF index lifecycle
@@ -124,12 +125,17 @@ def cmd_dedup_ingest(args) -> int:
         ingest_with_embedding_neardup,
         ingest_with_neardup,
         ingest_with_quality_neardup,
+        ingest_with_verified_embedding_neardup,
         ingest_with_verified_neardup,
     )
     from etl_wikipedia_updates_spark.tables import load_table
 
     spark = _spark()
-    table = "embeddings" if args.mode == "embedding" else "documents"
+    table = (
+        "embeddings"
+        if args.mode in ("embedding", "embedding-verified")
+        else "documents"
+    )
     schema = load_table(spark, args.sf_dir, table).schema
     stream = read_replay_stream(spark, args.replay, schema)
     start = {
@@ -137,6 +143,7 @@ def cmd_dedup_ingest(args) -> int:
         "quality": ingest_with_quality_neardup,
         "verified": ingest_with_verified_neardup,
         "embedding": ingest_with_embedding_neardup,
+        "embedding-verified": ingest_with_verified_embedding_neardup,
     }[args.mode]
     q = start(
         stream,
@@ -174,7 +181,9 @@ def cmd_maintain(args) -> int:
         bucket_store_path,
         compact_bucket_store,
         compact_shingle_store,
+        compact_vector_store,
         shingle_store_path,
+        vector_store_path,
     )
 
     spark = _spark()
@@ -190,6 +199,11 @@ def cmd_maintain(args) -> int:
             spark, args.sink, target_files=args.target_files
         )
         out["shingle_store"] = folded if folded else "nothing to fold"
+    if os.path.isdir(vector_store_path(args.sink)):
+        folded = compact_vector_store(
+            spark, args.sink, target_files=args.target_files
+        )
+        out["vector_store"] = folded if folded else "nothing to fold"
     if args.rollup:
         compact_rollup(spark, args.rollup)
         out["rollup"] = "compacted"
@@ -348,15 +362,22 @@ def main(argv: list[str] | None = None) -> int:
         "dedup-ingest",
         help="file-replay ingest with near-dup dedup at ingest "
         "(doc: MinHash bands; quality: repetition gate + MinHash "
-        "bands; verified: bands nominate + exact Jaccard decides; "
-        "embedding: sign-bucket LSH)",
+        "bands; verified: bands nominate + sketch-Jaccard decides; "
+        "embedding: sign-bucket LSH; embedding-verified: sign "
+        "buckets nominate + exact cosine decides)",
     )
     ded.add_argument("--replay", required=True)
     ded.add_argument("--sink", required=True)
     ded.add_argument("--checkpoint")
     ded.add_argument(
         "--mode",
-        choices=["doc", "quality", "verified", "embedding"],
+        choices=[
+            "doc",
+            "quality",
+            "verified",
+            "embedding",
+            "embedding-verified",
+        ],
         default="doc",
     )
     ded.add_argument("--sf-dir", default=sf_default)

@@ -371,9 +371,21 @@ def compact_sink(
     rewrite_data_files.
 
     Returns {"files_before": .., "files_after": .., "rows": ..}.
+    A pass with nothing to do — no unfolded committed batch dirs AND
+    the current version already at or under ``target_files`` — is a
+    NO-OP returning the current version's stats: a scheduled
+    maintenance loop must not pay a full-table rewrite (nor burn a
+    version number) per idle cycle.
     """
     _recover_swap(sink_path)  # heal a pre-snapshot-era crashed swap
+    snap, v, _folded, newer = _view_parts(sink_path)
     before = _view_file_count(sink_path)
+    if v is not None and not newer and before <= target_files:
+        return {
+            "files_before": before,
+            "files_after": before,
+            "rows": int(snap.meta_for(v)["n_rows"]),
+        }
     version = _publish_rewrite(
         spark, sink_path, lambda view: view.coalesce(target_files)
     )

@@ -66,10 +66,12 @@ from etl_wikipedia_updates_spark.streaming.ingest import (
 )
 
 BUCKETS_DIRNAME = "_lsh_buckets"  # _-prefixed: invisible to sink readers
-SHINGLES_DIRNAME = "_shingle_store"  # verified mode: per-doc shingle sets
+SHINGLES_DIRNAME = "_shingle_store"  # verified mode: per-doc shingle sketches
+VECTORS_DIRNAME = "_vector_store"  # embedding-verified mode: per-id vectors
 
 _STORE_SCHEMA = "doc_id bigint, lang string, band int, band_key string"
 _SHINGLE_SCHEMA = "doc_id bigint, toks array<bigint>"
+_VECTOR_SCHEMA = "doc_id bigint, embedding array<float>"
 
 
 def bucket_store_path(sink_path: str) -> str:
@@ -78,6 +80,10 @@ def bucket_store_path(sink_path: str) -> str:
 
 def shingle_store_path(sink_path: str) -> str:
     return os.path.join(sink_path, SHINGLES_DIRNAME)
+
+
+def vector_store_path(sink_path: str) -> str:
+    return os.path.join(sink_path, VECTORS_DIRNAME)
 
 
 def _store_view(
@@ -177,6 +183,54 @@ def compact_shingle_store(
     return _compact_store(
         spark, shingle_store_path(sink_path), target_files, below
     )
+
+
+def compact_vector_store(
+    spark: SparkSession,
+    sink_path: str,
+    target_files: int = 4,
+    below: int | None = None,
+) -> dict | None:
+    """Fold the embedding-verified-mode vector store (see
+    ``_compact_store``)."""
+    return _compact_store(
+        spark, vector_store_path(sink_path), target_files, below
+    )
+
+
+def _require_payload_coverage(
+    sink_path: str, payload_dirname: str, below: int, mode: str
+) -> None:
+    """Verified modes keep TWO stores in lockstep: the bucket store
+    (nomination) and a per-id payload store (shingle sketches /
+    vectors — the decision evidence). If the bucket store holds batch
+    ids the payload store lacks — e.g. a sink first populated with an
+    unverified --mode, then continued verified — cross-batch
+    candidate pairs against those docs find no payload row, the
+    verify inner join silently drops the pair, and near-duplicates of
+    earlier docs pass through undetected. Fail loudly instead:
+    folded coverage compares the folded_through watermarks, unfolded
+    coverage compares the committed batch-id sets."""
+    _bs, _bv, bfolded, bnewer = _view_parts(bucket_store_path(sink_path))
+    payload_path = os.path.join(sink_path, payload_dirname)
+    _ps, _pv, pfolded, pnewer = _view_parts(payload_path)
+    have = {b for b, _ in pnewer}
+    missing = [
+        b
+        for b, _ in bnewer
+        if b < below and b > pfolded and b not in have
+    ]
+    if pfolded < bfolded or missing:
+        raise RuntimeError(
+            f"{mode} ingest at {sink_path}: bucket store covers batches "
+            f"the {payload_dirname} store lacks "
+            f"(folded {bfolded} vs {pfolded}; unfolded missing "
+            f"{missing[:8]}). The sink was likely populated with a "
+            "non-verified mode first; verified modes cannot decide "
+            "candidate pairs against docs with no stored payload. "
+            "Re-ingest from scratch in the verified mode, or continue "
+            "in the original mode."
+        )
 
 
 def doc_band_rows(docs: DataFrame) -> DataFrame:
@@ -446,26 +500,36 @@ def batch_neardup_keep(docs: DataFrame) -> DataFrame:
 # The aggressive pipelines above drop on ANY band collision (recall-
 # first, zero extra state). Verified mode adds the precision pass the
 # batch path already has (minhash_lsh's jaccard_verify): a doc is
-# dropped only when an exact shingle-Jaccard against the colliding
+# dropped only when a shingle-Jaccard check against the colliding
 # earlier doc clears the threshold. The extra state is the shingle
-# store — each doc's sorted-distinct shingle-id array (ids, not
-# strings: the same stateless term_hash the signatures use, so the
-# store is integers and collisions — identical on every engine — are
-# tolerated by construction). Per batch the verify join touches only
-# CANDIDATE pairs (band-colliding), so its cost scales with collision
-# rate, not corpus size; at 100 TB the shingle store is bucketed by
-# doc_id (operators/layout.py) so the candidate lookup co-locates.
+# store — each doc's BOTTOM-K SKETCH: the k smallest sorted-distinct
+# shingle ids (ids, not strings: the same stateless term_hash the
+# signatures use, so the store is integers and the k smallest are a
+# deterministic min-k sample, identical on every engine). The cap
+# bounds per-doc state at SHINGLE_SKETCH_K ids, so the store grows
+# with DOC count, not corpus tokens — without it the store would be a
+# large fraction of the corpus itself at 100 TB. The check is the
+# standard bottom-k estimator (operators.dedup.jaccard_verify_sketch),
+# EXACT for every pair whose union fits under k. Per batch the verify
+# join touches only CANDIDATE pairs (band-colliding), so its cost
+# scales with collision rate, not corpus size; at 100 TB the shingle
+# store is bucketed by doc_id (operators/layout.py) so the candidate
+# lookup co-locates.
 VERIFY_THRESHOLD = 0.5  # == plans.northstar.JACCARD_THRESHOLD (q26/minhash)
+SHINGLE_SKETCH_K = 512  # bottom-k sketch width (per-doc store bound)
 
 
 def doc_shingle_tid_arrays(docs: DataFrame) -> DataFrame:
-    """(doc_id, toks): each doc's sorted-distinct shingle ids — the
-    exact arrays jaccard_verify consumes, via the same shingle->tid
-    chain the signatures use (so verify and blocking can never see
+    """(doc_id, toks): each doc's bottom-SHINGLE_SKETCH_K sketch of
+    sorted-distinct shingle ids — the exact arrays
+    jaccard_verify_sketch consumes, via the same shingle->tid chain
+    the signatures use (so verify and blocking can never see
     different shingle sets)."""
     dtok = T.doc_shingles(docs).withColumn("tid", T.term_hash_col())
     return dtok.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("tid")).alias("toks")
+        F.slice(
+            F.array_sort(F.collect_set("tid")), 1, SHINGLE_SKETCH_K
+        ).alias("toks")
     )
 
 
@@ -512,7 +576,9 @@ def verified_ingest_batch(
         MINHASH_ROWS,
     ).persist()
     toks = dtok.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("tid")).alias("toks")
+        F.slice(
+            F.array_sort(F.collect_set("tid")), 1, SHINGLE_SKETCH_K
+        ).alias("toks")
     ).persist()
     try:
         store_band = _store_view(
@@ -535,6 +601,12 @@ def verified_ingest_batch(
                 .distinct()
             )
             pairs = pairs.unionByName(cross)
+            # a bucket store without matching shingle coverage (sink
+            # previously fed by a non-verified mode) must fail loudly,
+            # not silently pass near-dups of unverifiable docs
+            _require_payload_coverage(
+                sink_path, SHINGLES_DIRNAME, batch_id, "verified"
+            )
             store_toks = _store_view(
                 spark,
                 shingle_store_path(sink_path),
@@ -543,7 +615,9 @@ def verified_ingest_batch(
             )
             if store_toks is not None:
                 tok_lookup = toks.unionByName(store_toks)
-        verified = D.jaccard_verify(pairs, tok_lookup, VERIFY_THRESHOLD)
+        verified = D.jaccard_verify_sketch(
+            pairs, tok_lookup, VERIFY_THRESHOLD, SHINGLE_SKETCH_K
+        )
         drops = verified.select("doc_id2").distinct()
         survivors = batch_df.join(
             drops.withColumnRenamed("doc_id2", "doc_id"),
@@ -601,8 +675,158 @@ def batch_verified_neardup_keep(docs: DataFrame) -> DataFrame:
     band = doc_band_rows(docs)
     pairs = _band_pairs_within(band)
     toks = doc_shingle_tid_arrays(docs)
-    verified = D.jaccard_verify(pairs, toks, VERIFY_THRESHOLD)
+    verified = D.jaccard_verify_sketch(
+        pairs, toks, VERIFY_THRESHOLD, SHINGLE_SKETCH_K
+    )
     drops = verified.select(
         F.col("doc_id2").alias("doc_id")
     ).distinct()
     return docs.join(drops, "doc_id", "left_anti")
+
+
+# --- verified (precision-mode) EMBEDDING dedup --------------------------------
+# The embedding twin of verified mode (SemDeDup with the verify pass):
+# sign-bucket band collisions only NOMINATE; the exact cosine against
+# the colliding earlier vector decides. The extra state is the vector
+# store — each ingested id's embedding (the payload is the evidence;
+# unlike shingles no sketch is needed: one row per vector, dim floats,
+# already the minimal decision state). Threshold shared with the batch
+# cosine_neardup operator so "near-duplicate" means the same thing at
+# rest and at ingest.
+EMB_VERIFY_THRESHOLD = 0.35  # == plans.northstar.COSINE_NEARDUP_THRESHOLD
+
+
+def _cosine_verify(
+    pairs: DataFrame, vectors: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-cosine check on candidate pairs. vectors: (doc_id,
+    embedding). Two joins (candidates only), then the JVM-side
+    fold-based cosine (functions.arrays) — no Python."""
+    from etl_wikipedia_updates_spark.functions.arrays import (
+        cosine_similarity,
+    )
+
+    v1 = vectors.select(F.col("doc_id"), F.col("embedding").alias("e1"))
+    v2 = vectors.select(
+        F.col("doc_id").alias("doc_id2"), F.col("embedding").alias("e2")
+    )
+    return (
+        pairs.join(v1, "doc_id")
+        .join(v2, "doc_id2")
+        .select(
+            "doc_id",
+            "doc_id2",
+            cosine_similarity(F.col("e1"), F.col("e2")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def verified_embedding_ingest_batch(
+    batch_df: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
+) -> None:
+    """One micro-batch of VERIFIED embedding dedup ingest: candidates
+    come from sign-bucket band collisions (within the batch, and
+    batch x bucket store), but a vector is dropped only when exact
+    cosine against the earlier vector clears EMB_VERIFY_THRESHOLD.
+    Appends the survivors, ALL batch buckets, and ALL batch vectors
+    under this batch's idempotent dirs; the store reads exclude this
+    batch id, so a replayed batch never verifies against its own
+    first attempt."""
+    spark = batch_df.sparkSession
+    keys = ["lang", "band", "band_key"]
+    band = embedding_band_rows(batch_df).persist()
+    vecs = batch_df.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).persist()
+    try:
+        store_band = _store_view(
+            spark, bucket_store_path(sink_path), batch_id
+        )
+        pairs = _band_pairs_within(band)
+        vec_lookup = vecs
+        if store_band is not None:
+            cross = (
+                band.join(
+                    store_band.withColumnRenamed("doc_id", "doc_id_prev"),
+                    keys,
+                )
+                .select(
+                    F.col("doc_id_prev").alias("doc_id"),
+                    F.col("doc_id").alias("doc_id2"),
+                )
+                .distinct()
+            )
+            pairs = pairs.unionByName(cross)
+            _require_payload_coverage(
+                sink_path, VECTORS_DIRNAME, batch_id, "embedding-verified"
+            )
+            store_vecs = _store_view(
+                spark,
+                vector_store_path(sink_path),
+                batch_id,
+                schema=_VECTOR_SCHEMA,
+            )
+            if store_vecs is not None:
+                vec_lookup = vecs.unionByName(store_vecs)
+        verified = _cosine_verify(pairs, vec_lookup, EMB_VERIFY_THRESHOLD)
+        drops = verified.select("doc_id2").distinct()
+        survivors = batch_df.join(
+            drops.withColumnRenamed("doc_id2", "vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+        append_batch(survivors, sink_path, batch_id)
+        append_batch(
+            band.select("doc_id", "lang", "band", "band_key"),
+            bucket_store_path(sink_path),
+            batch_id,
+        )
+        append_batch(vecs, vector_store_path(sink_path), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_bucket_store(spark, sink_path, below=batch_id)
+            compact_vector_store(spark, sink_path, below=batch_id)
+    finally:
+        band.unpersist()
+        vecs.unpersist()
+
+
+def ingest_with_verified_embedding_neardup(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streamed embeddings -> cosine-VERIFIED sign-bucket-deduped sink
+    (precision mode: bands nominate, the exact cosine decides)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        verified_embedding_ingest_batch(
+            batch_df, sink_path, batch_id, compact_every=compact_every
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_verified_embedding_keep(emb: DataFrame) -> DataFrame:
+    """The BATCH statement of the embedding-verified streaming rule: a
+    vector survives iff NO smaller vec_id both shares a sign-bucket
+    band AND has exact cosine >= EMB_VERIFY_THRESHOLD with it. When a
+    stream replays the table in vec_id order, the verified sink must
+    equal this exactly (same candidate enumeration, same cosine on
+    the same vectors)."""
+    band = embedding_band_rows(emb)
+    pairs = _band_pairs_within(band)
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    verified = _cosine_verify(pairs, vecs, EMB_VERIFY_THRESHOLD)
+    drops = verified.select(F.col("doc_id2").alias("vec_id")).distinct()
+    return emb.join(drops, "vec_id", "left_anti")

@@ -1008,3 +1008,186 @@ def test_verified_batch_replay_idempotent(spark, tmp_path):
     copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
     verified_ingest_batch(copies, sink, 1)  # exact dups: jaccard 1.0
     assert read_sink(spark, sink).count() == first
+
+
+def test_streaming_verified_embedding_equals_batch(spark, tmp_path):
+    """Embedding precision-mode ingest: the embeddings table replayed
+    in vec_id order through ingest_with_verified_embedding_neardup
+    (with store compaction mid-stream) must equal the batch statement
+    — a vector drops only when a smaller vec_id shares a sign-bucket
+    band AND exact cosine clears the threshold. Verified keeps at
+    least as many vectors as the aggressive band-blocking rule, and
+    both stores fold."""
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _batch_dirs,
+        sink_snapshot,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_embedding_neardup_keep,
+        batch_verified_embedding_keep,
+        bucket_store_path,
+        ingest_with_verified_embedding_neardup,
+        vector_store_path,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(emb, replay, 5, "vec_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_verified_embedding_neardup(
+        read_replay_stream(spark, replay, emb.schema),
+        sink,
+        ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    def cks(df):
+        row = df.agg(
+            F.count("*").alias("n"), F.sum("vec_id").alias("s")
+        ).first()
+        return row["n"], row["s"]
+
+    expected = cks(batch_verified_embedding_keep(emb))
+    got = cks(read_sink(spark, sink))
+    assert got == expected
+    n_aggressive = batch_embedding_neardup_keep(emb).count()
+    assert expected[0] >= n_aggressive  # precision: never drops more
+    for store in (bucket_store_path(sink), vector_store_path(sink)):
+        assert sink_snapshot(store).current_version() is not None
+        assert len(_batch_dirs(store)) < 5
+
+
+def test_verified_embedding_replay_idempotent(spark, tmp_path):
+    """Replaying an embedding-verified batch under its own id must not
+    verify against its own first attempt nor duplicate output; a later
+    batch of exact vector copies verifies at cosine 1.0 and lands zero
+    rows."""
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        verified_embedding_ingest_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    sink = str(tmp_path / "sink")
+
+    verified_embedding_ingest_batch(emb, sink, 0)
+    first = read_sink(spark, sink).count()
+    assert 0 < first <= 100
+    verified_embedding_ingest_batch(emb, sink, 0)  # at-least-once replay
+    assert read_sink(spark, sink).count() == first
+
+    copies = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    verified_embedding_ingest_batch(copies, sink, 1)  # cosine 1.0 dups
+    assert read_sink(spark, sink).count() == first
+
+
+def test_verified_modes_raise_without_payload_store(spark, tmp_path):
+    """A sink first populated by a NON-verified mode has bucket rows
+    with no shingle/vector payloads; continuing in a verified mode
+    must raise instead of silently passing near-dups of unverifiable
+    docs (the verify inner join would drop those candidate pairs)."""
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        _ingest_dedup_batch,
+        dedup_ingest_batch,
+        embedding_band_rows,
+        verified_embedding_ingest_batch,
+        verified_ingest_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    sink = str(tmp_path / "sink_doc")
+    dedup_ingest_batch(docs, sink, 0)  # unverified: no shingle store
+    with pytest.raises(RuntimeError, match="_shingle_store"):
+        verified_ingest_batch(
+            docs.withColumn("doc_id", F.col("doc_id") + 10000), sink, 1
+        )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    sink2 = str(tmp_path / "sink_emb")
+    _ingest_dedup_batch(emb, sink2, 0, embedding_band_rows, "vec_id")
+    with pytest.raises(RuntimeError, match="_vector_store"):
+        verified_embedding_ingest_batch(
+            emb.withColumn("vec_id", F.col("vec_id") + 10000), sink2, 1
+        )
+
+
+def test_shingle_store_sketch_bounded(spark, tmp_path):
+    """The verified-mode shingle store holds bottom-k SKETCHES, not
+    full shingle sets: per-doc state is capped at SHINGLE_SKETCH_K ids
+    no matter how long the doc (sub-linear store growth vs corpus
+    tokens — the store would otherwise be a large fraction of the
+    corpus at scale), and exact duplicates of long docs still verify
+    at sketch-Jaccard 1.0 and drop."""
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        SHINGLE_SKETCH_K,
+        doc_shingle_tid_arrays,
+        batch_verified_neardup_keep,
+        shingle_store_path,
+        verified_ingest_batch,
+    )
+
+    # 40 docs of ~1200 UNIQUE tokens each (>> K distinct shingles),
+    # plus 5 exact duplicates under new ids
+    base = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(1200)),
+                lambda i: F.concat(
+                    F.lit("w"), (F.col("doc_id") * 1200 + i).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    dups = base.limit(5).withColumn("doc_id", F.col("doc_id") + 1000)
+    docs = base.unionByName(dups)
+
+    sizes = doc_shingle_tid_arrays(docs).select(
+        F.size("toks").alias("n")
+    ).agg(F.max("n").alias("mx"), F.min("n").alias("mn")).first()
+    assert sizes["mx"] == SHINGLE_SKETCH_K  # capped despite ~1198 shingles
+    assert sizes["mn"] == SHINGLE_SKETCH_K
+
+    kept = batch_verified_neardup_keep(docs)
+    assert kept.count() == 40  # the 5 long-doc duplicates still drop
+
+    # the persisted store rows carry the capped arrays too
+    sink = str(tmp_path / "sink")
+    verified_ingest_batch(docs, sink, 0)
+    stored = spark.read.parquet(
+        shingle_store_path(sink) + "/batch_0000000000"
+    )
+    mx = stored.agg(F.max(F.size("toks")).alias("m")).first()["m"]
+    assert mx == SHINGLE_SKETCH_K
+
+
+def test_compact_sink_noop_when_nothing_to_fold(spark, events, tmp_path):
+    """An idle maintenance pass — no unfolded committed batch dirs and
+    the current version already at/under target_files — must be a
+    no-op (no full-table rewrite, no version burned), and a new
+    committed append re-arms the fold."""
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        append_batch,
+        compact_sink,
+        sink_snapshot,
+    )
+
+    sink = str(tmp_path / "sink")
+    append_batch(events.limit(50), sink, 0)
+    s1 = compact_sink(spark, sink, target_files=2)
+    snap = sink_snapshot(sink)
+    v1 = snap.current_version()
+
+    s2 = compact_sink(spark, sink, target_files=2)  # idle pass
+    assert snap.current_version() == v1  # no version burned
+    assert s2["files_after"] == s2["files_before"]
+    assert s2["rows"] == s1["rows"] == 50
+
+    second = events.limit(80).exceptAll(events.limit(50))
+    append_batch(second, sink, 1)
+    s3 = compact_sink(spark, sink, target_files=2)  # re-armed
+    assert snap.current_version() == v1 + 1
+    assert s3["rows"] == 80
