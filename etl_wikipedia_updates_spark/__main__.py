@@ -10,8 +10,9 @@ pipeline, graceful shutdown).
         [--mode doc|quality|verified|embedding|embedding-verified]
         [--compact-every N]
                                   # near-dup dedup at ingest
-    python -m etl_wikipedia_updates_spark index build|append|query --root DIR
-        [--vectors PARQUET]       # persistent IVF index lifecycle
+    python -m etl_wikipedia_updates_spark index build|append|query|stats
+        --root DIR [--vectors PARQUET]  # persistent IVF index lifecycle
+                                  # (stats: per-cell balance readout)
     python -m etl_wikipedia_updates_spark sse --url URL --sink DIR
         [--max-batches N]         # live SSE ingest (R1-R3, R15)
     python -m etl_wikipedia_updates_spark dashboard --sink DIR
@@ -86,9 +87,14 @@ def cmd_index(args) -> int:
     from etl_wikipedia_updates_spark.vector_index import (
         append_to_ivf_index,
         build_ivf_index,
+        probe_selectivity,
         query_ivf_index,
     )
 
+    if args.action == "stats":
+        # driver-side footer reads only — no Spark session needed
+        print(json.dumps(probe_selectivity(args.root)))
+        return 0
     spark = _spark()
     if args.action == "build":
         out = build_ivf_index(
@@ -339,7 +345,9 @@ def main(argv: list[str] | None = None) -> int:
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"
     )
-    idx.add_argument("action", choices=["build", "append", "query"])
+    idx.add_argument(
+        "action", choices=["build", "append", "query", "stats"]
+    )
     idx.add_argument("--root", required=True, help="SnapshotTable root dir")
     idx.add_argument("--sf-dir", default=sf_default)
     idx.add_argument("--k", type=int, default=8)

@@ -27,6 +27,8 @@ under live query traffic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -104,7 +106,14 @@ def build_ivf_index(
         partition_by=["cell"],
     )
     table.vacuum(keep_last=keep_last)
-    return {"version": version, "k": k, "quantized": quantize}
+    sel = probe_selectivity(out_root, version)
+    return {
+        "version": version,
+        "k": k,
+        "quantized": quantize,
+        "imbalance": sel["imbalance"],
+        "needs_refit": sel["needs_refit"],
+    }
 
 
 def append_to_ivf_index(
@@ -170,7 +179,87 @@ def append_to_ivf_index(
     )
     table.vacuum(keep_last=keep_last)
     appended = int(table.meta_for(new_version)["n_rows"]) - base_rows
-    return {"version": new_version, "base": base, "appended_rows": appended}
+    # balance telemetry per append: frozen centroids mean cells drift
+    # as the ingested distribution shifts — surface it so the operator
+    # sees probe selectivity degrade instead of discovering it in
+    # query latency (probe_selectivity documents the refit trigger)
+    sel = probe_selectivity(index_root, new_version)
+    return {
+        "version": new_version,
+        "base": base,
+        "appended_rows": appended,
+        "imbalance": sel["imbalance"],
+        "needs_refit": sel["needs_refit"],
+    }
+
+
+# Refit trigger for append-drifted indexes: imbalance = largest cell's
+# corpus share x k (a perfectly balanced index sits at 1.0). Past this
+# factor a 1-probe query against the hot cell reads >REFIT_IMBALANCE x
+# its fair share of rows — the docstring-prescribed periodic
+# build_ivf_index refit is due.
+REFIT_IMBALANCE = 4.0
+
+
+def cell_histogram(index_root: str, version: int | None = None) -> dict:
+    """Per-cell row counts {cell: rows} for a published version, from
+    the parquet FOOTERS of the hive ``cell=N`` layout — driver-side
+    I/O of a few KB per file, no Spark job. A version dir is
+    immutable, so its histogram is a pure function of the layout;
+    computing it on demand can never disagree with the data the way a
+    stored copy could after a partial write."""
+    table = SnapshotTable(index_root)
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published index under {index_root}")
+    vdir = table.version_path(v)
+    counts: dict[int, int] = {}
+    for d in sorted(os.listdir(vdir)):
+        if d.startswith("cell="):
+            counts[int(d.split("=", 1)[1])] = dir_row_count(
+                os.path.join(vdir, d)
+            )
+    return counts
+
+
+def probe_selectivity(index_root: str, version: int | None = None) -> dict:
+    """Operational balance readout for a published index version — the
+    telemetry an operator watches to decide when append drift
+    (append_to_ivf_index keeps centroids frozen, so cells grow
+    unevenly as the ingested distribution shifts) warrants the
+    periodic refit:
+
+    - max_cell_share: largest cell's fraction of all rows;
+    - expected_probe_fraction: fraction of the corpus a 1-probe query
+      reads in expectation when queries land on cells proportionally
+      to their mass (sum of squared shares; 1/k when balanced);
+    - imbalance: max_cell_share * k (1.0 = perfectly balanced);
+    - needs_refit: imbalance > REFIT_IMBALANCE.
+    """
+    table = SnapshotTable(index_root)
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published index under {index_root}")
+    meta = table.meta_for(v)
+    counts = cell_histogram(index_root, v)
+    n = sum(counts.values())
+    k = int(meta.get("k", max(len(counts), 1)))
+    max_cell = max(counts.values(), default=0)
+    max_share = (max_cell / n) if n else 0.0
+    exp_read = sum((c / n) ** 2 for c in counts.values()) if n else 0.0
+    imbalance = max_share * k
+    return {
+        "version": v,
+        "n_rows": n,
+        "k": k,
+        "nonempty_cells": sum(1 for c in counts.values() if c),
+        "max_cell_rows": max_cell,
+        "max_cell_share": round(max_share, 6),
+        "expected_probe_fraction": round(exp_read, 6),
+        "imbalance": round(imbalance, 4),
+        "needs_refit": imbalance > REFIT_IMBALANCE,
+        "cells": {str(c): r for c, r in sorted(counts.items())},
+    }
 
 
 def query_ivf_index(

@@ -109,7 +109,8 @@ def test_cli_release_and_index(spark, sf_smoke, tmp_path, capsys):
         == 0
     )
     built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert built == {"version": 1, "k": 8, "quantized": True}
+    assert built["version"] == 1 and built["k"] == 8 and built["quantized"]
+    assert "imbalance" in built and "needs_refit" in built
 
     from pyspark.sql import functions as F
 
@@ -130,7 +131,17 @@ def test_cli_release_and_index(spark, sf_smoke, tmp_path, capsys):
         == 0
     )
     appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert appended == {"version": 2, "base": 1, "appended_rows": 10}
+    assert (
+        appended["version"],
+        appended["base"],
+        appended["appended_rows"],
+    ) == (2, 1, 10)
+    assert (
+        main(["index", "stats", "--root", str(tmp_path / "idx")]) == 0
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["version"] == 2 and stats["n_rows"] > 0
+    assert stats["cells"] and 0 < stats["expected_probe_fraction"] <= 1
     assert (
         main(
             [

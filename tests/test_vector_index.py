@@ -230,7 +230,7 @@ def test_append_equals_from_scratch_assignment_under_fixed_centroids(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     out = append_to_ivf_index(spark, root, new)
-    assert out == {"version": 2, "base": 1, "appended_rows": 50}
+    assert (out["version"], out["base"], out["appended_rows"]) == (2, 1, 50)
 
     table = SnapshotTable(root)
     meta2 = table.meta_for(2)
@@ -285,3 +285,42 @@ def test_append_to_quantized_index_preserves_sq8_columns(
     )
     top = query_ivf_index(spark, root, probe, topk=2).collect()
     assert top[0]["cos_sim"] == 1.0
+
+
+def test_cell_histogram_and_selectivity_track_append(
+    spark, sf_smoke, tmp_path
+):
+    """Per-cell counts come from the published version's own footers:
+    they sum to the version's n_rows, update across an append (every
+    cell monotonically non-decreasing, delta == appended_rows), and
+    the probe_selectivity readout exposes the balance numbers the
+    refit trigger is defined on."""
+    from etl_wikipedia_updates_spark.vector_index import (
+        append_to_ivf_index,
+        cell_histogram,
+        probe_selectivity,
+    )
+
+    root = str(tmp_path / "idx")
+    out = build_ivf_index(spark, sf_smoke, root)
+    assert "imbalance" in out and "needs_refit" in out
+
+    table = SnapshotTable(root)
+    h1 = cell_histogram(root)
+    assert sum(h1.values()) == int(table.meta_for(out["version"])["n_rows"])
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    new = emb.limit(40).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out2 = append_to_ivf_index(spark, root, new)
+    h2 = cell_histogram(root)
+    assert sum(h2.values()) == sum(h1.values()) + out2["appended_rows"]
+    assert all(h2.get(c, 0) >= n for c, n in h1.items())
+
+    sel = probe_selectivity(root)
+    assert sel["version"] == out2["version"]
+    assert sel["n_rows"] == sum(h2.values())
+    assert 0.0 < sel["expected_probe_fraction"] <= 1.0
+    assert sel["imbalance"] >= 1.0  # max share can't beat balanced
+    assert sel["cells"] == {str(c): n for c, n in sorted(h2.items())}
