@@ -2369,6 +2369,143 @@ FROM marked GROUP BY source ORDER BY source
 """
 
 
+# --- span_dedup: substring-level duplicated-span audit ------------------------
+# Substring-level dedup (the "duplicated 50-token span" operator of
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better") targets what shingle-Jaccard misses: two mostly-different
+# docs sharing one long verbatim run (boilerplate, quoted passages,
+# licence blocks). The suffix-array formulation is inherently serial;
+# the Spark-scale shape is HASHED FIXED-WIDTH TOKEN WINDOWS at a
+# stride: every HOP-aligned SPAN_W-token window hashes to one 64-bit
+# ID (polynomial fold over the stateless per-token term hashes — the
+# exact chain the oracle replays), and a window occurrence is
+# DUPLICATED iff the same hash occurs in at least one OTHER document.
+# The stride trades alignment sensitivity for an explode of n/HOP
+# rows per doc instead of n; the audit (per source: span totals, dup
+# fraction, affected docs) is what sizes a substring-dedup pass.
+SPAN_W = 16  # span width in tokens (Lee et al. use 50; test docs are short)
+SPAN_HOP = 8  # window stride
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-span audit.
+
+    Scale shape: token->tid hashing and the per-window polynomial
+    fold happen INSIDE the token array (transform + aggregate over
+    slices — map-side, no per-token explode); the one Generate emits
+    n_tok/HOP span rows per doc. Downstream is ONE shuffle on the
+    high-cardinality span hash (a min/max window marks cross-doc
+    sharing — the capped_shingles window shape: sort-based, spills,
+    no collected arrays), then per-doc and per-source aggregates
+    over strictly shrinking frames. Docs shorter than SPAN_W carry
+    no spans and drop out identically in both engines.
+    """
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", T.tokens_col().alias("toks"))
+        .filter(F.size("toks") >= SPAN_W)
+    )
+    tid = (
+        f"aggregate(split(t, ''), 0L, "
+        f"(a, c) -> (a * {T.TERM_HASH_BASE} + ascii(c)) % {HASH_P})"
+    )
+    # The tids array is bound as a lambda variable (transform over a
+    # 1-element array, the shingles_col idiom) so the per-token hash
+    # runs ONCE per row — referencing a tids projection from inside
+    # the span lambda would be inlined back by CollapseProject and
+    # re-hash the whole doc per span position (measured ~9x slower).
+    spans = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(array(transform(toks, t -> {tid})), tids -> "
+                f"transform(sequence(0, size(tids) - {SPAN_W}, {SPAN_HOP}), "
+                f"p -> aggregate(slice(tids, p + 1, {SPAN_W}), 0L, "
+                f"(h, x) -> (h * {T.TERM_HASH_BASE} + x) % {HASH_P})))[0]"
+            )
+        ).alias("h"),
+    )
+    # cross-doc duplication in ONE shuffle: an occurrence is dup iff
+    # its hash is seen under >= 2 distinct docs, i.e. min(doc_id) !=
+    # max(doc_id) over the h-window (a per-(h, doc) pre-aggregate +
+    # second h-shuffle + count window computes the same flag one
+    # exchange slower; sort windows spill, so a hot boilerplate hash
+    # can't blow a buffer)
+    wh = W.partitionBy("h")
+    marked = spans.select(
+        "doc_id",
+        "source",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh))
+        .cast("long")
+        .alias("dup"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("spans_doc"),
+        F.sum("dup").alias("dup_doc"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("spans_doc").cast("bigint").alias("total_spans"),
+            F.sum("dup_doc").cast("bigint").alias("dup_spans"),
+            F.sum((F.col("dup_doc") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_affected"),
+        )
+        .withColumn(
+            "dup_frac",
+            det_round(
+                F.col("dup_spans").cast("double")
+                / F.col("total_spans").cast("double"),
+                4,
+            ),
+        )
+        .transform(total_order, "source")
+    )
+
+
+SPAN_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS l FROM documents
+),
+tid AS (
+  SELECT doc_id, source,
+         list_transform(l, t -> {T.sql_term_hash('t')}) AS tids,
+         len(l) AS n
+  FROM t WHERE len(l) >= {SPAN_W}
+),
+sp AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_slice(tids, p + 1, p + {SPAN_W})),
+           (h, x) -> (h * {T.TERM_HASH_BASE} + x) % {HASH_P}) AS h
+  FROM tid, unnest(range(0, n - {SPAN_W} + 1, {SPAN_HOP})) AS u(p)
+),
+occ AS (
+  SELECT h, doc_id, source, COUNT(*) AS n_occ FROM sp GROUP BY 1, 2, 3
+),
+marked AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY h) AS nd FROM occ
+),
+pd AS (
+  SELECT doc_id, source, SUM(n_occ) AS spans_doc,
+         SUM(CASE WHEN nd >= 2 THEN n_occ ELSE 0 END) AS dup_doc
+  FROM marked GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(spans_doc) AS BIGINT) AS total_spans,
+       CAST(SUM(dup_doc) AS BIGINT) AS dup_spans,
+       CAST(SUM(CASE WHEN dup_doc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       {sql_det_round("CAST(SUM(dup_doc) AS DOUBLE) / CAST(SUM(spans_doc) AS DOUBLE)", 4)}
+         AS dup_frac
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
 # --- corpus_release: the end-to-end training-data release -------------------
 def release_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The released doc set — (source, split, doc_id, n_chars), one row
@@ -2474,6 +2611,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
     ),
     DeclaredQuery(
         "bm25_rank", bm25_rank, BM25_SQL, "BM25 ranking (rational idf)"
+    ),
+    DeclaredQuery(
+        "span_dedup",
+        span_dedup,
+        SPAN_DEDUP_SQL,
+        "substring-level duplicated-span audit (hashed token windows)",
     ),
     DeclaredQuery("q23", q23, Q23_SQL, "word count (text analysis)"),
     DeclaredQuery("q24", q24, Q24_SQL, "exact dedup (R10)"),

@@ -2,8 +2,8 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (62 as of round 8). The external correctness gate records the
-first 50 entries per round, so 12 entries sit past the cutoff each
+entries (63 as of round 8). The external correctness gate records the
+first 50 entries per round, so 13 entries sit past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
 
@@ -17,11 +17,12 @@ stale:
   direction) and bm25_rank (null-safe corpus stats), so all three
   stay inside.
 - NEW entries have no official row at all, so they must sit inside
-  the first 50 (none in round 8).
-- The 12 that yield their slots are UNCHANGED-this-round entries
+  the first 50 (round 8: span_dedup, the substring-level
+  duplicated-span audit).
+- The 13 that yield their slots are UNCHANGED-this-round entries
   certified green in the immediately-preceding round (round 8: the
   former r7 head — grouped_zscore through percentiles_approx — plus
-  text_quality, all r7-fresh green).
+  text_quality and ann_ivf, all r7-fresh green).
 
 All 62 entries are benched by bench.py and oracle-tested every run in
 tests/test_queries_oracle.py regardless of position; the rotation
@@ -59,7 +60,6 @@ DECLARATION_ORDER: list[str] = [
     # in-window slots: seq_pack (two-phase prefix-sum replan),
     # tfidf_topterms (broadcast-direction fix), bm25_rank (null-safe
     # corpus stats) ---
-    "ann_ivf",
     "dedup_clusters",
     "contamination",
     "percentiles",
@@ -68,9 +68,14 @@ DECLARATION_ORDER: list[str] = [
     "tfidf_topterms",
     "bm25_rank",
     "seq_pack",
-    # --- positions 51-62: yield their slots this round (all fresh
+    # --- NEW in round 8 (never certified — must sit inside the gate
+    # window): substring-level duplicated-span audit ---
+    "span_dedup",
+    # --- positions 51-63: yield their slots this round (all fresh
     # r7-official green — the former r7 rotation head plus
-    # text_quality — and unchanged in r8) ---
+    # text_quality and ann_ivf, displaced by the new span_dedup —
+    # and unchanged in r8) ---
+    "ann_ivf",
     "grouped_zscore",
     "stratified_sample",
     "token_stats",

@@ -92,6 +92,15 @@ CASES = [
         ["hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
         ["Generate", "hashpartitioning(doc_id", "SortMergeJoin"],
     ),
+    # span_dedup (r8): ONE Generate (span rows at stride), one
+    # h-keyed window shuffle for the cross-doc mark, partial aggs —
+    # no joins anywhere (a join of spans to a dup-hash set would be
+    # span-scale x span-scale)
+    (
+        "span_dedup",
+        ["Generate", "hashpartitioning(h", "Window", "partial_"],
+        ["Join"],
+    ),
 ]
 
 

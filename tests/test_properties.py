@@ -380,3 +380,50 @@ def test_seq_pack_matches_python_packing(spark, sf_smoke):
         assert g.n_split_docs == s["split"]
         assert 0 < g.fill_frac <= 1.0
         assert abs(g.fill_frac - s["total"] / (n_seqs * SEQ_LEN)) < 1e-3
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sets(st.integers(min_value=0, max_value=400), max_size=60),
+            st.sets(st.integers(min_value=0, max_value=400), max_size=60),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=4, max_value=32),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_jaccard_sketch_matches_python_estimator(spark, pairs, k):
+    """jaccard_verify_sketch == the Python bottom-k estimator on
+    arbitrary id sets: S = k smallest of A∪B, J = |S∩A∩B|/|S|; and
+    whenever |A∪B| <= k the estimate equals EXACT Jaccard (the cap
+    never bends small pairs)."""
+    rows, ref = [], {}
+    for i, (a, b) in enumerate(pairs):
+        ida, idb = 2 * i, 2 * i + 1
+        rows.append((ida, sorted(a)[:k]))
+        rows.append((idb, sorted(b)[:k]))
+        sa, sb = set(sorted(a)[:k]), set(sorted(b)[:k])
+        s = sorted(sa | sb)[:k]
+        if s:
+            est = len([x for x in s if x in sa and x in sb]) / len(s)
+            ref[(ida, idb)] = est
+            if len(a | b) <= k:
+                exact = len(a & b) / len(a | b) if (a | b) else None
+                assert exact is None or abs(est - exact) < 1e-12
+    toks = spark.createDataFrame(rows, "doc_id long, toks array<long>")
+    cand = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(len(pairs))],
+        "doc_id long, doc_id2 long",
+    )
+    got = {
+        (r["doc_id"], r["doc_id2"]): r["jaccard"]
+        for r in D.jaccard_verify_sketch(cand, toks, 0.0, k).collect()
+    }
+    for key, est in ref.items():
+        assert key in got and abs(got[key] - est) < 1e-12
+    # pairs whose S is empty (both sketches empty) yield NULL jaccard
+    # and are filtered — never spuriously verified
+    assert set(got) <= set(ref)
