@@ -39,6 +39,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # corpus joins (mirrors tests/test_plans.py)
     "rep_filter": (["Generate", "partial_"], []),
     "source_mix": (["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
+    # r8: two-phase prefix sum (no corpus window on the skewed source
+    # key) and the join-free span audit (mirrors tests/test_plans.py)
+    "seq_pack": (
+        ["hashpartitioning(bkt", "BroadcastHashJoin"],
+        ["Generate", "hashpartitioning(doc_id"],
+    ),
+    "span_dedup": (["Generate", "hashpartitioning(h", "Window"], ["Join"]),
 }
 
 
