@@ -2264,21 +2264,37 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer: the corpus is scanned, tokenized, and shuffled exactly
     once, and the bucket is stateless per-row bit math (no bounds
     pass, no sampling job)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(T.tokens_col()).alias("n_tok")
+    return _seq_pack(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.size(T.tokens_col()).alias("n_tok")
+        )
     )
+
+
+def _seq_pack(docs: DataFrame) -> DataFrame:
+    """The packing audit over a (doc_id, source, n_tok) frame — split
+    out so tests can drive it with synthetic id distributions (e.g.
+    negative ids) against the single-stream reference."""
     # Range-bucket on doc_id via (bit_length, top bits): monotone in
     # doc_id, so per-source concatenation order is preserved across
     # bucket boundaries — see SEQ_PACK_SUB_BITS. bin()/shiftright are
     # exact integer ops (floor(log2()) would wobble a ULP at exact
-    # powers of two).
+    # powers of two). Negative ids: bin() is 64-bit two's complement,
+    # so every negative lands in octave 64 with a sign-extended
+    # (negative, still monotone) top — subtracting a constant larger
+    # than any positive bucket value places the whole negative range
+    # BELOW the positives while preserving its internal order.
     _w = SEQ_PACK_SUB_BITS + 1
+    raw_bkt = F.length(F.bin(F.col("doc_id"))).cast("long") * F.lit(
+        1 << _w
+    ) + F.expr(
+        f"shiftright(doc_id, greatest(length(bin(doc_id)) - {_w}, 0))"
+    )
     b = docs.withColumn(
         "bkt",
-        F.length(F.bin(F.col("doc_id"))).cast("long") * F.lit(1 << _w)
-        + F.expr(
-            f"shiftright(doc_id, greatest(length(bin(doc_id)) - {_w}, 0))"
-        ),
+        F.when(
+            F.col("doc_id") < 0, raw_bkt - F.lit(1 << (_w + 8))
+        ).otherwise(raw_bkt),
     )
     rep = b.repartition("bkt", "source")
     # subtotal branch: grouping keys == exchange partitioning, so this

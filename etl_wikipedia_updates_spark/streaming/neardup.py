@@ -208,9 +208,18 @@ def _require_payload_coverage(
     unverified --mode, then continued verified — cross-batch
     candidate pairs against those docs find no payload row, the
     verify inner join silently drops the pair, and near-duplicates of
-    earlier docs pass through undetected. Fail loudly instead:
-    folded coverage compares the folded_through watermarks, unfolded
-    coverage compares the committed batch-id sets."""
+    earlier docs pass through undetected. Fail loudly instead.
+
+    Coverage rule: every batch id the bucket store is known to hold
+    below ``below`` must be visible in the payload store — as an
+    unfolded committed dir, or folded under the payload's
+    folded_through watermark. The bucket side's folded ids are not
+    individually enumerable, so the (contiguous by construction —
+    foreachBatch ids) gap (pfolded, bfolded] is checked id by id
+    against the payload's unfolded dirs: a crash between the two
+    in-lockstep store compactions leaves the payload watermark
+    behind but ALL its ids still on disk unfolded, which is healthy
+    and must not raise."""
     _bs, _bv, bfolded, bnewer = _view_parts(bucket_store_path(sink_path))
     payload_path = os.path.join(sink_path, payload_dirname)
     _ps, _pv, pfolded, pnewer = _view_parts(payload_path)
@@ -219,17 +228,21 @@ def _require_payload_coverage(
         b
         for b, _ in bnewer
         if b < below and b > pfolded and b not in have
+    ] + [
+        b
+        for b in range(pfolded + 1, min(bfolded, below - 1) + 1)
+        if b not in have
     ]
-    if pfolded < bfolded or missing:
+    if missing:
         raise RuntimeError(
             f"{mode} ingest at {sink_path}: bucket store covers batches "
             f"the {payload_dirname} store lacks "
-            f"(folded {bfolded} vs {pfolded}; unfolded missing "
-            f"{missing[:8]}). The sink was likely populated with a "
-            "non-verified mode first; verified modes cannot decide "
-            "candidate pairs against docs with no stored payload. "
-            "Re-ingest from scratch in the verified mode, or continue "
-            "in the original mode."
+            f"(folded {bfolded} vs {pfolded}; missing "
+            f"{sorted(set(missing))[:8]}). The sink was likely "
+            "populated with a non-verified mode first; verified modes "
+            "cannot decide candidate pairs against docs with no stored "
+            "payload. Re-ingest from scratch in the verified mode, or "
+            "continue in the original mode."
         )
 
 

@@ -427,3 +427,55 @@ def test_jaccard_sketch_matches_python_estimator(spark, pairs, k):
     # pairs whose S is empty (both sketches empty) yield NULL jaccard
     # and are filtered — never spuriously verified
     assert set(got) <= set(ref)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=2000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_seq_pack_bucketing_monotone_under_arbitrary_ids(spark, rows):
+    """The two-phase prefix sum must reproduce the single-stream
+    packing numbers for ANY doc_id distribution — sparse, huge, and
+    NEGATIVE ids included (negatives exercise the two's-complement
+    octave remap; a non-monotone bucket would silently reorder the
+    concatenation and shift every split count)."""
+    import math
+
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SEQ_LEN,
+        _seq_pack,
+    )
+
+    want: dict[str, dict] = {}
+    cursors: dict[str, int] = {}
+    for doc_id, src, n_tok in sorted(rows):
+        s = want.setdefault(src, {"n_docs": 0, "total": 0, "split": 0})
+        start = cursors.get(src, 0)
+        end = start + n_tok
+        s["n_docs"] += 1
+        s["total"] += n_tok
+        if n_tok and (end - 1) // SEQ_LEN > start // SEQ_LEN:
+            s["split"] += 1
+        cursors[src] = end
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok long"
+    )
+    got = {r.source: r for r in _seq_pack(docs).collect()}
+    assert set(got) == set(want)
+    for src, s in want.items():
+        g = got[src]
+        assert g.n_docs == s["n_docs"]
+        assert g.total_tokens == s["total"]
+        assert g.n_seqs == math.ceil(s["total"] / SEQ_LEN)
+        assert g.n_split_docs == s["split"]

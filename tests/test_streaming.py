@@ -1191,3 +1191,36 @@ def test_compact_sink_noop_when_nothing_to_fold(spark, events, tmp_path):
     s3 = compact_sink(spark, sink, target_files=2)  # re-armed
     assert snap.current_version() == v1 + 1
     assert s3["rows"] == 80
+
+
+def test_verified_guard_tolerates_lagging_payload_compaction(
+    spark, tmp_path
+):
+    """A crash between the two in-lockstep store compactions leaves
+    the payload store's folded_through watermark behind the bucket
+    store's while every payload id is still on disk unfolded — that
+    is healthy coverage and the next verified batch must proceed, not
+    raise."""
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        compact_bucket_store,
+        verified_ingest_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    sink = str(tmp_path / "sink")
+    b0 = docs.filter(F.col("doc_id") < 30)
+    b1 = docs.filter(F.col("doc_id") >= 30)
+    verified_ingest_batch(b0, sink, 0)
+    verified_ingest_batch(b1, sink, 1)
+    # simulate the crash window: bucket store folds, shingle store
+    # never gets its turn
+    assert compact_bucket_store(spark, sink, below=2) is not None
+    # next batch verifies fine against the mixed folded/unfolded state
+    b2 = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    verified_ingest_batch(b2, sink, 2)  # exact dups of batch-0 docs
+    # the copies verified against the folded buckets + unfolded
+    # shingles and every one dropped
+    assert (
+        read_sink(spark, sink).filter(F.col("doc_id") >= 100000).count()
+        == 0
+    )
