@@ -309,3 +309,33 @@ def test_cli_dedup_ingest_verified_mode(spark, sf_smoke, tmp_path, capsys):
     assert checksum(read_sink(spark, sink)) == checksum(
         batch_verified_neardup_keep(docs)
     )
+
+
+def test_cli_dedup_ingest_embedding_verified(spark, sf_smoke, tmp_path, capsys):
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(emb, replay, 2, "vec_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", sink,
+                "--sf-dir", sf_smoke,
+                "--mode", "embedding-verified",
+                "--compact-every", "1",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "rows kept:" in out
+    import os as _os
+
+    # both stores materialized under the sink
+    assert _os.path.isdir(_os.path.join(sink, "_lsh_buckets"))
+    assert _os.path.isdir(_os.path.join(sink, "_vector_store"))
