@@ -7,7 +7,7 @@ pipeline, graceful shutdown).
     python -m etl_wikipedia_updates_spark ingest --replay DIR --sink DIR
         [--max-rows N]            # file-replay ingest with retention (R11-R14)
     python -m etl_wikipedia_updates_spark dedup-ingest --replay DIR --sink DIR
-        [--mode doc|quality|verified|embedding|embedding-verified]
+        [--mode doc|quality|verified|embedding|embedding-verified|decontam]
         [--compact-every N]
                                   # near-dup dedup at ingest
     python -m etl_wikipedia_updates_spark index build|append|query|stats
@@ -125,7 +125,12 @@ def cmd_index(args) -> int:
 
 
 def cmd_dedup_ingest(args) -> int:
+    from pyspark.sql import functions as F
+
     from etl_wikipedia_updates_spark.sources.replay import read_replay_stream
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        ingest_with_decontam,
+    )
     from etl_wikipedia_updates_spark.streaming.ingest import read_sink
     from etl_wikipedia_updates_spark.streaming.neardup import (
         ingest_with_embedding_neardup,
@@ -144,6 +149,34 @@ def cmd_dedup_ingest(args) -> int:
     )
     schema = load_table(spark, args.sf_dir, table).schema
     stream = read_replay_stream(spark, args.replay, schema)
+    if args.mode == "decontam":
+        # the held-out benchmark = the CONTAM_BENCH_SOURCE slice of the
+        # static documents table (the same convention the batch
+        # contamination query declares)
+        from etl_wikipedia_updates_spark.plans.northstar import (
+            CONTAM_BENCH_SOURCE,
+        )
+
+        bench = load_table(spark, args.sf_dir, "documents").filter(
+            F.col("source") == CONTAM_BENCH_SOURCE
+        )
+        q = ingest_with_decontam(
+            stream,
+            bench,
+            args.sink,
+            args.checkpoint or args.sink + "_ckpt",
+            compact_every=args.compact_every,
+        )
+        finished = q.awaitTermination(args.timeout)
+        if not finished:
+            q.stop()
+            print(
+                f"TIMEOUT after {args.timeout}s; sink is partial",
+                file=sys.stderr,
+            )
+            return 1
+        print(f"rows kept: {read_sink(spark, args.sink).count()}")
+        return 0
     start = {
         "doc": ingest_with_neardup,
         "quality": ingest_with_quality_neardup,
@@ -210,6 +243,16 @@ def cmd_maintain(args) -> int:
             spark, args.sink, target_files=args.target_files
         )
         out["vector_store"] = folded if folded else "nothing to fold"
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        compact_contam_store,
+        contam_store_path,
+    )
+
+    if os.path.isdir(contam_store_path(args.sink)):
+        folded = compact_contam_store(
+            spark, args.sink, target_files=args.target_files
+        )
+        out["contam_store"] = folded if folded else "nothing to fold"
     if args.rollup:
         compact_rollup(spark, args.rollup)
         out["rollup"] = "compacted"
@@ -368,11 +411,12 @@ def main(argv: list[str] | None = None) -> int:
 
     ded = sub.add_parser(
         "dedup-ingest",
-        help="file-replay ingest with near-dup dedup at ingest "
+        help="file-replay ingest with curation at ingest "
         "(doc: MinHash bands; quality: repetition gate + MinHash "
         "bands; verified: bands nominate + sketch-Jaccard decides; "
         "embedding: sign-bucket LSH; embedding-verified: sign "
-        "buckets nominate + exact cosine decides)",
+        "buckets nominate + exact cosine decides; decontam: "
+        "benchmark shingle veto with quarantine audit table)",
     )
     ded.add_argument("--replay", required=True)
     ded.add_argument("--sink", required=True)
@@ -385,6 +429,7 @@ def main(argv: list[str] | None = None) -> int:
             "verified",
             "embedding",
             "embedding-verified",
+            "decontam",
         ],
         default="doc",
     )

@@ -1,0 +1,178 @@
+"""Ingest-time benchmark decontamination: stream-static shingle veto.
+
+The batch `contamination` query (plans/northstar.py) audits a corpus
+at rest for benchmark n-gram overlap; a training-data pipeline also
+wants the INGEST form — refuse a crawled doc the moment it overlaps a
+held-out evaluation set, so contaminated rows never enter the corpus
+at all. Unlike near-dup ingest (streaming/neardup.py) this operator
+is STATELESS per doc: the benchmark shingle set is a small static
+frame built once and broadcast into every micro-batch (the
+stream-static join shape), so there is no accumulating store, no
+replay subtlety beyond the sink's idempotent batch dirs, and the
+streamed result trivially equals the batch rule under any batching.
+
+Rule: a doc is CONTAMINATED iff it shares >= CONTAM_MIN_SHARED
+distinct shingles with any single benchmark doc (self-pairs excluded,
+so a benchmark doc replayed through the stream is not vetoed by
+itself). The benchmark side is df-capped on ITS OWN corpus
+(shingles present in more than ``cap`` benchmark docs are
+boilerplate — licence headers, prompt scaffolding — and carry no
+contamination signal); the batch `contamination` query caps across
+both corpora, which an ingest pass cannot know — the delta is
+documented here and in the batch twin so the two stay comparable.
+
+Dropped rows are not discarded silently: each batch appends its
+(doc_id, bench_doc, shared) verdicts to a ``_contaminated``
+quarantine table under the sink (same idempotent per-batch-dir layout
+as the sink itself, compactable through the same SnapshotTable fold)
+— the audit trail an eval-integrity review reads.
+
+At 100 TB: the benchmark frame is tiny by definition (evaluation
+sets are thousands of docs, not billions), the broadcast is a few MB,
+and the per-batch cost is one shingle explode over the BATCH joined
+map-side against the broadcast — no shuffle of corpus-scale data at
+all beyond the per-doc aggregate of matched shingles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_wikipedia_updates_spark.operators import text as T
+from etl_wikipedia_updates_spark.plans.northstar import (
+    CONTAM_MIN_SHARED,
+    SHINGLE_DF_CAP,
+)
+from etl_wikipedia_updates_spark.streaming.ingest import append_batch
+from etl_wikipedia_updates_spark.streaming.neardup import _compact_store
+
+CONTAM_DIRNAME = "_contaminated"  # _-prefixed: invisible to sink readers
+
+
+def contam_store_path(sink_path: str) -> str:
+    return os.path.join(sink_path, CONTAM_DIRNAME)
+
+
+def compact_contam_store(
+    spark: SparkSession,
+    sink_path: str,
+    target_files: int = 4,
+    below: int | None = None,
+) -> dict | None:
+    """Fold the quarantine table (see neardup._compact_store)."""
+    return _compact_store(
+        spark, contam_store_path(sink_path), target_files, below
+    )
+
+
+def bench_shingles(
+    bench_docs: DataFrame, cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """(lang, term, bench_doc): the benchmark corpus's distinct
+    shingles, df-capped on the benchmark side (a shingle in more than
+    ``cap`` bench docs is boilerplate, not signal — and would multiply
+    the per-batch match join by its df). Build once per stream and
+    persist: the frame is benchmark-sized, not corpus-sized."""
+    sh = T.doc_shingles(bench_docs)
+    w = W.partitionBy("lang", "term")
+    return (
+        sh.withColumn("__df", F.count("*").over(w))
+        .filter(F.col("__df") <= cap)
+        .drop("__df")
+        .select("lang", "term", F.col("doc_id").alias("bench_doc"))
+    )
+
+
+def decontam_verdicts(docs: DataFrame, bench_sh: DataFrame) -> DataFrame:
+    """(doc_id, bench_doc, shared) for every doc sharing >=
+    CONTAM_MIN_SHARED distinct shingles with a benchmark doc (its
+    strongest single match, ties to the smallest bench_doc — the
+    same reporting rule as the batch contamination query).
+    Self-pairs are excluded so benchmark docs flowing through the
+    stream are not vetoed by themselves."""
+    sh = T.doc_shingles(docs)
+    counts = (
+        sh.join(F.broadcast(bench_sh), ["lang", "term"])
+        .filter(F.col("doc_id") != F.col("bench_doc"))
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= CONTAM_MIN_SHARED)
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("shared").desc(), F.col("bench_doc")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "bench_doc", "shared")
+    )
+
+
+def decontam_ingest_batch(
+    batch_df: DataFrame,
+    bench_sh: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
+) -> None:
+    """One micro-batch of decontaminating ingest: clean rows append to
+    the sink, contaminated verdicts append to the quarantine table —
+    both under this batch's idempotent dir, so an at-least-once replay
+    overwrites its own first attempt on both sides."""
+    spark = batch_df.sparkSession
+    verdicts = decontam_verdicts(batch_df, bench_sh).persist()
+    try:
+        survivors = batch_df.join(
+            verdicts.select("doc_id"), "doc_id", "left_anti"
+        )
+        append_batch(survivors, sink_path, batch_id)
+        append_batch(verdicts, contam_store_path(sink_path), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_contam_store(spark, sink_path, below=batch_id)
+    finally:
+        verdicts.unpersist()
+
+
+def ingest_with_decontam(
+    stream: DataFrame,
+    bench_docs: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streamed documents -> benchmark-decontaminated sink, with the
+    contaminated verdicts quarantined beside it. ``bench_docs`` is the
+    static held-out corpus; its shingle set is built and persisted
+    ONCE, outside the per-batch handler."""
+    bench_sh = bench_shingles(bench_docs).persist()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        decontam_ingest_batch(
+            batch_df, bench_sh, sink_path, batch_id,
+            compact_every=compact_every,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_decontam_keep(
+    docs: DataFrame, bench_docs: DataFrame
+) -> DataFrame:
+    """The BATCH statement of the streaming rule (equivalence tests
+    and backfills): keep docs with no benchmark match. The operator
+    is stateless per doc, so the streamed sink equals this under ANY
+    batching — no arrival-order caveat needed."""
+    drops = decontam_verdicts(docs, bench_shingles(bench_docs)).select(
+        "doc_id"
+    )
+    return docs.join(drops, "doc_id", "left_anti")

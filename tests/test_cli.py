@@ -339,3 +339,29 @@ def test_cli_dedup_ingest_embedding_verified(spark, sf_smoke, tmp_path, capsys):
     # both stores materialized under the sink
     assert _os.path.isdir(_os.path.join(sink, "_lsh_buckets"))
     assert _os.path.isdir(_os.path.join(sink, "_vector_store"))
+
+
+def test_cli_dedup_ingest_decontam(spark, sf_smoke, tmp_path, capsys):
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 2, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", sink,
+                "--sf-dir", sf_smoke,
+                "--mode", "decontam",
+            ]
+        )
+        == 0
+    )
+    assert "rows kept:" in capsys.readouterr().out
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(sink, "_contaminated"))

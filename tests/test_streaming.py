@@ -1224,3 +1224,97 @@ def test_verified_guard_tolerates_lagging_payload_compaction(
         read_sink(spark, sink).filter(F.col("doc_id") >= 100000).count()
         == 0
     )
+
+
+def test_streaming_decontam_equals_batch_and_quarantines(spark, tmp_path):
+    """Ingest-time benchmark decontamination: the corpus replayed
+    through ingest_with_decontam must equal batch_decontam_keep (the
+    operator is stateless per doc, so equality holds under any
+    batching), the quarantine table must carry exactly the dropped
+    docs' verdicts, sink + quarantine must partition the corpus, and
+    benchmark docs streaming through must NOT be vetoed by their own
+    shingles (self-pair exclusion)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_decontam_keep,
+        contam_store_path,
+        ingest_with_decontam,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _batch_dirs,
+        sink_snapshot,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_decontam(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    kept = read_sink(spark, sink)
+    expected = batch_decontam_keep(docs, bench)
+    assert _checksum_docs(kept) == _checksum_docs(expected)
+
+    quarantine = read_sink(spark, contam_store_path(sink))
+    n_all, n_kept = docs.count(), kept.count()
+    assert quarantine.count() == n_all - n_kept > 0  # rule bites
+    # quarantine ids == exactly the dropped ids
+    dropped_ids = {r["doc_id"] for r in quarantine.select("doc_id").collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert dropped_ids.isdisjoint(kept_ids)
+    assert len(dropped_ids | kept_ids) == n_all
+    # verdicts are real matches against a DIFFERENT benchmark doc
+    assert quarantine.filter(
+        (F.col("shared") < 3) | (F.col("doc_id") == F.col("bench_doc"))
+    ).count() == 0
+    # benchmark docs themselves survived (self-pairs excluded) unless
+    # they overlap ANOTHER bench doc
+    n_bench = bench.count()
+    n_bench_kept = kept.filter(
+        F.col("source") == CONTAM_BENCH_SOURCE
+    ).count()
+    assert n_bench_kept >= n_bench - quarantine.join(
+        bench.select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    # the quarantine store folded mid-stream
+    assert sink_snapshot(contam_store_path(sink)).current_version() is not None
+    assert len(_batch_dirs(contam_store_path(sink))) < 5
+
+
+def test_bench_shingle_cap_drops_boilerplate(spark):
+    """A shingle present in more than ``cap`` benchmark docs is
+    boilerplate and must not nominate matches."""
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_decontam_keep,
+    )
+
+    # every bench doc shares the same 5-token boilerplate run; each
+    # train doc contains ONLY that run -> with cap=1 nothing matches,
+    # with a high cap everything does
+    bench = spark.createDataFrame(
+        [(i, "xx", "common run of five tokens plus unique%d filler" % i)
+         for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    train = spark.createDataFrame(
+        [(100 + i, "xx", "common run of five tokens plus") for i in range(4)],
+        "doc_id long, lang string, text string",
+    )
+    from etl_wikipedia_updates_spark.streaming import decontam as DC
+
+    kept_high = batch_decontam_keep(train, bench)
+    assert kept_high.count() == 0  # boilerplate matches under big cap
+    sh_capped = DC.bench_shingles(bench, cap=1)
+    drops = DC.decontam_verdicts(train, sh_capped)
+    assert drops.count() == 0  # capped: boilerplate can't nominate
