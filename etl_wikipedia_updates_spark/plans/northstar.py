@@ -2264,10 +2264,15 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer: the corpus is scanned, tokenized, and shuffled exactly
     once, and the bucket is stateless per-row bit math (no bounds
     pass, no sampling job)."""
+    # text IS NOT NULL in both engines: size(NULL)=-1 under this
+    # session's legacy sizeOfNull would poison the token totals while
+    # the oracle's len(string_split(NULL)) yields NULL (sum-skipped
+    # but counted in n_docs) — the same latent parity trap bm25_rank
+    # closed. Identical on non-null corpora; pushes to the scan.
     return _seq_pack(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", F.size(T.tokens_col()).alias("n_tok")
-        )
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.size(T.tokens_col()).alias("n_tok"))
     )
 
 
@@ -2361,7 +2366,7 @@ SEQ_PACK_SQL = f"""
 WITH base AS (
   SELECT doc_id, source,
          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 per AS (
   SELECT source, n_tok,
