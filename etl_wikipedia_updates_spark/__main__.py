@@ -150,16 +150,19 @@ def cmd_dedup_ingest(args) -> int:
     schema = load_table(spark, args.sf_dir, table).schema
     stream = read_replay_stream(spark, args.replay, schema)
     if args.mode == "decontam":
-        # the held-out benchmark = the CONTAM_BENCH_SOURCE slice of the
-        # static documents table (the same convention the batch
-        # contamination query declares)
-        from etl_wikipedia_updates_spark.plans.northstar import (
-            CONTAM_BENCH_SOURCE,
-        )
+        # held-out benchmark: an explicit parquet path, else the
+        # CONTAM_BENCH_SOURCE slice of the static documents table
+        # (the same convention the batch contamination query declares)
+        if args.bench:
+            bench = spark.read.parquet(args.bench)
+        else:
+            from etl_wikipedia_updates_spark.plans.northstar import (
+                CONTAM_BENCH_SOURCE,
+            )
 
-        bench = load_table(spark, args.sf_dir, "documents").filter(
-            F.col("source") == CONTAM_BENCH_SOURCE
-        )
+            bench = load_table(spark, args.sf_dir, "documents").filter(
+                F.col("source") == CONTAM_BENCH_SOURCE
+            )
         q = ingest_with_decontam(
             stream,
             bench,
@@ -434,6 +437,12 @@ def main(argv: list[str] | None = None) -> int:
         default="doc",
     )
     ded.add_argument("--sf-dir", default=sf_default)
+    ded.add_argument(
+        "--bench",
+        help="decontam: parquet path of the held-out benchmark docs "
+        "(needs doc_id/lang/text columns; default: the "
+        "CONTAM_BENCH_SOURCE slice of sf-dir's documents table)",
+    )
     ded.add_argument("--timeout", type=int, default=600)
     ded.add_argument(
         "--compact-every", type=int, default=None,

@@ -365,3 +365,42 @@ def test_cli_dedup_ingest_decontam(spark, sf_smoke, tmp_path, capsys):
     import os as _os
 
     assert _os.path.isdir(_os.path.join(sink, "_contaminated"))
+
+
+def test_cli_dedup_ingest_decontam_external_bench(
+    spark, sf_smoke, tmp_path, capsys
+):
+    """--bench points decontam at an arbitrary held-out parquet
+    instead of the in-table source slice."""
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench_path = str(tmp_path / "bench")
+    # external benchmark: 20 verbatim copies of corpus docs under new
+    # ids -> those docs must be vetoed
+    docs.limit(20).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "lang", "text"
+    ).write.parquet(bench_path)
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 2, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", sink,
+                "--sf-dir", sf_smoke,
+                "--mode", "decontam",
+                "--bench", bench_path,
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "rows kept:" in out
+    kept = int(out.rsplit("rows kept:", 1)[1].strip())
+    assert kept <= docs.count() - 20  # the 20 copied docs were refused
