@@ -68,9 +68,16 @@ def cmd_sql(args) -> int:
 def cmd_release(args) -> int:
     import json
 
-    from etl_wikipedia_updates_spark.release import write_release
+    from etl_wikipedia_updates_spark.release import (
+        verify_release,
+        write_release,
+    )
 
     spark = _spark()
+    if args.verify:
+        out = verify_release(spark, args.out)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
     out = write_release(
         spark, args.sf_dir, args.out, keep_last=args.keep_last
     )
@@ -387,6 +394,13 @@ def main(argv: list[str] | None = None) -> int:
     rel.add_argument("--out", required=True, help="SnapshotTable root dir")
     rel.add_argument("--sf-dir", default=sf_default)
     rel.add_argument("--keep-last", type=int, default=2)
+    rel.add_argument(
+        "--verify",
+        action="store_true",
+        help="recompute the current version's audit card from its "
+        "materialized data and compare to the published card "
+        "(exit 1 on mismatch) instead of publishing",
+    )
 
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"

@@ -72,3 +72,70 @@ def write_release(
         members.unpersist()
     table.vacuum(keep_last=keep_last)
     return {"version": version, "audit": audit}
+
+
+def verify_release(
+    spark: SparkSession, out_root: str, version: int | None = None
+) -> dict:
+    """Integrity check of a published release: recompute the audit
+    card FROM THE MATERIALIZED DATA and compare it to the card the
+    version was published with. A release and its numbers publish
+    atomically (meta lives inside the immutable version dir), so any
+    mismatch means on-disk corruption, manual tampering, or an
+    engine-side aggregation bug — exactly what a training run wants
+    ruled out before consuming a release it didn't publish itself.
+
+    The recompute is one column-pruned scan of the release (the same
+    per-(source, split) aggregate the card was built with — cheap
+    next to training). Returns {"version", "ok", "expected",
+    "recomputed", "mismatches": [...]} where mismatches lists each
+    (source, split) whose row differs, plus cards present on only one
+    side."""
+    table = SnapshotTable(out_root)
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published release under {out_root}")
+    meta = table.meta_for(v)
+    expected = meta.get("audit") or []
+    data = table.read(spark, v)
+    recomputed = [
+        r.asDict()
+        for r in release_audit(
+            data.select("source", "split", "doc_id", "n_chars")
+        ).collect()
+    ]
+
+    def key(row: dict) -> tuple:
+        return (row["source"], row["split"])
+
+    exp = {key(r): r for r in expected}
+    got = {key(r): r for r in recomputed}
+    mismatches = []
+    for k in sorted(set(exp) | set(got)):
+        if k not in exp:
+            mismatches.append({"card": list(k), "error": "not in metadata"})
+        elif k not in got:
+            mismatches.append({"card": list(k), "error": "not in data"})
+        elif exp[k] != got[k]:
+            mismatches.append(
+                {"card": list(k), "expected": exp[k], "recomputed": got[k]}
+            )
+    n_rows = int(meta.get("n_rows", -1))
+    audit_docs = (
+        sum(int(r["n_docs"]) for r in recomputed) if recomputed else 0
+    )
+    if n_rows >= 0 and audit_docs != n_rows:
+        mismatches.append(
+            {
+                "card": ["__total__"],
+                "expected": {"n_rows": n_rows},
+                "recomputed": {"n_rows": audit_docs},
+            }
+        )
+    return {
+        "version": v,
+        "ok": not mismatches,
+        "expected": expected,
+        "recomputed": recomputed,
+        "mismatches": mismatches,
+    }

@@ -404,3 +404,14 @@ def test_cli_dedup_ingest_decontam_external_bench(
     assert "rows kept:" in out
     kept = int(out.rsplit("rows kept:", 1)[1].strip())
     assert kept <= docs.count() - 20  # the 20 copied docs were refused
+
+
+def test_cli_release_verify(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    root = str(tmp_path / "rel")
+    assert main(["release", "--out", root, "--sf-dir", sf_smoke]) == 0
+    capsys.readouterr()
+    assert main(["release", "--out", root, "--verify"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ok"] and res["mismatches"] == []

@@ -231,3 +231,44 @@ def test_release_refresh_dedups_new_duplicates(spark, tmp_path):
     out2 = write_release(spark, str(sf2), root)
     assert (out1["version"], out2["version"]) == (1, 2)
     assert out2["audit"] == out1["audit"]
+
+
+def test_verify_release_detects_tampered_card(spark, sf_smoke, tmp_path):
+    """verify_release recomputes the audit card from the materialized
+    data: a freshly published release verifies clean; a tampered
+    metadata card (the corruption/drift case) is reported with the
+    exact differing (source, split) cards."""
+    import json
+    import os
+
+    from etl_wikipedia_updates_spark.release import (
+        verify_release,
+        write_release,
+    )
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    root = str(tmp_path / "rel")
+    out = write_release(spark, sf_smoke, root)
+    res = verify_release(spark, root)
+    assert res["ok"] and res["version"] == out["version"]
+    assert res["recomputed"] == out["audit"]
+    assert res["mismatches"] == []
+
+    # tamper: inflate one card's doc count in the published metadata
+    table = SnapshotTable(root)
+    meta_path = os.path.join(
+        table.version_path(out["version"]), SnapshotTable.META
+    )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["audit"][0]["n_docs"] += 1
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    res2 = verify_release(spark, root)
+    assert not res2["ok"]
+    assert any(
+        m.get("card")
+        == [meta["audit"][0]["source"], meta["audit"][0]["split"]]
+        for m in res2["mismatches"]
+    )
