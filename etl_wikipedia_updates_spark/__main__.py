@@ -7,8 +7,8 @@ pipeline, graceful shutdown).
     python -m etl_wikipedia_updates_spark ingest --replay DIR --sink DIR
         [--max-rows N]            # file-replay ingest with retention (R11-R14)
     python -m etl_wikipedia_updates_spark dedup-ingest --replay DIR --sink DIR
-        [--mode doc|quality|verified|embedding|embedding-verified|decontam]
-        [--compact-every N]
+        [--mode doc|quality|verified|embedding|embedding-verified|
+                decontam|curate] [--compact-every N]
                                   # near-dup dedup at ingest
     python -m etl_wikipedia_updates_spark index build|append|query|stats
         --root DIR [--vectors PARQUET]  # persistent IVF index lifecycle
@@ -156,7 +156,11 @@ def cmd_dedup_ingest(args) -> int:
     )
     schema = load_table(spark, args.sf_dir, table).schema
     stream = read_replay_stream(spark, args.replay, schema)
-    if args.mode == "decontam":
+    if args.mode in ("decontam", "curate"):
+        from etl_wikipedia_updates_spark.streaming.decontam import (
+            ingest_with_full_curation,
+        )
+
         # held-out benchmark: an explicit parquet path, else the
         # CONTAM_BENCH_SOURCE slice of the static documents table
         # (the same convention the batch contamination query declares)
@@ -170,7 +174,12 @@ def cmd_dedup_ingest(args) -> int:
             bench = load_table(spark, args.sf_dir, "documents").filter(
                 F.col("source") == CONTAM_BENCH_SOURCE
             )
-        q = ingest_with_decontam(
+        start_b = (
+            ingest_with_decontam
+            if args.mode == "decontam"
+            else ingest_with_full_curation
+        )
+        q = start_b(
             stream,
             bench,
             args.sink,
@@ -433,7 +442,9 @@ def main(argv: list[str] | None = None) -> int:
         "bands; verified: bands nominate + sketch-Jaccard decides; "
         "embedding: sign-bucket LSH; embedding-verified: sign "
         "buckets nominate + exact cosine decides; decontam: "
-        "benchmark shingle veto with quarantine audit table)",
+        "benchmark shingle veto with quarantine audit table; "
+        "curate: quality gate + decontam + near-dup dedup in one "
+        "pass)",
     )
     ded.add_argument("--replay", required=True)
     ded.add_argument("--sink", required=True)
@@ -447,6 +458,7 @@ def main(argv: list[str] | None = None) -> int:
             "embedding",
             "embedding-verified",
             "decontam",
+            "curate",
         ],
         default="doc",
     )

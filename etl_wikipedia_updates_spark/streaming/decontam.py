@@ -176,3 +176,96 @@ def batch_decontam_keep(
         "doc_id"
     )
     return docs.join(drops, "doc_id", "left_anti")
+
+
+# --- full per-doc curation: quality -> decontam -> near-dup dedup -------------
+def full_curation_ingest_batch(
+    batch_df: DataFrame,
+    bench_sh: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
+) -> None:
+    """One micro-batch of the COMPLETE per-doc curation pipeline — the
+    ingest-time twin of corpus_release's per-doc stages in one pass:
+    (1) the Gopher-style repetition quality gate (stateless),
+    (2) the benchmark shingle veto (stateless, quarantined),
+    (3) near-dup dedup against the accumulating bucket store.
+    Stage order is the cheap-to-expensive rule: quality needs no
+    state, decontam joins a tiny broadcast, and only the survivors of
+    both pay the signature aggregation + store join. Mixing/splitting
+    stay release-time (corpus-global budgets). The quarantine and
+    bucket stores both fold on the ``compact_every`` cadence."""
+    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        dedup_ingest_batch,
+    )
+
+    spark = batch_df.sparkSession
+    keeps = (
+        _rep_per_doc(batch_df)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    kept = batch_df.join(keeps, "doc_id", "left_semi")
+    verdicts = decontam_verdicts(kept, bench_sh).persist()
+    try:
+        clean = kept.join(
+            verdicts.select("doc_id"), "doc_id", "left_anti"
+        )
+        append_batch(verdicts, contam_store_path(sink_path), batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_contam_store(spark, sink_path, below=batch_id)
+        dedup_ingest_batch(
+            clean, sink_path, batch_id, compact_every=compact_every
+        )
+    finally:
+        verdicts.unpersist()
+
+
+def ingest_with_full_curation(
+    stream: DataFrame,
+    bench_docs: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streamed documents -> quality-gated, decontaminated,
+    near-dup-deduped sink: the one-command crawl-curation ingest."""
+    bench_sh = bench_shingles(bench_docs).persist()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        full_curation_ingest_batch(
+            batch_df, bench_sh, sink_path, batch_id,
+            compact_every=compact_every,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_full_curation_keep(
+    docs: DataFrame, bench_docs: DataFrame
+) -> DataFrame:
+    """The BATCH statement of the full pipeline: quality gate, then
+    benchmark veto, then the no-smaller-id-shares-a-bucket rule over
+    the survivors. Equals the streamed sink when the corpus replays
+    in doc_id order (the dedup stage's usual arrival-order contract;
+    the first two stages are stateless and order-free)."""
+    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_neardup_keep,
+    )
+
+    keeps = (
+        _rep_per_doc(docs)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    kept = docs.join(keeps, "doc_id", "left_semi")
+    return batch_neardup_keep(batch_decontam_keep(kept, bench_docs))

@@ -415,3 +415,31 @@ def test_cli_release_verify(spark, sf_smoke, tmp_path, capsys):
     assert main(["release", "--out", root, "--verify"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["ok"] and res["mismatches"] == []
+
+
+def test_cli_dedup_ingest_curate(spark, sf_smoke, tmp_path, capsys):
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 2, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", sink,
+                "--sf-dir", sf_smoke,
+                "--mode", "curate",
+            ]
+        )
+        == 0
+    )
+    assert "rows kept:" in capsys.readouterr().out
+    import os as _os
+
+    # full pipeline materialized both state stores
+    assert _os.path.isdir(_os.path.join(sink, "_contaminated"))
+    assert _os.path.isdir(_os.path.join(sink, "_lsh_buckets"))

@@ -1318,3 +1318,49 @@ def test_bench_shingle_cap_drops_boilerplate(spark):
     sh_capped = DC.bench_shingles(bench, cap=1)
     drops = DC.decontam_verdicts(train, sh_capped)
     assert drops.count() == 0  # capped: boilerplate can't nominate
+
+
+def test_streaming_full_curation_equals_batch(spark, tmp_path):
+    """The one-pass curation ingest (quality gate -> benchmark veto ->
+    near-dup dedup) replayed in doc_id order must equal the composed
+    batch statement, quarantine its contaminated docs, and keep
+    strictly fewer docs than any single stage alone."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_full_curation_keep,
+        contam_store_path,
+        ingest_with_full_curation,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_quality_neardup_keep,
+        bucket_store_path,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import sink_snapshot
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_full_curation(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    expected = batch_full_curation_keep(docs, bench)
+    assert _checksum_docs(read_sink(spark, sink)) == _checksum_docs(expected)
+    # curation with the extra veto keeps no more than quality+dedup
+    n_full = expected.count()
+    assert 0 < n_full <= batch_quality_neardup_keep(docs).count()
+    # quarantine holds the vetoed docs; both stores folded mid-stream
+    assert read_sink(spark, sink, ).count() == n_full
+    assert read_sink(spark, contam_store_path(sink)).count() > 0
+    for store in (contam_store_path(sink), bucket_store_path(sink)):
+        assert sink_snapshot(store).current_version() is not None
