@@ -163,7 +163,11 @@ def cmd_dedup_ingest(args) -> int:
 
         # held-out benchmark: an explicit parquet path, else the
         # CONTAM_BENCH_SOURCE slice of the static documents table
-        # (the same convention the batch contamination query declares)
+        # (the same convention the batch contamination query
+        # declares). Self-pair exclusion only applies to the in-table
+        # slice, whose rows share the stream's id universe — an
+        # external benchmark has its own ids, and an id coincidence
+        # must not bypass the veto.
         if args.bench:
             bench = spark.read.parquet(args.bench)
         else:
@@ -185,30 +189,22 @@ def cmd_dedup_ingest(args) -> int:
             args.sink,
             args.checkpoint or args.sink + "_ckpt",
             compact_every=args.compact_every,
+            exclude_self=args.bench is None,
         )
-        finished = q.awaitTermination(args.timeout)
-        if not finished:
-            q.stop()
-            print(
-                f"TIMEOUT after {args.timeout}s; sink is partial",
-                file=sys.stderr,
-            )
-            return 1
-        print(f"rows kept: {read_sink(spark, args.sink).count()}")
-        return 0
-    start = {
-        "doc": ingest_with_neardup,
-        "quality": ingest_with_quality_neardup,
-        "verified": ingest_with_verified_neardup,
-        "embedding": ingest_with_embedding_neardup,
-        "embedding-verified": ingest_with_verified_embedding_neardup,
-    }[args.mode]
-    q = start(
-        stream,
-        args.sink,
-        args.checkpoint or args.sink + "_ckpt",
-        compact_every=args.compact_every,
-    )
+    else:
+        start = {
+            "doc": ingest_with_neardup,
+            "quality": ingest_with_quality_neardup,
+            "verified": ingest_with_verified_neardup,
+            "embedding": ingest_with_embedding_neardup,
+            "embedding-verified": ingest_with_verified_embedding_neardup,
+        }[args.mode]
+        q = start(
+            stream,
+            args.sink,
+            args.checkpoint or args.sink + "_ckpt",
+            compact_every=args.compact_every,
+        )
     finished = q.awaitTermination(args.timeout)
     if not finished:
         q.stop()

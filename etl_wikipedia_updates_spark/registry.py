@@ -24,7 +24,7 @@ stale:
   former r7 head — grouped_zscore through percentiles_approx — plus
   text_quality and ann_ivf, all r7-fresh green).
 
-All 62 entries are benched by bench.py and oracle-tested every run in
+All 63 entries are benched by bench.py and oracle-tested every run in
 tests/test_queries_oracle.py regardless of position; the rotation
 affects only which 50 the external gate re-certifies this round.
 """

@@ -87,18 +87,28 @@ def bench_shingles(
     )
 
 
-def decontam_verdicts(docs: DataFrame, bench_sh: DataFrame) -> DataFrame:
+def decontam_verdicts(
+    docs: DataFrame, bench_sh: DataFrame, exclude_self: bool = True
+) -> DataFrame:
     """(doc_id, bench_doc, shared) for every doc sharing >=
     CONTAM_MIN_SHARED distinct shingles with a benchmark doc (its
     strongest single match, ties to the smallest bench_doc — the
     same reporting rule as the batch contamination query).
-    Self-pairs are excluded so benchmark docs flowing through the
-    stream are not vetoed by themselves."""
+
+    ``exclude_self`` drops (doc_id == bench_doc) pairs and is ONLY
+    valid when the benchmark rows are a subset of the streamed corpus
+    sharing its id universe (the in-table source-slice convention) —
+    there the pair is literally the same row and vetoing it would
+    empty the benchmark out of its own corpus. For an EXTERNAL
+    benchmark with its own id space, pass False: an id collision
+    between unrelated corpora would otherwise silently bypass the
+    veto for exactly that doc."""
     sh = T.doc_shingles(docs)
+    joined = sh.join(F.broadcast(bench_sh), ["lang", "term"])
+    if exclude_self:
+        joined = joined.filter(F.col("doc_id") != F.col("bench_doc"))
     counts = (
-        sh.join(F.broadcast(bench_sh), ["lang", "term"])
-        .filter(F.col("doc_id") != F.col("bench_doc"))
-        .groupBy("doc_id", "bench_doc")
+        joined.groupBy("doc_id", "bench_doc")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= CONTAM_MIN_SHARED)
     )
@@ -118,13 +128,16 @@ def decontam_ingest_batch(
     sink_path: str,
     batch_id: int,
     compact_every: int | None = None,
+    exclude_self: bool = True,
 ) -> None:
     """One micro-batch of decontaminating ingest: clean rows append to
     the sink, contaminated verdicts append to the quarantine table —
     both under this batch's idempotent dir, so an at-least-once replay
     overwrites its own first attempt on both sides."""
     spark = batch_df.sparkSession
-    verdicts = decontam_verdicts(batch_df, bench_sh).persist()
+    verdicts = decontam_verdicts(
+        batch_df, bench_sh, exclude_self=exclude_self
+    ).persist()
     try:
         survivors = batch_df.join(
             verdicts.select("doc_id"), "doc_id", "left_anti"
@@ -144,17 +157,23 @@ def ingest_with_decontam(
     checkpoint: str,
     available_now: bool = True,
     compact_every: int | None = None,
+    exclude_self: bool = True,
 ) -> StreamingQuery:
     """Streamed documents -> benchmark-decontaminated sink, with the
     contaminated verdicts quarantined beside it. ``bench_docs`` is the
     static held-out corpus; its shingle set is built and persisted
-    ONCE, outside the per-batch handler."""
+    ONCE, outside the per-batch handler (the cache entry lives until
+    the SparkSession ends — a caller cycling many short-lived streams
+    in one session should unpersist between them). ``exclude_self``
+    as in decontam_verdicts: True only when bench_docs is an id-shared
+    subset of the stream; False for an external benchmark."""
     bench_sh = bench_shingles(bench_docs).persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         decontam_ingest_batch(
             batch_df, bench_sh, sink_path, batch_id,
             compact_every=compact_every,
+            exclude_self=exclude_self,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -166,15 +185,17 @@ def ingest_with_decontam(
 
 
 def batch_decontam_keep(
-    docs: DataFrame, bench_docs: DataFrame
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The BATCH statement of the streaming rule (equivalence tests
     and backfills): keep docs with no benchmark match. The operator
     is stateless per doc, so the streamed sink equals this under ANY
     batching — no arrival-order caveat needed."""
-    drops = decontam_verdicts(docs, bench_shingles(bench_docs)).select(
-        "doc_id"
-    )
+    drops = decontam_verdicts(
+        docs, bench_shingles(bench_docs), exclude_self=exclude_self
+    ).select("doc_id")
     return docs.join(drops, "doc_id", "left_anti")
 
 
@@ -185,6 +206,7 @@ def full_curation_ingest_batch(
     sink_path: str,
     batch_id: int,
     compact_every: int | None = None,
+    exclude_self: bool = True,
 ) -> None:
     """One micro-batch of the COMPLETE per-doc curation pipeline — the
     ingest-time twin of corpus_release's per-doc stages in one pass:
@@ -202,17 +224,25 @@ def full_curation_ingest_batch(
     )
 
     spark = batch_df.sparkSession
+    # kept and clean are each consumed by MULTIPLE downstream actions
+    # (verdicts, the quarantine write, dedup's band aggregation AND
+    # its survivors append); without the persists every action
+    # re-runs the quality gate's explode — the dominant per-batch
+    # map cost — the same reasoning as verified_ingest_batch's dtok
+    # persist.
     keeps = (
         _rep_per_doc(batch_df)
         .filter(F.col("verdict") == "keep")
         .select("doc_id")
     )
-    kept = batch_df.join(keeps, "doc_id", "left_semi")
-    verdicts = decontam_verdicts(kept, bench_sh).persist()
+    kept = batch_df.join(keeps, "doc_id", "left_semi").persist()
+    verdicts = decontam_verdicts(
+        kept, bench_sh, exclude_self=exclude_self
+    ).persist()
+    clean = kept.join(
+        verdicts.select("doc_id"), "doc_id", "left_anti"
+    ).persist()
     try:
-        clean = kept.join(
-            verdicts.select("doc_id"), "doc_id", "left_anti"
-        )
         append_batch(verdicts, contam_store_path(sink_path), batch_id)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_contam_store(spark, sink_path, below=batch_id)
@@ -220,7 +250,9 @@ def full_curation_ingest_batch(
             clean, sink_path, batch_id, compact_every=compact_every
         )
     finally:
+        clean.unpersist()
         verdicts.unpersist()
+        kept.unpersist()
 
 
 def ingest_with_full_curation(
@@ -230,15 +262,19 @@ def ingest_with_full_curation(
     checkpoint: str,
     available_now: bool = True,
     compact_every: int | None = None,
+    exclude_self: bool = True,
 ) -> StreamingQuery:
     """Streamed documents -> quality-gated, decontaminated,
-    near-dup-deduped sink: the one-command crawl-curation ingest."""
+    near-dup-deduped sink: the one-command crawl-curation ingest.
+    Persisted-bench and exclude_self notes as in
+    ingest_with_decontam."""
     bench_sh = bench_shingles(bench_docs).persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         full_curation_ingest_batch(
             batch_df, bench_sh, sink_path, batch_id,
             compact_every=compact_every,
+            exclude_self=exclude_self,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -250,7 +286,9 @@ def ingest_with_full_curation(
 
 
 def batch_full_curation_keep(
-    docs: DataFrame, bench_docs: DataFrame
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The BATCH statement of the full pipeline: quality gate, then
     benchmark veto, then the no-smaller-id-shares-a-bucket rule over
@@ -268,4 +306,6 @@ def batch_full_curation_keep(
         .select("doc_id")
     )
     kept = docs.join(keeps, "doc_id", "left_semi")
-    return batch_neardup_keep(batch_decontam_keep(kept, bench_docs))
+    return batch_neardup_keep(
+        batch_decontam_keep(kept, bench_docs, exclude_self=exclude_self)
+    )

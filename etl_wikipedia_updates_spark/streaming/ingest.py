@@ -381,10 +381,18 @@ def compact_sink(
     snap, v, _folded, newer = _view_parts(sink_path)
     before = _view_file_count(sink_path)
     if v is not None and not newer and before <= target_files:
+        # same pre-n_rows-metadata fallback as sink_row_count: a
+        # version published before row counts existed must no-op,
+        # not crash the maintenance loop
+        rows = int(
+            snap.meta_for(v).get(
+                "n_rows", dir_row_count(snap.version_path(v))
+            )
+        )
         return {
             "files_before": before,
             "files_after": before,
-            "rows": int(snap.meta_for(v)["n_rows"]),
+            "rows": rows,
         }
     version = _publish_rewrite(
         spark, sink_path, lambda view: view.coalesce(target_files)

@@ -1364,3 +1364,29 @@ def test_streaming_full_curation_equals_batch(spark, tmp_path):
     assert read_sink(spark, contam_store_path(sink)).count() > 0
     for store in (contam_store_path(sink), bucket_store_path(sink)):
         assert sink_snapshot(store).current_version() is not None
+
+
+def test_decontam_external_bench_id_collision_not_bypassed(spark):
+    """With an EXTERNAL benchmark (its own id universe),
+    exclude_self=False must veto a corpus doc whose doc_id happens to
+    collide with the matching benchmark doc's id — the self-pair
+    exclusion is only valid for the in-table id-shared slice, where
+    it must still keep the benchmark's own rows."""
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_decontam_keep,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(7, "xx", text)], "doc_id long, lang string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(7, "xx", text), (8, "xx", "totally unrelated words here now")],
+        "doc_id long, lang string, text string",
+    )
+    # external semantics: id 7 is a coincidence, the copy must drop
+    kept_ext = batch_decontam_keep(corpus, bench, exclude_self=False)
+    assert {r["doc_id"] for r in kept_ext.collect()} == {8}
+    # in-table semantics: row 7 IS the benchmark row; keep it
+    kept_sub = batch_decontam_keep(corpus, bench, exclude_self=True)
+    assert {r["doc_id"] for r in kept_sub.collect()} == {7, 8}
