@@ -479,3 +479,82 @@ def test_seq_pack_bucketing_monotone_under_arbitrary_ids(spark, rows):
         assert g.total_tokens == s["total"]
         assert g.n_seqs == math.ceil(s["total"] / SEQ_LEN)
         assert g.n_split_docs == s["split"]
+
+
+def _shingles3(tokens):
+    return {
+        " ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)
+    }
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e f g h i j".split()),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bench=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e f g h i j".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_decontam_matches_python_reference(spark, corpus, bench):
+    """batch_decontam_keep == a from-scratch Python statement of the
+    rule: drop a doc iff it shares >= CONTAM_MIN_SHARED distinct
+    3-token shingles with any single (df-capped) benchmark doc,
+    self-pairs excluded per exclude_self. The tiny 10-token alphabet
+    makes shingle collisions common, exercising the threshold edge."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_MIN_SHARED,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_decontam_keep,
+    )
+
+    docs_rows = [
+        (i, "xx", " ".join(toks)) for i, toks in enumerate(corpus)
+    ]
+    bench_rows = [
+        (j, "xx", " ".join(toks)) for j, toks in enumerate(bench)
+    ]
+    bench_sh = {j: _shingles3(toks) for j, toks in enumerate(bench)}
+    # default cap (1000) never binds at this size — full shingle sets
+
+    def expected_keep(exclude_self):
+        out = set()
+        for i, toks in enumerate(corpus):
+            mine = _shingles3(toks)
+            hit = any(
+                len(mine & bsh) >= CONTAM_MIN_SHARED
+                for j, bsh in bench_sh.items()
+                if not (exclude_self and i == j)
+            )
+            if not hit:
+                out.add(i)
+        return out
+
+    docs_df = spark.createDataFrame(
+        docs_rows, "doc_id long, lang string, text string"
+    )
+    bench_df = spark.createDataFrame(
+        bench_rows, "doc_id long, lang string, text string"
+    )
+    for exclude_self in (True, False):
+        got = {
+            r["doc_id"]
+            for r in batch_decontam_keep(
+                docs_df, bench_df, exclude_self=exclude_self
+            ).collect()
+        }
+        assert got == expected_keep(exclude_self)
