@@ -1390,3 +1390,53 @@ def test_decontam_external_bench_id_collision_not_bypassed(spark):
     # in-table semantics: row 7 IS the benchmark row; keep it
     kept_sub = batch_decontam_keep(corpus, bench, exclude_self=True)
     assert {r["doc_id"] for r in kept_sub.collect()} == {7, 8}
+
+
+def test_curation_checkpoint_resume_equals_batch(spark, tmp_path):
+    """S5 for the composed curation ingest: killed after the first
+    progress and resumed from the same checkpoint with availableNow,
+    the sink must still equal the batch statement — the composed
+    handler (quality gate, quarantine append, dedup store append)
+    is replay-safe end-to-end, not just its parts."""
+    import time
+
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_full_curation_keep,
+        ingest_with_full_curation,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q1 = ingest_with_full_curation(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        available_now=False,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p for p in q1.recentProgress if p["numInputRows"] > 0):
+            break
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = ingest_with_full_curation(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert _checksum_docs(read_sink(spark, sink)) == _checksum_docs(
+        batch_full_curation_keep(docs, bench)
+    )
