@@ -98,6 +98,19 @@ def term_hash_col(term_col: str = "term"):
     )
 
 
+def term_hash_fn(c):
+    """term_hash_col as a Column-lambda form, for hashing INSIDE an
+    array (transform(shingles, term_hash_fn)) where there is no named
+    column to reference — identical fold to term_hash_col /
+    sql_term_hash."""
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda a, ch: (a * F.lit(TERM_HASH_BASE) + F.ascii(ch))
+        % F.lit(HASH_P),
+    )
+
+
 def sql_term_hash(expr: str = "term") -> str:
     """DuckDB twin of term_hash_col — identical fold sequence."""
     return (
@@ -166,7 +179,15 @@ def fit_term_profiles(terms: DataFrame, n: int) -> dict[str, list[str]]:
     mirror — lang_id (whitespace tokens) and lang_id_chargram
     (character trigrams) both fit through here so it cannot drift
     between term representations."""
-    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    # a NULL-lang row can't define a language profile: it would put a
+    # None key in the model dict and crash predict_language's
+    # sorted(profiles) (None vs str); the oracle CTEs carry the same
+    # lang IS NOT NULL guard so both engines fit identical models
+    counts = (
+        terms.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
     w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
     rows = (
         counts.select("lang", "term", F.row_number().over(w).alias("rk"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from etl_wikipedia_updates_spark.functions.deterministic import (
     det_round,
     money_sum,
+    sql_det_round,
     sql_money_sum,
     sql_ts_str,
     ts_str,
@@ -71,23 +72,31 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array access is a JVM-side expression over the parquet list column;
     the vec_id predicate pushes down so only 10 rows are materialized."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # det_round, not F.round: Spark ROUND(double) rounds the shortest
+    # decimal print while DuckDB ROUND rounds the binary value — they
+    # disagree near half boundaries, the exact divergence det_round
+    # exists to absorb (every other rounded double output uses it)
     return (
         emb.filter(F.col("vec_id") < 10)
         .select(
             "vec_id",
             F.size("embedding").cast("bigint").alias("n_dims"),
-            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
-            F.round(F.element_at("embedding", -1).cast("double"), 4).alias("e_last"),
+            det_round(F.element_at("embedding", 1).cast("double"), 4).alias(
+                "e0"
+            ),
+            det_round(
+                F.element_at("embedding", -1).cast("double"), 4
+            ).alias("e_last"),
         )
         .transform(total_order, "vec_id")
     )
 
 
-Q18_SQL = """
+Q18_SQL = f"""
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS n_dims,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0,
-       ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS e_last
+       {sql_det_round("CAST(embedding[1] AS DOUBLE)", 4)} AS e0,
+       {sql_det_round("CAST(embedding[-1] AS DOUBLE)", 4)} AS e_last
 FROM embeddings
 WHERE vec_id < 10
 ORDER BY vec_id

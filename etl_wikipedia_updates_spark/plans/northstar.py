@@ -532,9 +532,20 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
     )
     cand = D.lsh_candidate_pairs(sig, MINHASH_BANDS, MINHASH_ROWS)
+    # Verify on shingle IDS, not strings: the oracle's verify CTE
+    # joins on tid, so a term-hash collision between two distinct
+    # shingles inside a candidate pair (expected once per ~1e5
+    # distinct shingles) would make a string-side verify disagree
+    # with the oracle. Hashing inside the array (transform +
+    # array_distinct) keeps the verify side map-side — no shuffle,
+    # same sets as collect_set(tid) by construction.
     tok_arrays = docs.select(
         "doc_id",
-        F.array_sort(T.shingles_col()).alias("toks"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(T.shingles_col(), T.term_hash_fn)
+            )
+        ).alias("toks"),
     )
     verified = D.jaccard_verify(cand, tok_arrays, JACCARD_THRESHOLD)
     return verified.select(
@@ -687,7 +698,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LANG_ID_SQL = f"""
 WITH tok AS ({SQL_TOK}),
-counts AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term),
+counts AS (SELECT lang, term, COUNT(*) AS cnt FROM tok
+           WHERE lang IS NOT NULL GROUP BY lang, term),
 prof AS (
   SELECT lang AS cand_lang, term
   FROM (SELECT lang, term,
@@ -724,6 +736,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eager fit-then-score: the top-20 stopword model is one
     TakeOrderedAndProject job at build time; scoring is a single
     map-side higher-order-function pass (see quality_features)."""
+    # NOTE (r8): carries the same latent NULL-text parity trap that
+    # token_stats/corpus_stats closed (size(NULL) = -1 vs the
+    # oracle's explode dropping the doc). Benign on the non-null
+    # fixture corpora; the fix is deferred to this entry's r9
+    # certification-head slot so a past-cutoff query isn't changed
+    # after its official row was recorded.
     # Same spread-inside-fit split as lang_id; the regex-heavy scorer
     # keeps spread (16-way beats one core on the per-token RLIKE pass,
     # measured), taken off the fitted frame's lineage-free parent.
@@ -770,8 +788,12 @@ FROM feat ORDER BY doc_id
 # --- token_stats: corpus token accounting per source --------------------------
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + regex token counting (the BPE-ish pre-tokenizer
-    pass of a training pipeline), aggregated per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    pass of a training pipeline), aggregated per source. text IS NOT
+    NULL on both engines — the size(NULL) = -1 parity guard bm25_rank
+    and seq_pack carry (identical on non-null corpora)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     per_doc = docs.select(
         "source",
         "doc_id",
@@ -810,7 +832,7 @@ WITH per_doc AS (
   SELECT source, doc_id,
          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS nr
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 tok AS ({SQL_TOK}),
 dterms AS (
@@ -1025,19 +1047,31 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     kept = docs.join(dropped, "doc_id", "left_anti")
     n_in = docs.groupBy("source").agg(F.count("*").alias("docs_in"))
+    # n_in is the base of the audit join (LEFT, zeros coalesced): a
+    # source whose every doc was dropped must still report its
+    # docs_in/docs_dropped row — an inner join from kept would
+    # silently erase exactly the source the drop audit exists to
+    # surface (the no-silent-zero-counts rule source_mix follows).
     return (
-        kept.groupBy("source")
-        .agg(
-            F.count("*").alias("docs_kept"),
-            F.sum("doc_id").alias("kept_checksum"),
+        n_in.join(
+            kept.groupBy("source").agg(
+                F.count("*").alias("docs_kept"),
+                F.sum("doc_id").alias("kept_checksum"),
+            ),
+            "source",
+            "left",
         )
-        .join(n_in, "source")
         .select(
             "source",
             "docs_in",
-            "docs_kept",
-            (F.col("docs_in") - F.col("docs_kept")).alias("docs_dropped"),
-            F.col("kept_checksum").cast("bigint").alias("kept_checksum"),
+            F.coalesce(F.col("docs_kept"), F.lit(0)).alias("docs_kept"),
+            (
+                F.col("docs_in")
+                - F.coalesce(F.col("docs_kept"), F.lit(0))
+            ).alias("docs_dropped"),
+            F.coalesce(F.col("kept_checksum").cast("bigint"), F.lit(0)).alias(
+                "kept_checksum"
+            ),
         )
         .transform(total_order, "source")
     )
@@ -1049,13 +1083,18 @@ dropped AS (SELECT doc_id FROM cc WHERE cluster_id != doc_id),
 kept AS (
   SELECT d.source, d.doc_id FROM documents d
   WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
-)
-SELECT k.source,
-       (SELECT COUNT(*) FROM documents d2 WHERE d2.source = k.source) AS docs_in,
-       COUNT(*) AS docs_kept,
-       (SELECT COUNT(*) FROM documents d2 WHERE d2.source = k.source) - COUNT(*) AS docs_dropped,
-       CAST(SUM(k.doc_id) AS BIGINT) AS kept_checksum
-FROM kept k GROUP BY k.source ORDER BY k.source
+),
+ka AS (
+  SELECT source, COUNT(*) AS docs_kept,
+         CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
+  FROM kept GROUP BY source
+),
+di AS (SELECT source, COUNT(*) AS docs_in FROM documents GROUP BY source)
+SELECT di.source, di.docs_in,
+       COALESCE(ka.docs_kept, 0) AS docs_kept,
+       di.docs_in - COALESCE(ka.docs_kept, 0) AS docs_dropped,
+       COALESCE(ka.kept_checksum, 0) AS kept_checksum
+FROM di LEFT JOIN ka USING (source) ORDER BY di.source
 """
 
 
@@ -1070,13 +1109,31 @@ SAMPLE_BUCKETS = 1_000
 SAMPLE_TEST_BUCKETS = 100  # 10% eval holdout
 
 
+def ubucket_col(a: int, b: int, buckets: int) -> "F.Column":
+    """THE universal-hash bucket, (doc_id*a + b) mod HASH_P mod
+    buckets, computed as ((doc_id mod HASH_P)*a + b) mod HASH_P — the
+    same value for every doc_id by modular identity, but the
+    intermediate product stays under 2^62 for ANY int64 id, where the
+    naive form overflows int64 once doc_id exceeds ~8.4e9 (Spark with
+    ANSI off would wrap silently to a garbage bucket while the DuckDB
+    twin raises an overflow error — divergent membership AND a
+    crashing oracle at the id scale 100 TB implies). Shared by
+    split_col, mix_keep_cond and stratified_sample; sql_ubucket is
+    the character-identical oracle twin."""
+    d = F.col("doc_id").cast("long") % F.lit(HASH_P)
+    return (d * F.lit(a) + F.lit(b)) % F.lit(HASH_P) % F.lit(buckets)
+
+
+def sql_ubucket(a: int, b: int, buckets: int, col: str = "doc_id") -> str:
+    """DuckDB twin of ubucket_col — identical arithmetic sequence."""
+    return f"(({col} % {HASH_P}) * {a} + {b}) % {HASH_P} % {buckets}"
+
+
 def split_col() -> "F.Column":
     """The train/test hash-split verdict for the current row's doc_id —
     THE split rule, shared by sample_hash and release_members so the
     composed release and the standalone splitter can never diverge."""
-    bucket = (
-        F.col("doc_id").cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)
-    ) % F.lit(HASH_P) % F.lit(SAMPLE_BUCKETS)
+    bucket = ubucket_col(SAMPLE_A, SAMPLE_B, SAMPLE_BUCKETS)
     return F.when(bucket < SAMPLE_TEST_BUCKETS, "test").otherwise("train")
 
 
@@ -1095,7 +1152,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_HASH_SQL = f"""
 SELECT source,
-       CASE WHEN (doc_id * {SAMPLE_A} + {SAMPLE_B}) % {HASH_P} % {SAMPLE_BUCKETS}
+       CASE WHEN {sql_ubucket(SAMPLE_A, SAMPLE_B, SAMPLE_BUCKETS)}
                  < {SAMPLE_TEST_BUCKETS}
             THEN 'test' ELSE 'train' END AS split,
        COUNT(*) AS n_docs,
@@ -1198,15 +1255,18 @@ ORDER BY doc_id, rk
 # mix" operation of a training pipeline), same universal-hash bucketing
 # as sample_hash so membership is stateless and reproducible at any
 # scale / row order.
-STRATA_BUCKETS = {"en": 500, "de": 250, "fr": 250, "es": 125, "it": 125}
+# The five corpus languages get explicit peer rates (the fixture's
+# lang set is {de,en,es,fr,zh} — an entry for a language the corpus
+# doesn't carry would be dead weight masking an omission, which is
+# exactly what the earlier 'it' entry did while zh silently fell to
+# the long-tail default).
+STRATA_BUCKETS = {"en": 500, "de": 250, "fr": 250, "es": 125, "zh": 125}
 STRATA_DEFAULT_BUCKETS = 50  # long-tail languages: 5%
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.col("doc_id").cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)
-    ) % F.lit(HASH_P) % F.lit(SAMPLE_BUCKETS)
+    bucket = ubucket_col(SAMPLE_A, SAMPLE_B, SAMPLE_BUCKETS)
     keep_buckets = F.coalesce(
         *[
             F.when(F.col("lang") == lang, F.lit(b))
@@ -1242,7 +1302,7 @@ def _strata_case() -> str:
 STRATIFIED_SAMPLE_SQL = f"""
 WITH kept AS (
   SELECT lang, doc_id FROM documents
-  WHERE (doc_id * {SAMPLE_A} + {SAMPLE_B}) % {HASH_P} % {SAMPLE_BUCKETS}
+  WHERE {sql_ubucket(SAMPLE_A, SAMPLE_B, SAMPLE_BUCKETS)}
         < {_strata_case()}
 ),
 pop AS (SELECT lang, COUNT(*) AS n_pop FROM documents GROUP BY lang),
@@ -1736,7 +1796,8 @@ WITH cg AS (
                                i -> substr(lower(text), i, 3))) AS term
   FROM documents
 ),
-counts AS (SELECT lang, term, COUNT(*) AS cnt FROM cg GROUP BY lang, term),
+counts AS (SELECT lang, term, COUNT(*) AS cnt FROM cg
+           WHERE lang IS NOT NULL GROUP BY lang, term),
 prof AS (
   SELECT lang AS cand_lang, term
   FROM (SELECT lang, term,
@@ -1770,8 +1831,11 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-length extremes, mean tokens/doc — the dataset-card numbers a
     corpus release ships with. One scan, one small-key shuffle; the
     token count is size(split(...)), computed map-side without an
-    explode."""
-    docs = load_table(spark, sf_dir, "documents")
+    explode. text IS NOT NULL on both engines — the size(NULL) = -1
+    parity guard (identical on non-null corpora)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     per = docs.select(
         "source",
         "lang",
@@ -1802,7 +1866,8 @@ SELECT source, lang, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
        {sql_det_round("CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE) / COUNT(*)", 3)} AS avg_tokens
-FROM documents GROUP BY source, lang ORDER BY source, lang
+FROM documents WHERE text IS NOT NULL
+GROUP BY source, lang ORDER BY source, lang
 """
 
 
@@ -2118,11 +2183,11 @@ def mix_keep_cond(budget_col: str, floor_col: str) -> "F.Column":
     bucket(doc_id) * budget < floor * BUCKETS. THE rule, shared by
     source_mix and release_members so the composed release and the
     standalone mixer can never diverge."""
-    # cast("long") mirrors split_col: if doc_id were ever a 32-bit
-    # column, doc_id * 69069 would silently wrap in int32 (ANSI off)
-    # while the DuckDB oracle promotes to 64-bit — a silent membership
-    # divergence. int64 doc_ids are unaffected.
-    bucket = (F.col("doc_id").cast("long") * MIX_A + MIX_B) % HASH_P % MIX_BUCKETS
+    # ubucket_col carries both wrap defenses: the long cast (an int32
+    # doc_id column would wrap at 32 bits under ANSI off) and the
+    # pre-mod reduction (an int64 id above ~8.4e9 would overflow the
+    # naive product) — see its docstring.
+    bucket = ubucket_col(MIX_A, MIX_B, MIX_BUCKETS)
     return bucket * F.col(budget_col) < F.col(floor_col) * MIX_BUCKETS
 
 
@@ -2194,7 +2259,7 @@ floor_b AS (SELECT MIN(chars_in) AS min_chars FROM budgets),
 kept AS (
   SELECT d.source, d.doc_id, d.n_chars
   FROM documents d JOIN budgets b USING (source) CROSS JOIN floor_b f
-  WHERE ((d.doc_id * {MIX_A} + {MIX_B}) % {HASH_P} % {MIX_BUCKETS}) * b.chars_in
+  WHERE ({sql_ubucket(MIX_A, MIX_B, MIX_BUCKETS, 'd.doc_id')}) * b.chars_in
         < f.min_chars * {MIX_BUCKETS}
 ),
 agg AS (
@@ -2614,11 +2679,11 @@ floor_b AS (SELECT MIN(chars_q) AS min_chars FROM budgets),
 mixed AS (
   SELECT k.source, k.doc_id, k.n_chars
   FROM keptq k JOIN budgets b USING (source) CROSS JOIN floor_b f
-  WHERE ((k.doc_id * {MIX_A} + {MIX_B}) % {HASH_P} % {MIX_BUCKETS}) * b.chars_q
+  WHERE ({sql_ubucket(MIX_A, MIX_B, MIX_BUCKETS, 'k.doc_id')}) * b.chars_q
         < f.min_chars * {MIX_BUCKETS}
 )
 SELECT source,
-  CASE WHEN (doc_id * {SAMPLE_A} + {SAMPLE_B}) % {HASH_P} % {SAMPLE_BUCKETS}
+  CASE WHEN {sql_ubucket(SAMPLE_A, SAMPLE_B, SAMPLE_BUCKETS)}
             < {SAMPLE_TEST_BUCKETS} THEN 'test' ELSE 'train' END AS split,
   COUNT(*) AS n_docs,
   CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,

@@ -13,16 +13,19 @@ stale:
 - The contract rows Q1-Q28 + wiki and every entry CHANGED this round
   stay inside the first 50 (a changed query needs a fresh row; its
   old row certifies code that no longer exists). Round 8 changed
-  seq_pack (two-phase prefix-sum replan), tfidf_topterms (broadcast
-  direction) and bm25_rank (null-safe corpus stats), so all three
-  stay inside.
+  seq_pack, tfidf_topterms, bm25_rank, source_mix, corpus_release,
+  sample_hash, stratified_sample, token_stats, q18, and the head
+  entries lang_id, lang_id_chargram, corpus_stats, dedup_corpus,
+  minhash_lsh — all inside.
 - NEW entries have no official row at all, so they must sit inside
   the first 50 (round 8: span_dedup, the substring-level
   duplicated-span audit).
 - The 13 that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (round 8: the
-  former r7 head — grouped_zscore through percentiles_approx — plus
-  text_quality and ann_ivf, all r7-fresh green).
+  certified green in the immediately-preceding round (round 8: most
+  of the former r7 head plus text_quality, ann_ivf, dedup_clusters,
+  contamination and percentiles — all r7-fresh green; the r7-head
+  members that were CHANGED in r8 — sample_hash, stratified_sample,
+  token_stats — stay inside instead).
 
 All 63 entries are benched by bench.py and oracle-tested every run in
 tests/test_queries_oracle.py regardless of position; the rotation
@@ -57,37 +60,45 @@ DECLARATION_ORDER: list[str] = [
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
     # --- remaining extensions; entries CHANGED in round 8 must hold
-    # in-window slots: seq_pack (two-phase prefix-sum replan),
-    # tfidf_topterms (broadcast-direction fix), bm25_rank (null-safe
-    # corpus stats) ---
-    "dedup_clusters",
-    "contamination",
-    "percentiles",
+    # in-window slots: seq_pack (two-phase prefix-sum replan + null
+    # guard), tfidf_topterms (broadcast direction), bm25_rank
+    # (null-safe corpus stats), source_mix + corpus_release +
+    # sample_hash + stratified_sample (overflow-safe ubucket_col;
+    # stratified also gains the zh stratum), token_stats (null-text
+    # guard) ---
     "source_mix",
     "corpus_release",
     "tfidf_topterms",
     "bm25_rank",
     "seq_pack",
+    "sample_hash",
+    "stratified_sample",
+    "token_stats",
     # --- NEW in round 8 (never certified — must sit inside the gate
     # window): substring-level duplicated-span audit ---
     "span_dedup",
-    # --- positions 51-63: yield their slots this round (all fresh
-    # r7-official green — the former r7 rotation head plus
-    # text_quality and ann_ivf, displaced by the new span_dedup —
-    # and unchanged in r8) ---
-    "ann_ivf",
+    # --- positions 51-63: yield their slots this round (all
+    # UNCHANGED in r8 with fresh r7-official green rows — the
+    # remainder of the former r7 head plus text_quality, ann_ivf,
+    # dedup_clusters, contamination and percentiles, displaced by
+    # span_dedup and the r8-changed sample_hash / stratified_sample /
+    # token_stats). text_quality leads the tail: it carries a
+    # documented latent null-text note whose code fix is deferred to
+    # its r9 head slot (changing a past-cutoff entry after its
+    # official row was recorded is what the policy forbids) ---
+    "text_quality",
+    "dedup_clusters",
+    "contamination",
+    "percentiles",
     "grouped_zscore",
-    "stratified_sample",
-    "token_stats",
     "doc_fingerprint",
-    "sample_hash",
     "text_normalize",
     "cosine_neardup",
     "multimodal_bytes",
     "ann_lsh",
     "q12_approx",
     "percentiles_approx",
-    "text_quality",
+    "ann_ivf",
 ]
 
 _declared = QueryRegistry()

@@ -33,3 +33,95 @@ def test_query_matches_oracle(spark, sf_correctness, duck, declared):
     res = compare_frames(declared.name, spark_pdf, oracle_pdf)
     assert res.ok, f"{declared.name}: {res.detail}"
     assert res.spark_rows > 0, f"{declared.name}: empty result"
+
+
+def test_adversarial_fixture_parity(spark, tmp_path):
+    """Cross-engine parity on the degenerate inputs the fixture corpus
+    never exercises: a NULL-text doc (size(NULL) = -1 under legacy
+    sizeOfNull vs the oracle's NULL), a NULL-lang doc (would put a
+    None key in the language-profile model), a doc_id above ~8.4e9
+    (the naive universal-hash product overflows int64 — Spark wraps,
+    DuckDB errors), and a source whose every doc is a near-dup of
+    another source's (its audit row must not vanish). Each hardened
+    query must produce IDENTICAL results on both engines over this
+    corpus."""
+    import random
+
+    from etl_wikipedia_updates_spark.oracle import (
+        compare_frames,
+        duckdb_connection,
+    )
+    from etl_wikipedia_updates_spark.registry import REGISTRY
+
+    random.seed(8)
+    words = [f"w{i}" for i in range(60)]
+
+    def text(rng_id, n=40):
+        rng = random.Random(rng_id)
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    rows = []
+    # normal docs across two sources/langs
+    for i in range(30):
+        rows.append((i, text(i), "en" if i % 2 else "zh", "srcA", 40))
+    # srcDUP: verbatim copies of srcA docs under higher ids (same
+    # lang — pairing is lang-partitioned) -> every srcDUP doc is a
+    # near-dup member dropped by dedup_corpus
+    for i in range(5):
+        rows.append(
+            (1000 + i, text(i), "en" if i % 2 else "zh", "srcDUP", 40)
+        )
+    # the degenerate rows
+    rows.append((2000, None, "en", "srcA", 0))  # NULL text
+    rows.append((2001, text(2001), None, "srcA", 40))  # NULL lang
+    rows.append((9_223_372_036, text(9), "en", "srcA", 40))  # huge id
+    sf_dir = str(tmp_path)
+    # a single parquet FILE (pandas), matching the fixture layout the
+    # oracle's read_parquet expects (Spark would write a directory)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(sf_dir + "/documents.parquet")
+
+    duck = duckdb_connection(sf_dir)
+    hardened = [
+        "token_stats",
+        "corpus_stats",
+        "bm25_rank",
+        "seq_pack",
+        "sample_hash",
+        "stratified_sample",
+        "source_mix",
+        "dedup_corpus",
+        "lang_id",
+        "lang_id_chargram",
+        "span_dedup",
+        "minhash_lsh",
+    ]
+    failures = []
+    for name in hardened:
+        q = REGISTRY.queries[name]
+        try:
+            r = compare_frames(
+                name,
+                q.builder(spark, sf_dir).toPandas(),
+                duck.sql(q.oracle).df(),
+            )
+            if not r.ok:
+                failures.append((name, r.detail[:160]))
+        except Exception as exc:
+            failures.append((name, f"EXC {exc}"[:160]))
+    assert not failures, failures
+    # the fully-deduplicated source keeps its audit row with zeros
+    dd = {
+        r["source"]: r
+        for r in REGISTRY.queries["dedup_corpus"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert dd["srcDUP"]["docs_kept"] == 0
+    assert dd["srcDUP"]["docs_dropped"] == dd["srcDUP"]["docs_in"] == 5
