@@ -51,14 +51,40 @@ def _byte_features_batches(
     time) are exactly what a real decode/resize/frame-sample UDF uses.
     """
     for pdf in batches:
+        # NULL payload cells arrive as None (e.g. encode(NULL) upstream);
+        # they must yield NULL features — the SQL-null semantics
+        # octet_length(NULL) has — not len(None) TypeErrors that kill
+        # the task. Int64 (nullable) keeps the Arrow longs exact.
         payloads = pdf["payload"]
+        null = payloads.isna()
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": payloads.map(len),
-                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
-                "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
-                "n_space": payloads.map(lambda b: b.count(b" ")),
+                "byte_len": pd.array(
+                    [None if n else len(b) for b, n in zip(payloads, null)],
+                    dtype="Int64",
+                ),
+                "first_byte": pd.array(
+                    [
+                        None if n else (b[0] if len(b) else -1)
+                        for b, n in zip(payloads, null)
+                    ],
+                    dtype="Int64",
+                ),
+                "last_byte": pd.array(
+                    [
+                        None if n else (b[-1] if len(b) else -1)
+                        for b, n in zip(payloads, null)
+                    ],
+                    dtype="Int64",
+                ),
+                "n_space": pd.array(
+                    [
+                        None if n else b.count(b" ")
+                        for b, n in zip(payloads, null)
+                    ],
+                    dtype="Int64",
+                ),
             }
         )
 
@@ -78,8 +104,12 @@ def _frame_sample_batches(
 ) -> "callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # None payloads yield NULL n_frames/frames (SQL-null
+            # semantics), same contract as _byte_features_batches.
             frames = pdf["payload"].map(
-                lambda b: [
+                lambda b: None
+                if b is None
+                else [
                     bytes(b[i : i + frame_len])
                     for i in range(0, max(len(b) - frame_len + 1, 0), stride)
                 ]
@@ -87,7 +117,10 @@ def _frame_sample_batches(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_frames": frames.map(len),
+                    "n_frames": pd.array(
+                        [None if f is None else len(f) for f in frames],
+                        dtype="Int64",
+                    ),
                     "frames": frames,
                 }
             )

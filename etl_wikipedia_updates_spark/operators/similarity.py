@@ -87,32 +87,28 @@ def cosine_topk(
     )
 
 
-def cosine_topk_ivf(
-    emb: DataFrame, queries: DataFrame, k: int, cell_col: str = "label"
+def _cosine_topk_probed(
+    emb: DataFrame, q: DataFrame, k: int, cell_col: str, dedup: bool
 ) -> DataFrame:
-    """IVF top-k: probe only the query's cell (equi-join on cell id).
+    """Shared probe-join + ranked-window core of the IVF variants.
 
-    queries: (q_vec_id, q_embedding, <cell_col>). Approximate iff true
-    neighbors live outside the probed cell; n_probes>1 = union more
-    cells. Join is shuffle-partitioned on the cell key — candidate
-    count is bounded by cell size, independent of corpus size.
-    """
-    q = F.broadcast(
-        queries.select(
-            "q_vec_id", "q_embedding", F.col(cell_col).alias("q_cell")
-        )
-        .withColumn("qe", _as_double(F.col("q_embedding")))
-        .withColumn("q_nrm", l2_norm(F.col("qe")))
-    )
+    ``q``: a (broadcast) query frame carrying one row per (query,
+    probed cell): q_vec_id, q_cell, qe (double array), q_nrm.
+    ``dedup``: True when a query probes multiple cells — a vector
+    reachable via two cells must count once; the single-probe path
+    skips it (pairs are unique by construction, the distinct would be
+    a pure extra shuffle)."""
     base = _with_double_and_norm(emb, "e", "nrm")
     joined = base.join(q, base[cell_col] == q["q_cell"]).filter(
         F.col("vec_id") != F.col("q_vec_id")
     )
     sim = _pair_cosine(F.col("qe"), F.col("e"), F.col("q_nrm"), F.col("nrm"))
+    sims = joined.select("q_vec_id", "vec_id", sim.alias("sim"))
+    if dedup:
+        sims = sims.distinct()
     w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
-        joined.select("q_vec_id", "vec_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "q_vec_id",
@@ -121,6 +117,27 @@ def cosine_topk_ivf(
             det_round(F.col("sim"), 4).alias("cos_sim"),
         )
     )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame, queries: DataFrame, k: int, cell_col: str = "label"
+) -> DataFrame:
+    """IVF top-k: probe only the query's cell (equi-join on cell id).
+
+    queries: (q_vec_id, q_embedding, <cell_col>). Approximate iff true
+    neighbors live outside the probed cell; n_probes>1 =
+    cosine_topk_multiprobe. Join is shuffle-partitioned on the cell
+    key — candidate count is bounded by cell size, independent of
+    corpus size.
+    """
+    q = F.broadcast(
+        queries.select(
+            "q_vec_id", "q_embedding", F.col(cell_col).alias("q_cell")
+        )
+        .withColumn("qe", _as_double(F.col("q_embedding")))
+        .withColumn("q_nrm", l2_norm(F.col("qe")))
+    )
+    return _cosine_topk_probed(emb, q, k, cell_col, dedup=False)
 
 
 LSH_LCG_A = 1_103_515_245
@@ -205,24 +222,7 @@ def cosine_topk_multiprobe(
         .withColumn("qe", _as_double(F.col("q_embedding")))
         .withColumn("q_nrm", l2_norm(F.col("qe")))
     )
-    base = _with_double_and_norm(emb, "e", "nrm")
-    joined = base.join(q, base[cell_col] == q["q_cell"]).filter(
-        F.col("vec_id") != F.col("q_vec_id")
-    )
-    sim = _pair_cosine(F.col("qe"), F.col("e"), F.col("q_nrm"), F.col("nrm"))
-    w = W.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        joined.select("q_vec_id", "vec_id", sim.alias("sim"))
-        .distinct()  # a vector probed via two cells must count once
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "q_vec_id",
-            "rank",
-            "vec_id",
-            det_round(F.col("sim"), 4).alias("cos_sim"),
-        )
-    )
+    return _cosine_topk_probed(emb, q, k, cell_col, dedup=True)
 
 
 def cosine_near_pairs(

@@ -2088,6 +2088,18 @@ def _rep_per_doc(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_keep(docs: DataFrame) -> DataFrame:
+    """``docs`` restricted to the rows the repetition quality gate
+    keeps — THE single statement of "quality keep" that every gated
+    pipeline stage (the streaming quality/curation ingests and their
+    batch twins) routes through, so a change to the verdict contract
+    cannot desynchronize streamed sinks from their batch references."""
+    keeps = (
+        _rep_per_doc(docs).filter(F.col("verdict") == "keep").select("doc_id")
+    )
+    return docs.join(keeps, "doc_id", "left_semi")
+
+
 def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filter: per-source audit of how many
     docs a Gopher-style repetition rule keeps vs drops, with the mean

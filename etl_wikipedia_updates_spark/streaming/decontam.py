@@ -218,7 +218,7 @@ def full_curation_ingest_batch(
     both pay the signature aggregation + store join. Mixing/splitting
     stay release-time (corpus-global budgets). The quarantine and
     bucket stores both fold on the ``compact_every`` cadence."""
-    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+    from etl_wikipedia_updates_spark.plans.northstar import quality_keep
     from etl_wikipedia_updates_spark.streaming.neardup import (
         dedup_ingest_batch,
     )
@@ -230,12 +230,7 @@ def full_curation_ingest_batch(
     # re-runs the quality gate's explode — the dominant per-batch
     # map cost — the same reasoning as verified_ingest_batch's dtok
     # persist.
-    keeps = (
-        _rep_per_doc(batch_df)
-        .filter(F.col("verdict") == "keep")
-        .select("doc_id")
-    )
-    kept = batch_df.join(keeps, "doc_id", "left_semi").persist()
+    kept = quality_keep(batch_df).persist()
     verdicts = decontam_verdicts(
         kept, bench_sh, exclude_self=exclude_self
     ).persist()
@@ -295,17 +290,12 @@ def batch_full_curation_keep(
     the survivors. Equals the streamed sink when the corpus replays
     in doc_id order (the dedup stage's usual arrival-order contract;
     the first two stages are stateless and order-free)."""
-    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+    from etl_wikipedia_updates_spark.plans.northstar import quality_keep
     from etl_wikipedia_updates_spark.streaming.neardup import (
         batch_neardup_keep,
     )
 
-    keeps = (
-        _rep_per_doc(docs)
-        .filter(F.col("verdict") == "keep")
-        .select("doc_id")
-    )
-    kept = docs.join(keeps, "doc_id", "left_semi")
+    kept = quality_keep(docs)
     return batch_neardup_keep(
         batch_decontam_keep(kept, bench_docs, exclude_self=exclude_self)
     )

@@ -558,35 +558,59 @@ def rollup_partials(
     )
 
 
+def _rollup_fold(view: DataFrame, key_col: str) -> DataFrame:
+    """Merge partials into one partial per (day, key). The merged frame
+    is itself a valid partial (counts and decimal sums re-aggregate),
+    and the cast pins ``sum_value`` at rollup_partials' decimal(28,4)
+    so repeated folds keep ONE schema instead of widening toward the
+    38-digit cap and tearing the composite union apart."""
+    return view.groupBy("day", key_col).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").cast("decimal(28,4)").alias("sum_value"),
+    )
+
+
 def rollup_view(
     spark: SparkSession, rollup_path: str, key_col: str = "event_type"
 ) -> DataFrame:
-    """Merge the rollup partials into the current (day, key) totals."""
-    parts = spark.read.option("recursiveFileLookup", "true").parquet(rollup_path)
-    return parts.groupBy("day", key_col).agg(
-        F.sum("n").alias("n"),
-        F.sum("sum_value").cast("double").alias("sum_value"),
+    """Merge the rollup partials into the current (day, key) totals.
+
+    Reads through the sink composite view (snapshot version + COMMITTED
+    unfolded batch dirs), not a recursive listing: rollup_partials'
+    mode("overwrite") deletes ``_SUCCESS`` first, so a recursive read
+    racing an in-flight trigger (or a replay overwrite) would see torn
+    part-files or a transient undercount — exactly the hazard read_sink
+    exists to refuse."""
+    return _rollup_fold(read_sink(spark, rollup_path), key_col).withColumn(
+        "sum_value", F.col("sum_value").cast("double")
     )
 
 
 def compact_rollup(
     spark: SparkSession, rollup_path: str, key_col: str = "event_type"
 ) -> None:
-    """Fold accumulated partials into one partial per (day, key). The
-    merged frame is itself a valid partial (counts and decimal sums
-    re-aggregate), so rollup_view over a compacted dir is unchanged.
-    At 100 TB this runs per closed day-partition, like compact_sink.
-    Same publish discipline as every other rewrite: heal a crashed
-    predecessor first, stage under a hidden sibling, swap."""
-    _recover_swap(rollup_path)
-    parts = spark.read.option("recursiveFileLookup", "true").parquet(rollup_path)
-    merged = parts.groupBy("day", key_col).agg(
-        F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
+    """Fold accumulated partials down to one row per (day, key),
+    published as the rollup's next snapshot version via the same
+    _publish_rewrite discipline as compact_sink. That buys the rollup
+    what the data sink already had: at-least-once replay idempotence
+    (a replayed batch dir's id is <= ``folded_through``, so the
+    composite view never counts it beside the fold that already
+    absorbed it) and append-while-compacting safety (the fold reads an
+    explicit committed-dir list resolved once; a batch landing after
+    that stays above the marker and remains visible). The previous
+    whole-root swap had neither — a replay after compaction doubled
+    that batch's (day, key) totals forever, and a concurrent append
+    between read and swap was rmtree'd with the old root. At 100 TB
+    this runs per closed day-partition, like compact_sink. A pass with
+    nothing new to fold is a no-op (no version burned per idle
+    maintenance cycle)."""
+    _recover_swap(rollup_path)  # heal a pre-snapshot-era crashed swap
+    _snap, v, _folded, newer = _view_parts(rollup_path)
+    if v is not None and not newer:
+        return
+    _publish_rewrite(
+        spark, rollup_path, lambda view: _rollup_fold(view, key_col)
     )
-    tmp = _hidden_sibling(rollup_path, "compacting")
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "compacted"))
-    _swap_dirs(tmp, rollup_path)
 
 
 def ingest_with_rollup(

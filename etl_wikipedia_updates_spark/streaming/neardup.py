@@ -246,11 +246,21 @@ def _require_payload_coverage(
         )
 
 
-def doc_band_rows(docs: DataFrame) -> DataFrame:
+def doc_tids(docs: DataFrame) -> DataFrame:
+    """The shingle -> term-hash chain every dedup derivation starts
+    from. Single definition so blocking (band rows) and verification
+    (shingle sketches) can never disagree on a doc's shingle ids."""
+    return T.doc_shingles(docs).withColumn("tid", T.term_hash_col())
+
+
+def doc_band_rows(docs: DataFrame, dtok: DataFrame | None = None) -> DataFrame:
     """(doc_id, lang, band, band_key) bucket membership for a document
     frame — the batch pipeline's exact shingle->tid->signature->band
-    chain, so streaming and batch dedup agree on every bucket."""
-    dtok = T.doc_shingles(docs).withColumn("tid", T.term_hash_col())
+    chain, so streaming and batch dedup agree on every bucket. Pass a
+    precomputed (persisted) ``doc_tids`` frame to share the dominant
+    shingle pass with other derivations of the same batch."""
+    if dtok is None:
+        dtok = doc_tids(docs)
     sig = D.minhash_signatures(
         dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
     )
@@ -287,14 +297,37 @@ EMB_BITS = 16
 EMB_DIM = 64  # the embeddings table's dimensionality
 
 
-def embedding_band_rows(emb: DataFrame) -> DataFrame:
+def embedding_band_rows(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """(doc_id, lang, band, band_key) bucket membership for an
     embeddings frame — doc_id carries vec_id and lang is a constant so
     the frame is shape-compatible with batch_neardup_drops and the
-    bucket store."""
+    bucket store.
+
+    The hyperplanes are fixed-dimension literals, and zip_with pads a
+    shorter side with NULLs: a vector whose length != ``dim`` (or a
+    NULL vector) would make every dot product NULL, every sign bit 0,
+    and every band_key collide — the whole batch silently dropped to
+    one survivor. So mismatched rows raise instead: a wrong ``dim`` is
+    a configuration error, not data to be deduplicated."""
+    emb = emb.withColumn(
+        "embedding",
+        F.when(F.size("embedding") == dim, F.col("embedding")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "embedding_band_rows: expected "
+                        f"{dim}-dim embedding, got length "
+                    ),
+                    F.size("embedding").cast("string"),
+                    F.lit(" (-1 = NULL) for vec_id="),
+                    F.col("vec_id").cast("string"),
+                )
+            )
+        ),
+    )
     bands = []
     for b in range(EMB_BANDS):
-        planes = S.lsh_hyperplanes(EMB_BITS, EMB_DIM, seed=11 + 97 * b)
+        planes = S.lsh_hyperplanes(EMB_BITS, dim, seed=11 + 97 * b)
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -409,14 +442,9 @@ def quality_neardup_ingest_batch(
     store. Mixing/splitting need corpus-global budgets, so they stay
     release-time; quality + dedup are the stages a crawl pipeline
     applies per batch."""
-    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+    from etl_wikipedia_updates_spark.plans.northstar import quality_keep
 
-    keeps = (
-        _rep_per_doc(batch_df)
-        .filter(F.col("verdict") == "keep")
-        .select("doc_id")
-    )
-    kept = batch_df.join(keeps, "doc_id", "left_semi")
+    kept = quality_keep(batch_df)
     _ingest_dedup_batch(
         kept, sink_path, batch_id, doc_band_rows, "doc_id",
         compact_every=compact_every,
@@ -449,12 +477,9 @@ def batch_quality_neardup_keep(docs: DataFrame) -> DataFrame:
     """Batch statement of the quality+dedup ingest: quality gate over
     the corpus, then the no-smaller-id-shares-a-bucket rule over the
     survivors."""
-    from etl_wikipedia_updates_spark.plans.northstar import _rep_per_doc
+    from etl_wikipedia_updates_spark.plans.northstar import quality_keep
 
-    keeps = (
-        _rep_per_doc(docs).filter(F.col("verdict") == "keep").select("doc_id")
-    )
-    return batch_neardup_keep(docs.join(keeps, "doc_id", "left_semi"))
+    return batch_neardup_keep(quality_keep(docs))
 
 
 def ingest_with_embedding_neardup(
@@ -532,13 +557,16 @@ VERIFY_THRESHOLD = 0.5  # == plans.northstar.JACCARD_THRESHOLD (q26/minhash)
 SHINGLE_SKETCH_K = 512  # bottom-k sketch width (per-doc store bound)
 
 
-def doc_shingle_tid_arrays(docs: DataFrame) -> DataFrame:
+def doc_shingle_tid_arrays(
+    docs: DataFrame, dtok: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, toks): each doc's bottom-SHINGLE_SKETCH_K sketch of
     sorted-distinct shingle ids — the exact arrays
     jaccard_verify_sketch consumes, via the same shingle->tid chain
     the signatures use (so verify and blocking can never see
-    different shingle sets)."""
-    dtok = T.doc_shingles(docs).withColumn("tid", T.term_hash_col())
+    different shingle sets). ``dtok`` as in doc_band_rows."""
+    if dtok is None:
+        dtok = doc_tids(docs)
     return dtok.groupBy("doc_id").agg(
         F.slice(
             F.array_sort(F.collect_set("tid")), 1, SHINGLE_SKETCH_K
@@ -577,22 +605,12 @@ def verified_ingest_batch(
     keys = ["lang", "band", "band_key"]
     # ONE shingle -> per-char term-hash pass per batch (the dominant
     # per-batch map cost): band rows AND the verify arrays both derive
-    # from the persisted dtok instead of re-running the chain each.
-    dtok = (
-        T.doc_shingles(batch_df).withColumn("tid", T.term_hash_col()).persist()
-    )
-    band = D.lsh_band_rows(
-        D.minhash_signatures(
-            dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
-        ),
-        MINHASH_BANDS,
-        MINHASH_ROWS,
-    ).persist()
-    toks = dtok.groupBy("doc_id").agg(
-        F.slice(
-            F.array_sort(F.collect_set("tid")), 1, SHINGLE_SKETCH_K
-        ).alias("toks")
-    ).persist()
+    # from the persisted dtok instead of re-running the chain each —
+    # through the SAME helpers the batch equivalence reference uses,
+    # so the two paths cannot drift.
+    dtok = doc_tids(batch_df).persist()
+    band = doc_band_rows(batch_df, dtok=dtok).persist()
+    toks = doc_shingle_tid_arrays(batch_df, dtok=dtok).persist()
     try:
         store_band = _store_view(
             spark, bucket_store_path(sink_path), batch_id

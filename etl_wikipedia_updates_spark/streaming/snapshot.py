@@ -65,8 +65,13 @@ class SnapshotTable:
     """Versioned parquet table with an atomic manifest pointer."""
 
     def __init__(self, root: str):
+        # No filesystem mutation here: read paths (read_sink,
+        # sink_row_count) construct this object too, and a pure read
+        # must not plant a _snapshot/ dir inside a sink it doesn't own
+        # (or fail outright on a read-only mount). The root is created
+        # lazily by the first publish; every read-side method already
+        # tolerates a missing root (current_version -> None).
         self.root = root
-        os.makedirs(root, exist_ok=True)
 
     # --- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -122,6 +127,7 @@ class SnapshotTable:
         writers in one directory. No existing dir is ever deleted
         here — a crash orphan cannot be told apart from an in-flight
         writer."""
+        os.makedirs(self.root, exist_ok=True)  # first write creates the store
         version = self.current_version() or 0
         while True:
             version += 1

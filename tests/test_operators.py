@@ -247,6 +247,52 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert os.path.isdir(ckdir) and any(os.scandir(ckdir))
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """A component whose diameter exceeds max_iters must raise, not
+    return wrong-but-plausible labels: min-label propagation moves one
+    hop per round, so a 6-chain under max_iters=2 cannot settle — and
+    unsettled labels would split one real cluster into several,
+    silently keeping near-duplicates downstream."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_id long, doc_id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iters=2, driver_max_edges=None)
+    # the same graph converges with enough rounds
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(
+            chain, max_iters=10, driver_max_edges=None
+        ).collect()
+    }
+    assert set(cc.values()) == {1}
+
+
+def test_multimodal_null_payload_yields_null_features(spark):
+    """NULL payloads (encode(NULL) upstream) must map to NULL features
+    in byte_features/frame_sample — SQL-null semantics, matching
+    decode_image's quarantine contract — never a len(None) TypeError
+    that kills the task."""
+    docs = spark.createDataFrame(
+        [(1, "ab c"), (2, None)], "doc_id long, text string"
+    )
+    wp = M.with_binary_payload(docs)
+    bf = {r.doc_id: r for r in M.byte_features(wp).collect()}
+    assert bf[1].byte_len == 4 and bf[1].n_space == 1
+    assert bf[2].byte_len is None and bf[2].first_byte is None
+    assert bf[2].last_byte is None and bf[2].n_space is None
+    fs = {
+        r.doc_id: r
+        for r in M.frame_sample(wp, frame_len=2, stride=2).collect()
+    }
+    assert fs[1].n_frames == 2
+    assert fs[2].n_frames is None and fs[2].frames is None
+    dec = {r.doc_id: r for r in M.decode_image(wp).collect()}
+    assert dec[2].error == "null payload"
+
+
 def test_operators_on_empty_input(spark):
     """Empty-input behavior (SURVEY §5.2): no operator should throw on
     an empty frame, and outputs must be empty with the right schema."""

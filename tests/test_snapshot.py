@@ -272,3 +272,31 @@ def test_verify_release_detects_tampered_card(spark, sf_smoke, tmp_path):
         == [meta["audit"][0]["source"], meta["audit"][0]["split"]]
         for m in res2["mismatches"]
     )
+
+
+def test_read_paths_do_not_mutate_the_sink(spark, tmp_path):
+    """Constructing SnapshotTable / calling the read-side API must not
+    write: a pure read against a foreign parquet dir must not plant a
+    _snapshot/ subdir in data it doesn't own (and would fail outright
+    on a read-only mount). The store root is created by the first
+    publish only."""
+    import os
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        read_sink,
+        sink_row_count,
+    )
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    foreign = str(tmp_path / "foreign")
+    spark.range(10).write.parquet(foreign)
+    assert read_sink(spark, foreign).count() == 10
+    assert sink_row_count(foreign) == 10
+    assert not os.path.exists(os.path.join(foreign, "_snapshot"))
+
+    st = SnapshotTable(str(tmp_path / "store"))
+    assert st.current_version() is None
+    assert st.vacuum() == []
+    assert not os.path.exists(st.root)  # still nothing written
+    st.publish(spark.range(3))
+    assert st.read(spark).count() == 3

@@ -1440,3 +1440,82 @@ def test_curation_checkpoint_resume_equals_batch(spark, tmp_path):
     assert _checksum_docs(read_sink(spark, sink)) == _checksum_docs(
         batch_full_curation_keep(docs, bench)
     )
+
+
+def test_rollup_replay_after_compaction_idempotent(spark, events, tmp_path):
+    """At-least-once replay safety for the rollup: a batch whose
+    partials were already folded by compact_rollup re-appends its dir
+    (foreachBatch replay after a crash before the checkpoint commit);
+    the dir's id sits at or below folded_through, so rollup_view must
+    NOT count it beside the fold that already absorbed it. Also pins
+    the committed-only read: a partial dir stripped of _SUCCESS (caught
+    mid-overwrite) is invisible to the view."""
+    import os as _os
+
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        compact_rollup,
+        rollup_partials,
+        rollup_view,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    b0 = events.limit(40)
+    b1 = events.limit(100).exceptAll(b0)
+
+    def normalize(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n"], round(r["sum_value"], 4))
+            for r in df.collect()
+        )
+
+    rollup_partials(b0, rollup, 0)
+    rollup_partials(b1, rollup, 1)
+    expected = normalize(rollup_view(spark, rollup))
+    compact_rollup(spark, rollup)
+    assert normalize(rollup_view(spark, rollup)) == expected
+    # replay of batch 1 AFTER its partials were folded: id <= marker,
+    # so the view is unchanged (the old whole-root swap doubled it)
+    rollup_partials(b1, rollup, 1)
+    assert normalize(rollup_view(spark, rollup)) == expected
+    # a second maintenance pass with nothing new to fold: no-op, no
+    # extra version burned, view still stable
+    from etl_wikipedia_updates_spark.streaming.ingest import sink_snapshot
+
+    v_before = sink_snapshot(rollup).current_version()
+    compact_rollup(spark, rollup)
+    assert sink_snapshot(rollup).current_version() == v_before
+    assert normalize(rollup_view(spark, rollup)) == expected
+    # a genuinely new batch stays visible above the fold marker...
+    b2 = events.limit(150).exceptAll(events.limit(100))
+    rollup_partials(b2, rollup, 2)
+    full = normalize(rollup_view(spark, rollup))
+    assert full != expected
+    # ...but not while caught mid-overwrite (no _SUCCESS marker)
+    marker = _os.path.join(rollup, "batch_0000000002", "_SUCCESS")
+    _os.rename(marker, marker + ".held")
+    assert normalize(rollup_view(spark, rollup)) == expected
+    _os.rename(marker + ".held", marker)
+    assert normalize(rollup_view(spark, rollup)) == full
+
+
+def test_embedding_band_rows_rejects_wrong_dim(spark):
+    """A vector whose length differs from the configured hyperplane
+    dim would get NULL dot products, sign bit 0 on every plane, and
+    band_key 0 in every band — the whole batch silently collapsing to
+    one survivor. The guard raises instead."""
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        embedding_band_rows,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    assert embedding_band_rows(ok).count() == 4  # one row per band
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    # collect (not count): a bare count prunes band_key and with it the
+    # guard — real consumers always evaluate band_key (joins/groupBy)
+    with pytest.raises(Exception, match="expected 64-dim embedding"):
+        embedding_band_rows(bad).collect()
