@@ -293,7 +293,15 @@ def cmd_ingest(args) -> int:
         max_rows=args.max_rows,
         ts_col="ts",
     )
-    q.awaitTermination(args.timeout)
+    finished = q.awaitTermination(args.timeout)
+    if not finished:
+        # Same contract as cmd_dedup_ingest: a replay that outlives
+        # --timeout must stop the query and report the truncation —
+        # otherwise sink_metrics races the still-running stream and the
+        # command exits 0 over a partial sink.
+        q.stop()
+        print(f"TIMEOUT after {args.timeout}s; sink is partial", file=sys.stderr)
+        return 1
     print(sink_metrics(spark, args.sink, "ts"))
     return 0
 
@@ -319,7 +327,12 @@ def cmd_sse(args) -> int:
         available_now=False,
     )
     try:
-        q.awaitTermination(args.timeout)
+        # --timeout 0 (the default) = run until Ctrl-C: awaitTermination
+        # rejects non-positive timeouts, so 0 maps to the no-timeout call.
+        if args.timeout:
+            q.awaitTermination(args.timeout)
+        else:
+            q.awaitTermination()
     except KeyboardInterrupt:  # R16: graceful shutdown
         pass
     finally:

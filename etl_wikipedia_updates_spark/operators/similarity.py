@@ -88,7 +88,12 @@ def cosine_topk(
 
 
 def _cosine_topk_probed(
-    emb: DataFrame, q: DataFrame, k: int, cell_col: str, dedup: bool
+    emb: DataFrame,
+    q: DataFrame,
+    k: int,
+    cell_col: str,
+    dedup: bool,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Shared probe-join + ranked-window core of the IVF variants.
 
@@ -97,11 +102,15 @@ def _cosine_topk_probed(
     ``dedup``: True when a query probes multiple cells — a vector
     reachable via two cells must count once; the single-probe path
     skips it (pairs are unique by construction, the distinct would be
-    a pure extra shuffle)."""
+    a pure extra shuffle).
+    ``exclude_self``: drop the candidate whose vec_id equals the
+    query's id — right for self-queries drawn from the corpus, WRONG
+    for an external query set with its own id numbering (a coincident
+    id would silently drop a real neighbor); such callers pass False."""
     base = _with_double_and_norm(emb, "e", "nrm")
-    joined = base.join(q, base[cell_col] == q["q_cell"]).filter(
-        F.col("vec_id") != F.col("q_vec_id")
-    )
+    joined = base.join(q, base[cell_col] == q["q_cell"])
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("q_vec_id"))
     sim = _pair_cosine(F.col("qe"), F.col("e"), F.col("q_nrm"), F.col("nrm"))
     sims = joined.select("q_vec_id", "vec_id", sim.alias("sim"))
     if dedup:
@@ -120,7 +129,11 @@ def _cosine_topk_probed(
 
 
 def cosine_topk_ivf(
-    emb: DataFrame, queries: DataFrame, k: int, cell_col: str = "label"
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cell_col: str = "label",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF top-k: probe only the query's cell (equi-join on cell id).
 
@@ -137,7 +150,9 @@ def cosine_topk_ivf(
         .withColumn("qe", _as_double(F.col("q_embedding")))
         .withColumn("q_nrm", l2_norm(F.col("qe")))
     )
-    return _cosine_topk_probed(emb, q, k, cell_col, dedup=False)
+    return _cosine_topk_probed(
+        emb, q, k, cell_col, dedup=False, exclude_self=exclude_self
+    )
 
 
 LSH_LCG_A = 1_103_515_245
@@ -205,6 +220,7 @@ def cosine_topk_multiprobe(
     k: int,
     cell_col: str = "label",
     probe_cells_col: str = "probe_cells",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF top-k with n_probes > 1: each query carries an ARRAY of cell
     ids to probe (typically its nearest n centroid cells); the array
@@ -222,7 +238,9 @@ def cosine_topk_multiprobe(
         .withColumn("qe", _as_double(F.col("q_embedding")))
         .withColumn("q_nrm", l2_norm(F.col("qe")))
     )
-    return _cosine_topk_probed(emb, q, k, cell_col, dedup=True)
+    return _cosine_topk_probed(
+        emb, q, k, cell_col, dedup=True, exclude_self=exclude_self
+    )
 
 
 def cosine_near_pairs(

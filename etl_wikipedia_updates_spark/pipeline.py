@@ -85,24 +85,27 @@ def transform(parsed: DataFrame) -> DataFrame:
     fatal.
     """
     e = F.col("e")
+    # R9: ISO8601 'T'/'Z' normalization exactly as the reference
+    # (replace then parse), pipeline.py:120.
+    ts = F.to_timestamp(
+        F.regexp_replace(
+            F.regexp_replace(e.getField("meta").getField("dt"), "T", " "),
+            "Z",
+            "",
+        )
+    )
     flat = (
         parsed.filter(e.getField("type").isin(*CHANGE_TYPES))
-        .filter(
-            e.getField("meta").isNotNull()
-            & e.getField("meta").getField("dt").isNotNull()
-            & e.getField("bot").isNotNull()
-        )
+        # Validity = the PARSED timestamp is non-null: this drops rows
+        # whose meta.dt is missing AND rows whose dt is present but
+        # unparseable — the reference's fromisoformat raises on both;
+        # a dt-presence check alone would let an unparseable dt through
+        # as a NULL event_timestamp row (which then collapses all such
+        # rows from one user+title into a single dedup group).
+        .filter(ts.isNotNull() & e.getField("bot").isNotNull())
         .select(
             "raw_json",
-            # R9: ISO8601 'T'/'Z' normalization exactly as the reference
-            # (replace then parse), pipeline.py:120.
-            F.to_timestamp(
-                F.regexp_replace(
-                    F.regexp_replace(e.getField("meta").getField("dt"), "T", " "),
-                    "Z",
-                    "",
-                )
-            ).alias("event_timestamp"),
+            ts.alias("event_timestamp"),
             e.getField("title").alias("title"),
             e.getField("title_url").alias("title_url"),
             e.getField("bot").alias("bot"),

@@ -54,6 +54,10 @@ FIXTURE_LINES: list[str] = [
     ' "meta": {"dt": "2026-01-08T22:36:40Z"}}',
     # validity filter: missing meta.dt (reference would crash, pipeline.py:120)
     '{"type": "edit", "title": "Theta", "user": "hank", "bot": false}',
+    # validity filter: PRESENT but unparseable meta.dt (reference's
+    # fromisoformat raises; here the parsed-timestamp filter drops it)
+    '{"type": "edit", "title": "Kappa", "user": "kara", "bot": false,'
+    ' "meta": {"dt": "not-a-date"}}',
     # unknown extra fields are ignored
     '{"type": "edit", "title": "Iota", "title_url": "https://wiki.example/Iota",'
     ' "user": "iris", "bot": false, "meta": {"dt": "2026-01-08T22:36:50Z"},'
@@ -105,13 +109,17 @@ flat AS (
 ),
 typed AS (
   SELECT raw_json,
-         strptime(replace(replace(dt, 'T', ' '), 'Z', ''), '%Y-%m-%d %H:%M:%S') AS event_timestamp,
+         try_strptime(replace(replace(dt, 'T', ' '), 'Z', ''), '%Y-%m-%d %H:%M:%S') AS event_timestamp,
          title, title_url, bot, username,
          COALESCE(lo, 0) AS length_bytes_old,
          COALESCE(ln, 0) AS length_bytes_new,
          COALESCE(ln, 0) - COALESCE(lo, 0) AS length_diff_bytes
   FROM flat
-  WHERE type IN ('edit', 'new') AND dt IS NOT NULL AND bot IS NOT NULL
+  -- validity = the PARSED timestamp: drops missing AND unparseable dt,
+  -- matching the Spark transform (pipeline.py) and the reference's
+  -- crash-on-bad-dt re-expressed as a filter
+  WHERE type IN ('edit', 'new') AND bot IS NOT NULL
+    AND try_strptime(replace(replace(dt, 'T', ' '), 'Z', ''), '%Y-%m-%d %H:%M:%S') IS NOT NULL
 ),
 deduped AS (
   SELECT * FROM typed

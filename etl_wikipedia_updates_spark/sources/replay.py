@@ -22,23 +22,36 @@ def write_replay_splits(
 ) -> list[str]:
     """Materialize ``df`` as n_splits single-file parquet chunks in
     ``order_col`` order (chunk i holds rows with ntile i) so replay
-    order is event-time order, like a well-behaved feed."""
+    order is event-time order, like a well-behaved feed.
+
+    The window orders by ``order_col`` THEN every remaining column:
+    callers pass event-time columns with ties (same-second events), and
+    a non-total order would let a tied row's tile assignment differ
+    between jobs — duplicated into two chunks or dropped from all. The
+    full-row tiebreak makes the order total for the deduplicated frames
+    this replays (all columns atomic or array — no map columns). The
+    tiled frame is persisted once so the n_splits chunk writes reuse
+    ONE sort instead of re-running the full window sort per chunk."""
     from pyspark.sql import Window as W
 
+    tiebreak = [c for c in df.columns if c != order_col]
     tiled = df.withColumn(
-        "__tile", F.ntile(n_splits).over(W.orderBy(order_col))
-    )
-    written = []
-    for i in range(1, n_splits + 1):
-        chunk_dir = os.path.join(path, f"chunk_{i:04d}")
-        (
-            tiled.filter(F.col("__tile") == i)
-            .drop("__tile")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(chunk_dir)
-        )
-        written.append(chunk_dir)
+        "__tile", F.ntile(n_splits).over(W.orderBy(order_col, *tiebreak))
+    ).persist()
+    try:
+        written = []
+        for i in range(1, n_splits + 1):
+            chunk_dir = os.path.join(path, f"chunk_{i:04d}")
+            (
+                tiled.filter(F.col("__tile") == i)
+                .drop("__tile")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(chunk_dir)
+            )
+            written.append(chunk_dir)
+    finally:
+        tiled.unpersist()
     return written
 
 

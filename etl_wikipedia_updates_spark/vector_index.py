@@ -164,12 +164,16 @@ def append_to_ivf_index(
             "vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv"
         )
     existing = table.read(spark, base)
-    # resolved BEFORE publish+vacuum: the footer-count fallback (a base
-    # version published before n_rows metadata existed) must read the
-    # base dir while it is still guaranteed on disk
-    base_rows = int(
-        meta.get("n_rows", dir_row_count(table.version_path(base)))
-    )
+    if "n_rows" in meta:
+        base_rows = int(meta["n_rows"])
+    else:
+        # Footer-count fallback (a base version published before n_rows
+        # metadata existed), resolved BEFORE publish+vacuum so the base
+        # dir is still guaranteed on disk. Guarded by the key check: as
+        # a .get() default it would run eagerly on EVERY append — a
+        # full os.walk + per-file footer read of the whole base version,
+        # discarded, since publish always records n_rows.
+        base_rows = int(dir_row_count(table.version_path(base)))
     merged = existing.unionByName(assigned)
     new_version = table.publish(
         merged,
@@ -270,6 +274,7 @@ def query_ivf_index(
     version: int | None = None,
     overfetch: int = 4,
     n_probes: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Probe a published index. queries: (q_vec_id, q_embedding).
 
@@ -282,7 +287,14 @@ def query_ivf_index(
     without duplicates). On a quantized index the cell scan ranks by
     int8-dequantized cosine first (the float column stays unread —
     column pruning), then rescores the topk*overfetch candidates
-    against the exact floats."""
+    against the exact floats.
+
+    ``exclude_self`` (default True) drops the corpus vector whose
+    vec_id equals the query's q_vec_id — the self-match suppression a
+    corpus-drawn query set wants. An EXTERNAL query set with its own
+    id numbering must pass False: a coincidental id equal to a corpus
+    vec_id would otherwise silently drop that vector — possibly the
+    true nearest neighbor — from the results."""
     table = SnapshotTable(index_root)
     v = table.current_version() if version is None else version
     if v is None:
@@ -316,7 +328,9 @@ def query_ivf_index(
     qprobe = spark.createDataFrame(qrows, schema)
     data = table.read(spark, v).filter(F.col("cell").isin(cells))
     if not meta.get("quantized"):
-        out = S.cosine_topk_multiprobe(data, qprobe, k=topk, cell_col="cell")
+        out = S.cosine_topk_multiprobe(
+            data, qprobe, k=topk, cell_col="cell", exclude_self=exclude_self
+        )
         return out.orderBy("q_vec_id", "rank")
     # quantized: approximate scan over dq (reads qv/absmax, not the
     # float column), then exact rescore of the overfetched candidates
@@ -324,7 +338,11 @@ def query_ivf_index(
         "vec_id", "cell", f"{_SQ8_DEQUANT} AS embedding"
     )
     cand = S.cosine_topk_multiprobe(
-        approx_side, qprobe, k=topk * overfetch, cell_col="cell"
+        approx_side,
+        qprobe,
+        k=topk * overfetch,
+        cell_col="cell",
+        exclude_self=exclude_self,
     ).select("q_vec_id", "vec_id")
     exact = cand.join(
         data.select("vec_id", "embedding"), "vec_id"

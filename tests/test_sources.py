@@ -20,10 +20,27 @@ def test_sse_source_registers(spark):
 
 def test_sse_reader_offsets_roundtrip():
     r = SSEStreamReader({"since": "2026-01-08T22:35:51Z", "url": "http://unused"})
-    assert r.initialOffset() == {"since": "2026-01-08T22:35:51Z"}
+    assert r.initialOffset() == {"since": "2026-01-08T22:35:51Z", "seq": 0}
+    # a seq-less offset (pre-counter checkpoint) commits cleanly
     r.commit({"since": "2026-01-09T00:00:00Z"})
-    assert r.initialOffset() == {"since": "2026-01-09T00:00:00Z"}
+    assert r.initialOffset() == {"since": "2026-01-09T00:00:00Z", "seq": 0}
     assert "value" in SSE_SCHEMA_DDL and "event" in SSE_SCHEMA_DDL
+
+
+def test_sse_resume_url_building():
+    from etl_wikipedia_updates_spark.sources.sse import _resume_url
+
+    assert _resume_url("http://h/stream", None) == "http://h/stream"
+    assert (
+        _resume_url("http://h/stream", "2026-01-08T22:35:51Z")
+        == "http://h/stream?since=2026-01-08T22:35:51Z"
+    )
+    # a URL that already carries a query string must use '&', and the
+    # value must be escaped (a '+' would otherwise decode as a space)
+    assert (
+        _resume_url("http://h/stream?foo=1", "2026-01-08T22:35:51+00:00")
+        == "http://h/stream?foo=1&since=2026-01-08T22:35:51%2B00:00"
+    )
 
 
 def test_sse_end_to_end_loopback(spark, tmp_path):
@@ -175,7 +192,7 @@ def test_sse_reconnects_with_since_after_eof():
             }
         )
         off = r.latestOffset()  # drains 3, hits EOF -> disconnects
-        assert off == {"since": "2026-01-08T02:00:00Z"}
+        assert off == {"since": "2026-01-08T02:00:00Z", "seq": 3}
         r.commit(off)
         r.latestOffset()  # reconnects with the committed offset
         assert r.connect_count == 2
@@ -226,7 +243,7 @@ def test_sse_quiet_stream_times_out_instead_of_blocking():
         t0 = time.monotonic()
         off = r.latestOffset()  # would hang forever without the timeout
         assert time.monotonic() - t0 < 10
-        assert off == {"since": "2026-01-08T01:00:00Z"}
+        assert off == {"since": "2026-01-08T01:00:00Z", "seq": 2}
         rows = list(r.read(r.partitions(r.initialOffset(), off)[0]))
         assert len(rows) == 2  # the buffered events still shipped
         r.commit(off)
@@ -236,6 +253,103 @@ def test_sse_quiet_stream_times_out_instead_of_blocking():
         r.stop()
     finally:
         release.set()
+        srv.shutdown()
+
+
+def test_sse_same_dt_burst_straddling_triggers_not_dropped():
+    """meta.dt has 1-second granularity: a burst of events sharing one
+    dt can straddle a trigger boundary. The delivered-event counter in
+    the offset makes every drain advance the offset, so the second half
+    of the burst still plans a batch — with a timestamp-only offset it
+    returned an unchanged offset and the buffered events were dropped."""
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - stdlib naming
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            try:
+                for i in range(4):  # FOUR events, ONE shared dt
+                    self.wfile.write(
+                        f'event: message\ndata: {{"id": {i}, "meta": {{"dt": "2026-01-08T00:00:00Z"}}}}\n\n'.encode()
+                    )
+                    self.wfile.flush()
+            except OSError:
+                pass
+
+        def log_message(self, *args):
+            pass
+
+    srv = _sse_server(Handler)
+    try:
+        r = SSEStreamReader(
+            {
+                "url": f"http://127.0.0.1:{srv.server_address[1]}/stream",
+                "maxEventsPerBatch": "2",
+            }
+        )
+        off1 = r.latestOffset()  # first half of the burst
+        assert off1["seq"] == 2
+        rows1 = list(r.read(r.partitions(r.initialOffset(), off1)[0]))
+        r.commit(off1)
+        off2 = r.latestOffset()  # second half: same dt, seq advances
+        assert off2 != off1 and off2["seq"] == 4
+        rows2 = list(r.read(r.partitions(off1, off2)[0]))
+        assert len(rows1) + len(rows2) == 4
+        r.stop()
+    finally:
+        srv.shutdown()
+
+
+def test_sse_restart_refetches_pending_batch_from_endpoint():
+    """A batch planned before a crash (offsets in the WAL, rows gone
+    with the process) must be re-fetched via ?since= by the fresh
+    reader — serving the empty in-memory buffer would commit the batch
+    with zero rows and skip its events forever. And a replay that ends
+    before reaching the range's end dt must raise (retry), not commit
+    a hole."""
+    import http.server
+
+    import pytest
+
+    paths = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - stdlib naming
+            paths.append(self.path)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            for i in range(5):  # t0..t4, then EOF
+                self.wfile.write(
+                    f'event: message\ndata: {{"id": {i}, "meta": {{"dt": "t{i}"}}}}\n\n'.encode()
+                )
+
+        def log_message(self, *args):
+            pass
+
+    srv = _sse_server(Handler)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/stream"
+        planner = SSEStreamReader({"url": url, "maxEventsPerBatch": "3"})
+        start = planner.initialOffset()
+        end = planner.latestOffset()  # plans t0..t2
+        assert end == {"since": "t2", "seq": 3}
+        planner.stop()
+
+        fresh = SSEStreamReader({"url": url})  # post-restart reader
+        rows = list(fresh.read(fresh.partitions(start, end)[0]))
+        # re-fetched exactly the range: every event up to end's dt
+        assert [r_[0] for r_ in rows] == [
+            f'{{"id": {i}, "meta": {{"dt": "t{i}"}}}}' for i in range(3)
+        ]
+        assert paths[-1] == "/stream"  # empty start offset: no ?since=
+        # an end dt the endpoint can no longer reach -> raise, not a hole
+        with pytest.raises(RuntimeError, match="ended before reaching"):
+            fresh.partitions(start, {"since": "t9", "seq": 42})
+        fresh.stop()
+    finally:
         srv.shutdown()
 
 

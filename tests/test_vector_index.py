@@ -324,3 +324,25 @@ def test_cell_histogram_and_selectivity_track_append(
     assert 0.0 < sel["expected_probe_fraction"] <= 1.0
     assert sel["imbalance"] >= 1.0  # max share can't beat balanced
     assert sel["cells"] == {str(c): n for c, n in sorted(h2.items())}
+
+
+def test_query_external_ids_with_exclude_self_false(spark, sf_smoke, tmp_path):
+    """An external query set numbers its ids independently of the
+    corpus: with exclude_self=False a query whose q_vec_id happens to
+    collide with a corpus vec_id still sees that vector as a candidate
+    — the self-exclusion (right for corpus-drawn queries) must not
+    silently drop a real neighbor for external callers."""
+    root = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_smoke, root)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    # query WITH vector 0's embedding AND vec_id 0 — the collision case
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    excl = query_ivf_index(spark, root, q, topk=3).collect()
+    incl = query_ivf_index(spark, root, q, topk=3, exclude_self=False).collect()
+    assert all(r.vec_id != 0 for r in excl)  # corpus-query behavior
+    # external behavior: the colliding vector ranks first (cos=1 with itself)
+    assert incl[0].vec_id == 0 and incl[0].rank == 1
+    assert abs(incl[0].cos_sim - 1.0) < 1e-6
