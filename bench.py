@@ -70,11 +70,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     builders = REGISTRY.builders()
     if args.only:
-        only = [q.strip() for q in args.only.split(",") if q.strip()]
-        unknown = set(only) - set(builders)
+        only = {q.strip() for q in args.only.split(",") if q.strip()}
+        unknown = only - set(builders)
         if unknown:
             raise SystemExit(f"unknown queries: {sorted(unknown)}")
-        builders = {n: b for n, b in builders.items() if n in set(only)}
+        builders = {n: b for n, b in builders.items() if n in only}
 
     def run(build) -> None:
         # noop sink: executes the full plan on the executors without

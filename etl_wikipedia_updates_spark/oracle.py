@@ -39,6 +39,14 @@ def _canon_cell(v: object) -> object:
         if v == 0.0:
             return 0.0  # collapse -0.0
         return v
+    # Array cells (Spark array columns arrive as numpy ndarrays, DuckDB
+    # lists as ndarrays/lists): canonicalize elementwise. Must precede
+    # the .item() scalar branch — ndarray HAS .item(), which raises on
+    # size != 1, so an array column would crash the harness instead of
+    # diffing; and NaN/-0.0 INSIDE arrays need the same collapsing as
+    # scalars.
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
     # numpy / pandas scalar types → python
     if hasattr(v, "item"):
         return _canon_cell(v.item())

@@ -27,9 +27,12 @@ stale:
   members that were CHANGED in r8 — sample_hash, stratified_sample,
   token_stats — stay inside instead).
 
-All 63 entries are benched by bench.py and oracle-tested every run in
-tests/test_queries_oracle.py regardless of position; the rotation
-affects only which 50 the external gate re-certifies this round.
+All 63 entries are benched by bench.py regardless of position, and the
+61 oracle-backed entries are oracle-tested every run in
+tests/test_queries_oracle.py (q12_approx and percentiles_approx are
+approximate by design, declare no oracle, and get only the driver's
+rows-only check); the rotation affects only which 50 the external gate
+re-certifies this round.
 """
 
 from __future__ import annotations

@@ -125,3 +125,19 @@ def test_adversarial_fixture_parity(spark, tmp_path):
     }
     assert dd["srcDUP"]["docs_kept"] == 0
     assert dd["srcDUP"]["docs_dropped"] == dd["srcDUP"]["docs_in"] == 5
+
+
+def test_canon_cell_handles_array_cells():
+    """Array columns reach the harness as numpy ndarrays (Spark
+    toPandas) or lists (DuckDB): they must canonicalize elementwise —
+    ndarray HAS .item(), which raises on size != 1, so without the
+    array branch the differential harness crashed instead of diffing,
+    and NaN/-0.0 inside arrays were never collapsed."""
+    import numpy as np
+
+    from etl_wikipedia_updates_spark.oracle import _canon_cell
+
+    assert _canon_cell(np.array([1.0, float("nan"), -0.0])) == (1.0, "NaN", 0.0)
+    assert _canon_cell([np.float64(2.0), None]) == (2.0, None)
+    assert _canon_cell(np.int64(3)) == 3  # scalars still unwrap
+    assert _canon_cell(np.array([5])) == (5,)  # size-1 array stays an array

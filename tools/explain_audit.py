@@ -17,8 +17,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import sys
-
 from etl_wikipedia_updates_spark.registry import REGISTRY
 from etl_wikipedia_updates_spark.session import get_spark
 
@@ -70,6 +68,10 @@ def main() -> None:
             print(f"{'PASS' if ok else 'WARN'} {name}: forbids {frag!r}")
     print(f"{'ALL OK' if failures == 0 else f'{failures} WARNINGS'}")
     spark.stop()
+    if failures:
+        # Non-zero exit so automation gating on the audit actually
+        # fails on a plan regression — the whole point of the tool.
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -17,7 +17,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
-import sys
 import tempfile
 import time
 
@@ -34,6 +33,19 @@ from etl_wikipedia_updates_spark.tables import load_table
 
 WIKIMEDIA_EV_S = 40  # upper end of the publicly observed SSE rate
 N_SPLITS = 8  # micro-batches; each batch pays trigger+commit overhead
+TIMEOUT_S = 600
+
+
+def _await_or_die(q, what: str) -> None:
+    """A timed-out replay must FAIL the bench, not report a partial
+    sink as a result (and the still-running query would then race the
+    TemporaryDirectory cleanup)."""
+    if not q.awaitTermination(TIMEOUT_S):
+        q.stop()
+        raise SystemExit(
+            f"{what}: replay did not finish within {TIMEOUT_S}s; "
+            "no benchmark result (partial sink discarded)"
+        )
 
 
 def main() -> None:
@@ -47,7 +59,7 @@ def main() -> None:
         stream = read_replay_stream(spark, replay, events.schema)
         t0 = time.perf_counter()
         q = ingest_with_retention(stream, f"{tmp}/sink", f"{tmp}/ckpt")
-        q.awaitTermination(600)
+        _await_or_die(q, "stream_ingest")
         elapsed = time.perf_counter() - t0
         sunk = read_sink(spark, f"{tmp}/sink").count()
     ev_s = sunk / elapsed
@@ -83,7 +95,7 @@ def main() -> None:
         stream = read_replay_stream(spark, replay, docs.schema)
         t0 = time.perf_counter()
         q = ingest_with_neardup(stream, f"{tmp}/sink", f"{tmp}/ckpt")
-        q.awaitTermination(600)
+        _await_or_die(q, "neardup_ingest")
         elapsed = time.perf_counter() - t0
         kept = read_sink(spark, f"{tmp}/sink").count()
     print(
