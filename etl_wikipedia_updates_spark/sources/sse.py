@@ -139,7 +139,17 @@ class SSEStreamReader(DataSourceStreamReader):
     endpoint via ``?since=start`` and ships every event up to end's dt
     — the previous behavior served the (empty) in-memory buffer, so a
     restart silently committed the pending batch with zero rows and
-    every event in it was skipped forever."""
+    every event in it was skipped forever.
+
+    Known protocol limit (inherited from ``?since=`` timestamp resume,
+    same as the reference): a reconnect re-serves a same-dt burst from
+    its start, so traversing a burst of B events at batch cap C needs
+    the connection to survive ceil(B/C) triggers — crash-looping
+    faster than that re-delivers the same prefix forever. Skipping by
+    the offset's counter instead would assume a stable intra-second
+    server replay order and trade that stall for silent LOSS when the
+    order varies; duplicates are the chosen failure mode
+    (at-least-once), property-tested in tests/test_sources.py."""
 
     def __init__(self, options: dict):
         self._url = options.get(

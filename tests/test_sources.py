@@ -361,3 +361,119 @@ def test_replay_splits_cover_input(spark, sf_smoke, tmp_path):
     assert total == events.count()
     stream = read_replay_stream(spark, str(tmp_path), events.schema)
     assert stream.isStreaming
+
+def test_sse_at_least_once_under_random_eofs_ties_and_restarts():
+    """Property: across random connection quotas (early EOFs), random
+    same-second dt ties, random batch caps, and a bounded number of
+    crash-restarts between planning and commit, every event the
+    endpoint serves is eventually delivered to some committed batch —
+    duplicates allowed (at-least-once; downstream dedup absorbs them),
+    loss never. Crashes are BOUNDED because timestamp-only ?since=
+    resume re-serves a same-dt burst from its start on every reconnect:
+    crash-looping faster than the reader can traverse the burst stalls
+    progress by protocol (the reference's resume has the identical
+    property; skipping by count instead would risk loss if the server's
+    intra-second replay order varies — dupes are the chosen trade)."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_wikipedia_updates_spark.sources import sse as sse_mod
+
+    class FakeEndpoint:
+        """since-aware replay server: connection k serves up to
+        serves[k] events starting at the first event with dt >= since
+        (inclusive overlap, like the reference endpoint), then EOF."""
+
+        def __init__(self, events, serves):
+            self.events = events
+            self.serves = serves
+            self.conn = 0
+
+        def iter_lines(self, url, ua, since, timeout=None):
+            quota = self.serves[min(self.conn, len(self.serves) - 1)]
+            self.conn += 1
+            start = 0
+            if since is not None:
+                start = next(
+                    (
+                        i
+                        for i, (d, _) in enumerate(self.events)
+                        if _json.loads(d)["meta"]["dt"] >= since
+                    ),
+                    len(self.events),
+                )
+            for d, e in self.events[start : start + quota]:
+                yield {"data": d, "event": e}
+
+    @st.composite
+    def scenario(draw):
+        n = draw(st.integers(min_value=1, max_value=25))
+        pool = [f"t{j:02d}" for j in range(draw(st.integers(2, 6)))]
+        dts = sorted(draw(st.lists(st.sampled_from(pool), min_size=n, max_size=n)))
+        events = [
+            (f'{{"id": {i}, "meta": {{"dt": "{dts[i]}"}}}}', "message")
+            for i in range(n)
+        ]
+        serves = draw(st.lists(st.integers(0, n), min_size=1, max_size=8))
+        # the final (repeating) connection must be able to make progress
+        # past any tie group, else a quota-0-forever server stalls ANY
+        # timestamp-resume consumer (the reference included)
+        serves.append(2 * n + 5)
+        batch_cap = draw(st.integers(1, 5))
+        # at most 5 crashes total, then a stable run — crashes are rare
+        # in reality and unbounded crash cadence stalls ANY
+        # timestamp-resume consumer on a same-second burst (see above)
+        crashes = draw(st.lists(st.booleans(), min_size=5, max_size=5))
+        return events, serves, batch_cap, crashes
+
+    @given(sc=scenario())
+    @settings(max_examples=25, deadline=None)
+    def prop(sc):
+        events, serves, batch_cap, crashes = sc
+        endpoint = FakeEndpoint(events, serves)
+        orig = sse_mod._iter_sse_lines
+        sse_mod._iter_sse_lines = endpoint.iter_lines
+        try:
+            opts = {"url": "http://fake", "maxEventsPerBatch": str(batch_cap)}
+            reader = sse_mod.SSEStreamReader(opts)
+            cur = reader.initialOffset()
+            delivered: list[int] = []
+            want = {i for i in range(len(events))}
+            batches = 0
+            for _trig in range(400):
+                end = reader.latestOffset()
+                if end == cur:
+                    if {_json.loads(d)["id"] for d in delivered} >= want:
+                        break
+                    continue
+                batches += 1
+                if batches <= len(crashes) and crashes[batches - 1]:
+                    # crash between planning and checkpoint commit: a
+                    # FRESH reader (original options) replays the WAL
+                    # range; recovery may raise on a too-short replay
+                    # connection — the engine retries the batch
+                    reader.stop()
+                    reader = sse_mod.SSEStreamReader(opts)
+                    rows = None
+                    for _retry in range(10):
+                        try:
+                            rows = list(
+                                reader.read(reader.partitions(cur, end)[0])
+                            )
+                            break
+                        except RuntimeError:
+                            continue
+                    assert rows is not None, "recovery never completed"
+                else:
+                    rows = list(reader.read(reader.partitions(cur, end)[0]))
+                delivered.extend(r[0] for r in rows)
+                reader.commit(end)
+                cur = end
+            got = {_json.loads(d)["id"] for d in delivered}
+            assert got == want, f"lost events: {sorted(want - got)}"
+        finally:
+            sse_mod._iter_sse_lines = orig
+
+    prop()
