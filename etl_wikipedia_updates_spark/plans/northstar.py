@@ -736,16 +736,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eager fit-then-score: the top-20 stopword model is one
     TakeOrderedAndProject job at build time; scoring is a single
     map-side higher-order-function pass (see quality_features)."""
-    # NOTE (r8): carries the same latent NULL-text parity trap that
-    # token_stats/corpus_stats closed (size(NULL) = -1 vs the
-    # oracle's explode dropping the doc). Benign on the non-null
-    # fixture corpora; the fix is deferred to this entry's r9
-    # certification-head slot so a past-cutoff query isn't changed
-    # after its official row was recorded.
+    # text IS NOT NULL on both engines: the oracle's explode drops a
+    # NULL-text doc entirely, while size(split(NULL)) here would emit
+    # a garbage feature row — the same parity guard token_stats /
+    # corpus_stats / bm25_rank / seq_pack carry (identical results on
+    # non-null corpora; IsNotNull(text) pushes into the parquet scan).
+    # The fit side is unaffected either way: a NULL-text doc explodes
+    # to zero token rows on both engines.
     # Same spread-inside-fit split as lang_id; the regex-heavy scorer
     # keeps spread (16-way beats one core on the per-token RLIKE pass,
     # measured), taken off the fitted frame's lineage-free parent.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     stop_terms = _memo_model(
         spark,
         sf_dir,
@@ -1898,7 +1901,8 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. The old explode -> groupBy(doc_id) / groupBy(doc_id, term)
     forms shuffled corpus-scale rows for what a per-row array
     expression computes in place; only docs matching >= 1 query term
-    reach the final top-k window."""
+    reach the final sort+limit top-k (TakeOrderedAndProject — see the
+    inline note)."""
     # The oracle derives every corpus stat (n_docs, total_len, df)
     # from exploded tokens, so a NULL-text doc contributes nothing
     # there; size(NULL)=-1 under this session's legacy sizeOfNull
@@ -1957,10 +1961,19 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = per.crossJoin(F.broadcast(stats)).select(
         "doc_id", sum(contrib(i) for i in range(nterms)).alias("s")
     )
+    # Top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT a partition-less row_number window:
+    # at 100 TB a common query term makes the matched set corpus-scale,
+    # and an unpartitioned window funnels all of it through ONE task.
+    # The rank is derived AFTER the limit, over <= BM25_TOPK surviving
+    # rows (TakeOrderedAndProject's output is a single already-bounded
+    # partition, so the window adds no exchange and sorts K rows).
+    topk = per_doc.orderBy(F.col("s").desc(), F.col("doc_id")).limit(
+        BM25_TOPK
+    )
     w = W.orderBy(F.col("s").desc(), F.col("doc_id"))
     return (
-        per_doc.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= BM25_TOPK)
+        topk.withColumn("rk", F.row_number().over(w))
         .select(
             F.col("rk").cast("bigint").alias("rk"),
             "doc_id",

@@ -2,33 +2,35 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (63 as of round 8). The external correctness gate records the
-first 50 entries per round, so 13 entries sit past the cutoff each
+entries (63 as of round 10). The external correctness gate records the
+first 50 entries per round, so the surplus sits past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
 
-- Entries whose newest official row is OLDEST go FIRST (round 8: the
-  12 that fell past round 7's cutoff — lang_id through simhash_pairs
-  — whose newest official rows date to r6).
+- Entries whose newest official row is OLDEST go FIRST. Round 10: the
+  13 that fell past round 8's cutoff (text_quality through ann_ivf)
+  whose newest official rows date to r7 — two rounds stale because
+  round 9 shipped no rotation at all.
 - The contract rows Q1-Q28 + wiki and every entry CHANGED this round
   stay inside the first 50 (a changed query needs a fresh row; its
-  old row certifies code that no longer exists). Round 8 changed
-  seq_pack, tfidf_topterms, bm25_rank, source_mix, corpus_release,
-  sample_hash, stratified_sample, token_stats, q18, and the head
-  entries lang_id, lang_id_chargram, corpus_stats, dedup_corpus,
-  minhash_lsh — all inside.
+  old row certifies code that no longer exists). Round 10 changed
+  text_quality (NULL-text parity fix, landed with its head slot) and
+  bm25_rank (sort+limit top-k replan); corpus_release, dedup_corpus
+  and dedup_clusters run through the r10-changed
+  operators.dedup.connected_components (convergence-guard fix), and
+  wiki_pipeline through the r10-pinned timestamp parse — all inside.
 - NEW entries have no official row at all, so they must sit inside
-  the first 50 (round 8: span_dedup, the substring-level
-  duplicated-span audit).
-- The 13 that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (round 8: most
-  of the former r7 head plus text_quality, ann_ivf, dedup_clusters,
-  contamination and percentiles — all r7-fresh green; the r7-head
-  members that were CHANGED in r8 — sample_hash, stratified_sample,
-  token_stats — stay inside instead).
+  the first 50 (round 10: span_removal — added below when it lands).
+- The entries that yield their slots are UNCHANGED-this-round entries
+  certified green in the immediately-preceding round (round 10: 13
+  r9-official-green extensions, lang_id through stratified_sample in
+  the tail). span_dedup (shares the r10-refactored span helper),
+  token_stats and corpus_stats (the heaviest consumers of the
+  r10-edited operators.text module) hold in-window slots as a guard
+  even though their semantics are unchanged.
 
-All 63 entries are benched by bench.py regardless of position, and the
-61 oracle-backed entries are oracle-tested every run in
+All entries are benched by bench.py regardless of position, and the
+oracle-backed entries are oracle-tested every run in
 tests/test_queries_oracle.py (q12_approx and percentiles_approx are
 approximate by design, declare no oracle, and get only the driver's
 rows-only check); the rotation affects only which 50 the external gate
@@ -45,50 +47,10 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-8 rotation head: the 12 entries past round 7's cutoff
-    # (newest official rows r6) regain certification first ---
-    "lang_id",
-    "quantize_embeddings",
-    "corpus_stats",
-    "dedup_corpus",
-    "lang_id_chargram",
-    "ann_sq8",
-    "grouped_agg_udf",
-    "kmeans_clusters",
-    "ann_kmeans",
-    "rep_filter",
-    "minhash_lsh",
-    "simhash_pairs",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- remaining extensions; entries CHANGED in round 8 must hold
-    # in-window slots: seq_pack (two-phase prefix-sum replan + null
-    # guard), tfidf_topterms (broadcast direction), bm25_rank
-    # (null-safe corpus stats), source_mix + corpus_release +
-    # sample_hash + stratified_sample (overflow-safe ubucket_col;
-    # stratified also gains the zh stratum), token_stats (null-text
-    # guard) ---
-    "source_mix",
-    "corpus_release",
-    "tfidf_topterms",
-    "bm25_rank",
-    "seq_pack",
-    "sample_hash",
-    "stratified_sample",
-    "token_stats",
-    # --- NEW in round 8 (never certified — must sit inside the gate
-    # window): substring-level duplicated-span audit ---
-    "span_dedup",
-    # --- positions 51-63: yield their slots this round (all
-    # UNCHANGED in r8 with fresh r7-official green rows — the
-    # remainder of the former r7 head plus text_quality, ann_ivf,
-    # dedup_clusters, contamination and percentiles, displaced by
-    # span_dedup and the r8-changed sample_hash / stratified_sample /
-    # token_stats). text_quality leads the tail: it carries a
-    # documented latent null-text note whose code fix is deferred to
-    # its r9 head slot (changing a past-cutoff entry after its
-    # official row was recorded is what the policy forbids) ---
+    # --- round-10 rotation head: the 13 entries past round 8's cutoff
+    # (newest official rows r7, two rounds stale after the r9 no-op)
+    # regain certification first. text_quality leads: its deferred
+    # NULL-text parity fix lands at this slot ---
     "text_quality",
     "dedup_clusters",
     "contamination",
@@ -99,9 +61,43 @@ DECLARATION_ORDER: list[str] = [
     "cosine_neardup",
     "multimodal_bytes",
     "ann_lsh",
+    "ann_ivf",
     "q12_approx",
     "percentiles_approx",
-    "ann_ivf",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- CHANGED in round 10, so their old official rows certify code
+    # that no longer exists: bm25_rank (TakeOrderedAndProject top-k
+    # replan); corpus_release / dedup_corpus (both run the
+    # convergence-guard-fixed connected_components) ---
+    "bm25_rank",
+    "corpus_release",
+    "dedup_corpus",
+    # --- in-window guards for r10 shared-module edits: span_dedup
+    # (shares the refactored span-occurrence helper with the new
+    # span_removal), token_stats + corpus_stats (operators.text
+    # consumers) ---
+    "span_dedup",
+    "token_stats",
+    "corpus_stats",
+    "rep_filter",
+    "minhash_lsh",
+    # --- positions 51-63: yield their slots this round (all UNCHANGED
+    # in r10 with fresh r9-official green rows) ---
+    "lang_id",
+    "quantize_embeddings",
+    "lang_id_chargram",
+    "ann_sq8",
+    "grouped_agg_udf",
+    "kmeans_clusters",
+    "ann_kmeans",
+    "simhash_pairs",
+    "source_mix",
+    "tfidf_topterms",
+    "seq_pack",
+    "sample_hash",
+    "stratified_sample",
 ]
 
 _declared = QueryRegistry()

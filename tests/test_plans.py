@@ -72,8 +72,15 @@ CASES = [
     # bm25 (r7 replan): ZERO corpus-wide shuffles — per-doc scoring is
     # in-array map work, corpus stats are one single-row broadcast
     # agg; a hashpartitioning exchange or an explode would mean the
-    # old corpus-scale shuffle crept back
-    ("bm25_rank", ["BroadcastExchange"], ["hashpartitioning", "Generate"]),
+    # old corpus-scale shuffle crept back. r10: the top-k is
+    # TakeOrderedAndProject (per-partition heaps); the unpartitioned
+    # rank window sits ABOVE it over <= BM25_TOPK rows (pinned
+    # structurally in test_bm25_rank_window_is_limit_bounded).
+    (
+        "bm25_rank",
+        ["BroadcastExchange", "TakeOrderedAndProject"],
+        ["hashpartitioning", "Generate"],
+    ),
     # tfidf (r8 broadcast-direction fix): the doc_id-bounded tf frame
     # broadcasts onto the streamed vocab-scale df branch — never a
     # merge join, and never a broadcast of the vocabulary (1e8-1e9
@@ -142,6 +149,21 @@ def test_tfidf_broadcasts_tf_not_vocab(spark, sf_smoke):
     )
     assert any("doc_id" in ln for ln in bcast), (
         "expected the doc_id-bounded tf branch under the broadcast"
+    )
+
+
+def test_bm25_rank_window_is_limit_bounded(spark, sf_smoke):
+    """The rank window's input must be the TakeOrderedAndProject's
+    bounded output — an unpartitioned window directly over the
+    corpus-scale matched set is the 100 TB single-task funnel this
+    replan removed. Pin: every Window node's subtree contains the
+    TakeOrderedAndProject (i.e. the limit runs BELOW the window)."""
+    df = REGISTRY.queries["bm25_rank"].builder(spark, sf_smoke)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    windows = list(_subtree_lines(physical, "Window"))
+    assert windows, "expected the rank window in the plan"
+    assert any("TakeOrderedAndProject" in ln for ln in windows), (
+        "rank window is not fed by the sort+limit top-k"
     )
 
 

@@ -90,6 +90,7 @@ def test_adversarial_fixture_parity(spark, tmp_path):
     duck = duckdb_connection(sf_dir)
     hardened = [
         "token_stats",
+        "text_quality",
         "corpus_stats",
         "bm25_rank",
         "seq_pack",
