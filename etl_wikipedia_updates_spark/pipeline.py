@@ -86,13 +86,23 @@ def transform(parsed: DataFrame) -> DataFrame:
     """
     e = F.col("e")
     # R9: ISO8601 'T'/'Z' normalization exactly as the reference
-    # (replace then parse), pipeline.py:120.
+    # (replace then parse), pipeline.py:120. The parse pattern is
+    # PINNED: a format-less to_timestamp is more lenient than the
+    # oracle's try_strptime('%Y-%m-%d %H:%M:%S') — e.g. fractional
+    # seconds or utc-offset suffixes would parse here but fail there,
+    # a latent engine disagreement on which rows are valid. With the
+    # explicit pattern both engines reject exactly the same strings
+    # (ANSI off -> NULL on mismatch, i.e. the row is dropped). The
+    # reference's fromisoformat accepts fractional seconds; Wikimedia
+    # dt is second-precision so the delta never binds in practice, and
+    # the strict rule is applied identically on both engines.
     ts = F.to_timestamp(
         F.regexp_replace(
             F.regexp_replace(e.getField("meta").getField("dt"), "T", " "),
             "Z",
             "",
-        )
+        ),
+        "yyyy-MM-dd HH:mm:ss",
     )
     flat = (
         parsed.filter(e.getField("type").isin(*CHANGE_TYPES))

@@ -58,6 +58,14 @@ FIXTURE_LINES: list[str] = [
     # fromisoformat raises; here the parsed-timestamp filter drops it)
     '{"type": "edit", "title": "Kappa", "user": "kara", "bot": false,'
     ' "meta": {"dt": "not-a-date"}}',
+    # validity filter: fractional-second dt — the pinned second-
+    # precision parse pattern rejects it on BOTH engines (a format-
+    # less Spark parse would have accepted it while the oracle's
+    # try_strptime dropped it: the engine-disagreement row this
+    # fixture exists to catch)
+    '{"type": "edit", "title": "Lambda", "user": "lars", "bot": false,'
+    ' "meta": {"dt": "2026-01-08T22:36:55.123Z"},'
+    ' "length": {"old": 1, "new": 2}}',
     # unknown extra fields are ignored
     '{"type": "edit", "title": "Iota", "title_url": "https://wiki.example/Iota",'
     ' "user": "iris", "bot": false, "meta": {"dt": "2026-01-08T22:36:50Z"},'

@@ -40,7 +40,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.plans.northstar import (
@@ -150,6 +150,59 @@ def decontam_ingest_batch(
         verdicts.unpersist()
 
 
+class _UnpersistOnTermination(StreamingQueryListener):
+    """Release a stream's persisted static frame when the query ends.
+
+    The decontam streams persist the benchmark shingle frame ONCE per
+    stream (outside the per-batch handler); without a termination hook
+    the cache entry outlived its stream and leaked across restarted
+    curation streams in the same session. The listener unpersists on
+    the owning query's termination event and deregisters itself; it is
+    also invoked directly (idempotently, via the once-flag) if the
+    query finished before the listener could be registered — the
+    availableNow-on-tiny-data race."""
+
+    def __init__(self, spark: SparkSession, query_id: str, df: DataFrame):
+        self._spark = spark
+        self._qid = query_id
+        self._df = df
+        self._done = False
+
+    def release(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        try:
+            self._df.unpersist()
+        finally:
+            self._spark.streams.removeListener(self)
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        pass
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        if str(event.id) == self._qid:
+            self.release()
+
+
+def _release_on_termination(query: StreamingQuery, df: DataFrame) -> None:
+    """Attach a termination-scoped unpersist for ``df`` to ``query``."""
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    listener = _UnpersistOnTermination(spark, str(query.id), df)
+    spark.streams.addListener(listener)
+    # The query may have terminated between start() and addListener —
+    # a terminated query never fires the event for late listeners, so
+    # release inline (release() is idempotent against a double fire).
+    if not query.isActive:
+        listener.release()
+
+
 def ingest_with_decontam(
     stream: DataFrame,
     bench_docs: DataFrame,
@@ -162,10 +215,10 @@ def ingest_with_decontam(
     """Streamed documents -> benchmark-decontaminated sink, with the
     contaminated verdicts quarantined beside it. ``bench_docs`` is the
     static held-out corpus; its shingle set is built and persisted
-    ONCE, outside the per-batch handler (the cache entry lives until
-    the SparkSession ends — a caller cycling many short-lived streams
-    in one session should unpersist between them). ``exclude_self``
-    as in decontam_verdicts: True only when bench_docs is an id-shared
+    ONCE, outside the per-batch handler, and unpersisted when the
+    stream terminates (a restarted curation stream rebuilds it — no
+    cache leak across streams). ``exclude_self`` as in
+    decontam_verdicts: True only when bench_docs is an id-shared
     subset of the stream; False for an external benchmark."""
     bench_sh = bench_shingles(bench_docs).persist()
 
@@ -181,7 +234,9 @@ def ingest_with_decontam(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    _release_on_termination(query, bench_sh)
+    return query
 
 
 def batch_decontam_keep(
@@ -261,8 +316,8 @@ def ingest_with_full_curation(
 ) -> StreamingQuery:
     """Streamed documents -> quality-gated, decontaminated,
     near-dup-deduped sink: the one-command crawl-curation ingest.
-    Persisted-bench and exclude_self notes as in
-    ingest_with_decontam."""
+    Persisted-bench (released on stream termination) and exclude_self
+    notes as in ingest_with_decontam."""
     bench_sh = bench_shingles(bench_docs).persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -277,7 +332,9 @@ def ingest_with_full_curation(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    _release_on_termination(query, bench_sh)
+    return query
 
 
 def batch_full_curation_keep(

@@ -270,6 +270,25 @@ def test_connected_components_raises_when_not_converged(spark):
     assert set(cc.values()) == {1}
 
 
+def test_connected_components_converges_at_exact_diameter(spark):
+    """A component whose diameter is EXACTLY max_iters converges and
+    must NOT raise: convergence is only detectable by a round that
+    moves nothing, so the loop allows one verification round beyond
+    max_iters (the guard used to fire here — off by one). A 7-node
+    chain needs 6 propagation rounds for label 1 to reach node 7."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_id long, doc_id2 long"
+    )
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(
+            chain, max_iters=6, driver_max_edges=None
+        ).collect()
+    }
+    assert set(cc.values()) == {1}
+    assert len(cc) == 7
+
+
 def test_multimodal_null_payload_yields_null_features(spark):
     """NULL payloads (encode(NULL) upstream) must map to NULL features
     in byte_features/frame_sample — SQL-null semantics, matching

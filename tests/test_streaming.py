@@ -1292,6 +1292,44 @@ def test_streaming_decontam_equals_batch_and_quarantines(spark, tmp_path):
     assert len(_batch_dirs(contam_store_path(sink))) < 5
 
 
+def test_decontam_bench_cache_released_on_termination(spark, tmp_path):
+    """The benchmark shingle frame is persisted once per stream; its
+    cache entry must be RELEASED when the stream terminates — before
+    the r10 fix it outlived the query and leaked across restarted
+    curation streams in the same session (each restart stacking
+    another corpus-lifetime cache entry)."""
+    import time
+
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        ingest_with_decontam,
+    )
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 3, "doc_id")
+
+    base = n_cached()
+    q = ingest_with_decontam(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    # the listener fires on the streaming event thread — poll briefly
+    deadline = time.time() + 30
+    while n_cached() > base and time.time() < deadline:
+        time.sleep(0.2)
+    assert n_cached() <= base, "bench shingle cache leaked past stream end"
+
+
 def test_bench_shingle_cap_drops_boilerplate(spark):
     """A shingle present in more than ``cap`` benchmark docs is
     boilerplate and must not nominate matches."""
