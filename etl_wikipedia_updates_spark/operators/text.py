@@ -8,13 +8,17 @@ work: token stats, language-ID, quality scores, fingerprints.
 
 Cross-engine determinism: operators that need a token->integer mapping
 use ``token_dictionary`` (dense ids from a global sort) so the DuckDB
-oracle can reproduce results bit-for-bit. At 100 TB the dictionary's
-global sort would be replaced by ``xxhash64(term)`` — a pure map-side
-expression with no shuffle — at the cost of oracle parity, not
-correctness. The swap is one line and noted on each call site.
+oracle can reproduce results bit-for-bit. At 100 TB the dense path's
+global sort is replaced by ``ids='hash'`` (or the
+``SPARK_GRAFT_DICT_IDS=hash`` env default) — stateless
+``xxhash64(term)`` ids, a pure map-side expression with no shuffle —
+at the cost of oracle parity, not correctness (equivalence pinned in
+tests).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -121,11 +125,29 @@ def sql_term_hash(expr: str = "term") -> str:
     )
 
 
-def term_dictionary(term_rows: DataFrame) -> DataFrame:
-    """(term, tid) dense ids for any exploded (.., term) rows — the
-    shingle/token-agnostic core of token_dictionary. Same oracle-parity
-    global sort; same xxhash64 swap at scale."""
+def term_dictionary(term_rows: DataFrame, ids: str = "dense") -> DataFrame:
+    """(term, tid) ids for any exploded (.., term) rows — the
+    shingle/token-agnostic core of token_dictionary.
+
+    ``ids='dense'`` (default): dense 1-based ids by sorted term order.
+    The single-partition row_number window is the deliberate
+    oracle-parity choice, valid ONLY for bounded vocabularies (fixture
+    corpora, per-language profile tables).
+
+    ``ids='hash'``: stateless ``xxhash64(term)`` ids — a pure map-side
+    expression, no global sort, no single-partition window. THE 100 TB
+    path: a web corpus's vocabulary is billions of distinct terms, and
+    a dense-rank window would funnel all of them through one task.
+    Ids are sparse 64-bit values instead of dense ranks; every
+    downstream set/join/grouping result is identical modulo the id
+    VALUES (pinned by test_token_dictionary_hash_ids_equivalent), with
+    hash collisions possible-but-negligible (~n^2/2^65) and absent at
+    every test tier."""
     terms = term_rows.select("term").distinct()
+    if ids == "hash":
+        return terms.select("term", F.xxhash64("term").alias("tid"))
+    if ids != "dense":
+        raise ValueError(f"unknown dictionary ids mode {ids!r}")
     return terms.select(
         "term", F.row_number().over(W.orderBy("term")).alias("tid")
     )
@@ -138,16 +160,19 @@ def doc_tokens_with_pos(docs: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
 
 
-def token_dictionary(docs: DataFrame) -> DataFrame:
-    """(term, tid): dense 1-based ids by sorted term order.
+def token_dictionary(docs: DataFrame, ids: str | None = None) -> DataFrame:
+    """(term, tid) for a documents frame's whitespace-token vocabulary.
 
-    The single-partition row_number window is the deliberate
-    oracle-parity choice; the 100 TB swap is
-    ``F.xxhash64('term')`` (stateless, shuffle-free). Vocabulary
-    tables are tiny relative to corpora either way, and the result is
-    broadcast wherever it's joined.
+    ``ids`` selects the id scheme (see term_dictionary): ``'dense'``
+    for oracle-parity dense ranks, ``'hash'`` for the stateless
+    shuffle-free xxhash64 scale path. Default comes from the
+    ``SPARK_GRAFT_DICT_IDS`` env var (``dense`` if unset), so a
+    deployment flips the whole engine to hash ids with one setting
+    and no code change.
     """
-    return term_dictionary(doc_tokens(docs, distinct=True))
+    if ids is None:
+        ids = os.environ.get("SPARK_GRAFT_DICT_IDS", "dense")
+    return term_dictionary(doc_tokens(docs, distinct=True), ids=ids)
 
 
 def fit_stopwords(docs: DataFrame, n: int) -> list[str]:

@@ -24,6 +24,13 @@ def write_replay_splits(
     ``order_col`` order (chunk i holds rows with ntile i) so replay
     order is event-time order, like a well-behaved feed.
 
+    TEST TOOLING ONLY — the ntile is a deliberate single-partition
+    window (global total order is the whole point of a deterministic
+    replay fixture) and the frames it tiles are test-tier sized. No
+    production operator goes through here; the engine-wide audit for
+    unpartitioned windows (tools/explain_audit.py) covers registered
+    queries, where this shape is forbidden unless limit-bounded.
+
     The window orders by ``order_col`` THEN every remaining column:
     callers pass event-time columns with ties (same-second events), and
     a non-total order would let a tied row's tile assignment differ

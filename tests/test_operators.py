@@ -43,6 +43,71 @@ def test_token_dictionary_dense_sorted(spark, sf_smoke):
     assert terms == sorted(terms)
 
 
+def test_token_dictionary_hash_ids_equivalent(spark, sf_correctness):
+    """ids='hash' is the 100 TB dictionary path (stateless xxhash64,
+    no global sort): it must cover the same vocabulary, be injective
+    (no collisions at this tier), and induce IDENTICAL downstream
+    structure modulo id values — same per-doc token-id multiplicities
+    and same doc-pair co-occurrence counts as the dense path."""
+    docs = load_table(spark, sf_correctness, "documents")
+    dense = T.token_dictionary(docs, ids="dense")
+    hashed = T.token_dictionary(docs, ids="hash")
+    n_terms = dense.count()
+    assert hashed.count() == n_terms
+    # injective: one id per term, both schemes
+    assert hashed.select("tid").distinct().count() == n_terms
+    assert (
+        dense.join(hashed, "term").count() == n_terms
+    ), "hash dictionary covers a different vocabulary"
+
+    # downstream equivalence: per-doc distinct-token-id counts agree
+    dtok = T.doc_tokens(docs, distinct=True)
+
+    def per_doc(dic):
+        return {
+            r["doc_id"]: r["n"]
+            for r in dtok.join(dic, "term")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("tid").alias("n"))
+            .collect()
+        }
+
+    assert per_doc(dense) == per_doc(hashed)
+
+
+def _formatted(df, spark) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_token_dictionary_hash_plan_is_shuffle_free_of_windows(
+    spark, sf_smoke
+):
+    """The hash path must plan with NO window and NO global sort —
+    that's its whole point; the dense path's single-partition
+    row_number is the documented oracle-parity exception."""
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _formatted(T.token_dictionary(docs, ids="hash"), spark)
+    assert "xxhash64" in plan
+    assert "Window" not in plan
+    assert "row_number" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_token_dictionary_env_selects_hash(spark, sf_smoke, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_DICT_IDS", "hash")
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _formatted(T.token_dictionary(docs), spark)
+    assert "xxhash64" in plan and "Window" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="ids mode"):
+        T.token_dictionary(docs, ids="bogus")
+
+
 def test_minhash_lsh_candidates_superset_of_identical_docs(spark):
     docs = spark.createDataFrame(
         [

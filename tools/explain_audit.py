@@ -7,6 +7,13 @@ For each audited query, formats the physical plan and checks:
 - dim joins broadcast (BroadcastHashJoin where declared)
 - top-k compiles to TakeOrderedAndProject (no global sort)
 
+Additionally, EVERY registered query's physical plan is walked for
+unpartitioned Window nodes (the 100 TB single-task funnel): such a
+window is allowed only when its input subtree is bounded by a limit
+operator (TakeOrderedAndProject / GlobalLimit / CollectLimit — then
+the window sorts <= K rows) or the query is in the documented
+allowlist. Zero undocumented hits is the pass condition.
+
 Prints PASS/WARN per check. Run: python tools/explain_audit.py [sf_dir]
 """
 
@@ -53,6 +60,54 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+# Queries allowed to carry an unpartitioned, not-limit-bounded Window,
+# with the reason. Empty on purpose: the registered surface has none;
+# test tooling's global ntile (sources/replay.py) is documented there
+# and is not a registered query.
+UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+# Physical operators that bound their output to <= K rows: a window
+# whose subtree contains one of these sorts a constant-sized frame.
+_LIMIT_NODES = (
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+    "LocalLimitExec",
+)
+
+
+def _iter_nodes(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_nodes(children.apply(i))
+
+
+def unbounded_unpartitioned_windows(df) -> list[str]:
+    """Names of Window nodes with an EMPTY partition spec whose input
+    subtree carries no limit operator — the shapes that funnel
+    arbitrary data through one task. Walks the pre-AQE physical plan
+    via py4j (text matching can't tell a partitioned window from an
+    unpartitioned one reliably)."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    bad = []
+    for node in _iter_nodes(plan):
+        cls = node.getClass().getSimpleName()
+        if cls not in ("WindowExec", "WindowGroupLimitExec"):
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        children = node.children()
+        bounded = any(
+            sub.getClass().getSimpleName() in _LIMIT_NODES
+            for i in range(children.size())
+            for sub in _iter_nodes(children.apply(i))
+        )
+        if not bounded:
+            bad.append(cls)
+    return bad
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="explain_audit", shuffle_partitions=8)
@@ -72,6 +127,19 @@ def main() -> None:
             ok = frag not in plan
             failures += 0 if ok else 1
             print(f"{'PASS' if ok else 'WARN'} {name}: forbids {frag!r}")
+    # engine-wide structural sweep: no undocumented single-task windows
+    for name, q in REGISTRY.queries.items():
+        hits = unbounded_unpartitioned_windows(q.builder(spark, sf_dir))
+        if not hits:
+            continue
+        if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+            print(
+                f"PASS {name}: unpartitioned window allowed "
+                f"({UNPARTITIONED_WINDOW_ALLOWLIST[name]})"
+            )
+            continue
+        failures += 1
+        print(f"WARN {name}: unbounded unpartitioned window {hits}")
     print(f"{'ALL OK' if failures == 0 else f'{failures} WARNINGS'}")
     spark.stop()
     if failures:
