@@ -51,8 +51,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--only",
+        action="append",
         default=None,
-        help="comma-separated query names; keeps registry (suite) order",
+        help="query name or comma-separated list; repeatable (values "
+        "union); keeps registry (suite) order",
     )
     ap.add_argument(
         "--repeat",
@@ -70,7 +72,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     builders = REGISTRY.builders()
     if args.only:
-        only = {q.strip() for q in args.only.split(",") if q.strip()}
+        only = {
+            q.strip()
+            for part in args.only
+            for q in part.split(",")
+            if q.strip()
+        }
         unknown = only - set(builders)
         if unknown:
             raise SystemExit(f"unknown queries: {sorted(unknown)}")

@@ -2498,6 +2498,51 @@ SPAN_W = 16  # span width in tokens (Lee et al. use 50; test docs are short)
 SPAN_HOP = 8  # window stride
 
 
+def _span_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, p, h): one row per HOP-aligned SPAN_W-token
+    window of each document — ``p`` the 0-based start offset, ``h``
+    the polynomial hash of the window's token-id slice. The shared
+    core of span_dedup (audit) and span_removal (excision).
+
+    Scale shape: token->tid hashing and the per-window polynomial
+    fold happen INSIDE the token array (transform + aggregate over
+    slices — map-side, no per-token explode); the ONE Generate emits
+    n_tok/HOP span rows per doc. The tids array is bound as a lambda
+    variable (transform over a 1-element array, the shingles_col
+    idiom) so the per-token hash runs ONCE per row — referencing a
+    tids projection from inside the span lambda would be inlined back
+    by CollapseProject and re-hash the whole doc per span position
+    (measured ~3x slower at the whole-query level, 2.08 -> 0.71s at
+    sf0.1). Docs shorter than SPAN_W carry no spans and are absent
+    from the output on both engines."""
+    tid = (
+        f"aggregate(split(t, ''), 0L, "
+        f"(a, c) -> (a * {T.TERM_HASH_BASE} + ascii(c)) % {HASH_P})"
+    )
+    with_toks = docs.select(
+        "doc_id", "source", T.tokens_col().alias("toks")
+    ).filter(F.size("toks") >= SPAN_W)
+    return with_toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(array(transform(toks, t -> {tid})), tids -> "
+                f"transform(sequence(0, size(tids) - {SPAN_W}, {SPAN_HOP}), "
+                f"p -> named_struct("
+                f"'p', p, "
+                f"'h', aggregate(slice(tids, p + 1, {SPAN_W}), 0L, "
+                f"(h, x) -> (h * {T.TERM_HASH_BASE} + x) % {HASH_P}))))[0]"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("s.p").alias("p"),
+        F.col("s.h").alias("h"),
+    )
+
+
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplicated-span audit.
 
@@ -2511,33 +2556,9 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over strictly shrinking frames. Docs shorter than SPAN_W carry
     no spans and drop out identically in both engines.
     """
-    docs = (
+    spans = _span_occurrences(
         spread(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", "source", T.tokens_col().alias("toks"))
-        .filter(F.size("toks") >= SPAN_W)
-    )
-    tid = (
-        f"aggregate(split(t, ''), 0L, "
-        f"(a, c) -> (a * {T.TERM_HASH_BASE} + ascii(c)) % {HASH_P})"
-    )
-    # The tids array is bound as a lambda variable (transform over a
-    # 1-element array, the shingles_col idiom) so the per-token hash
-    # runs ONCE per row — referencing a tids projection from inside
-    # the span lambda would be inlined back by CollapseProject and
-    # re-hash the whole doc per span position (measured ~3x slower
-    # at the whole-query level, 2.08 -> 0.71s at sf0.1).
-    spans = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                f"transform(array(transform(toks, t -> {tid})), tids -> "
-                f"transform(sequence(0, size(tids) - {SPAN_W}, {SPAN_HOP}), "
-                f"p -> aggregate(slice(tids, p + 1, {SPAN_W}), 0L, "
-                f"(h, x) -> (h * {T.TERM_HASH_BASE} + x) % {HASH_P})))[0]"
-            )
-        ).alias("h"),
-    )
+    ).select("doc_id", "source", "h")
     # cross-doc duplication in ONE shuffle: an occurrence is dup iff
     # its hash is seen under >= 2 distinct docs, i.e. min(doc_id) !=
     # max(doc_id) over the h-window (a per-(h, doc) pre-aggregate +
@@ -2616,6 +2637,153 @@ SELECT source, COUNT(*) AS n_docs,
          AS dup_frac
 FROM pd GROUP BY source ORDER BY source
 """
+
+
+# --- span_removal: excise duplicated spans, keep one canonical copy ----------
+def _span_removed_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, rmpos): per doc, the sorted array of 0-based token
+    positions covered by at least one REMOVED span occurrence. An
+    occurrence is removed iff its hash appears in a smaller doc_id
+    anywhere in the corpus (min(doc_id) over the h-window < doc_id):
+    the minimum-id doc is the canonical owner and keeps its copy —
+    including all its internal repeats — every other doc loses the
+    span (Lee et al. 2021's train-data dedup, at span rather than doc
+    granularity; SURVEY §2.3).
+
+    Scale shape: the h-window is the SAME single corpus shuffle
+    span_dedup uses (sort-based, spills); the removed starts then
+    shuffle ONCE more on doc_id into a per-doc array whose covered-
+    position union is computed map-side inside the array (flatten +
+    array_distinct over <= n_tok/HOP starts x SPAN_W offsets per doc
+    — bounded by 2x the doc's token count at the default W/HOP).
+    Only docs that LOSE at least one span appear in the output."""
+    occ = _span_occurrences(docs)
+    wh = W.partitionBy("h")
+    removed = occ.select(
+        "doc_id",
+        "p",
+        (F.min("doc_id").over(wh) < F.col("doc_id")).alias("rm"),
+    ).filter(F.col("rm"))
+    return (
+        removed.groupBy("doc_id")
+        .agg(F.collect_set("p").alias("ps"))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "ps",
+                            lambda p: F.sequence(
+                                p, p + F.lit(SPAN_W - 1)
+                            ),
+                        )
+                    )
+                )
+            ).alias("rmpos"),
+        )
+    )
+
+
+def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span-removal extents: how many tokens each document
+    loses to cross-doc duplicated spans and how many it keeps. The
+    per-doc statement of span_dedup's per-source audit — the frame a
+    cleaned corpus view (remove_dup_spans) materializes from, and the
+    optional corpus_release stage's accounting.
+
+    Joining the removed-position frame back to the corpus is one
+    doc_id shuffle join with NO broadcast assumption (at web scale
+    the affected-doc set is corpus-sized; AQE broadcasts it when it
+    measures small)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(T.tokens_col()).cast("bigint").alias("n_tokens"),
+    )
+    rm = _span_removed_positions(docs)
+    return (
+        base.join(rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            # size(NULL) is -1 under this session's legacy sizeOfNull,
+            # so guard on the ARRAY's nullness, not the size's
+            F.when(F.col("rmpos").isNull(), F.lit(0))
+            .otherwise(F.size("rmpos"))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .withColumn("n_kept", F.col("n_tokens") - F.col("n_removed"))
+        .transform(total_order, "doc_id")
+    )
+
+
+def remove_dup_spans(docs: DataFrame) -> DataFrame:
+    """The cleaned corpus VIEW: every input column, plus text_clean =
+    the document's kept tokens rejoined (removed-span tokens excised,
+    canonical copies retained). Pure per-row array work after the one
+    doc_id join: filter-by-position inside the token array (the
+    two-arg lambda binds (element, 0-based index)), then array_join —
+    no second explode, no per-token shuffle."""
+    with_text = docs.filter(F.col("text").isNotNull())
+    rm = _span_removed_positions(with_text)
+    joined = with_text.join(rm, "doc_id", "left")
+    cleaned = F.when(
+        F.col("rmpos").isNull(), F.col("text")
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                T.tokens_col(),
+                lambda t, i: ~F.array_contains(F.col("rmpos"), i),
+            ),
+            " ",
+        )
+    )
+    return joined.withColumn("text_clean", cleaned).drop("rmpos")
+
+
+def _span_removal_sql() -> str:
+    tid = T.sql_term_hash("t")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+tid AS (
+  SELECT doc_id, list_transform(l, t -> {tid}) AS tids, len(l) AS n
+  FROM t WHERE len(l) >= {SPAN_W}
+),
+sp AS (
+  SELECT doc_id, p,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_slice(tids, p + 1, p + {SPAN_W})),
+           (h, x) -> (h * {T.TERM_HASH_BASE} + x) % {HASH_P}) AS h
+  FROM tid, unnest(range(0, n - {SPAN_W} + 1, {SPAN_HOP})) AS u(p)
+),
+mk AS (
+  SELECT doc_id, p, min(doc_id) OVER (PARTITION BY h) AS own FROM sp
+),
+rm AS (
+  SELECT doc_id, COUNT(DISTINCT q) AS n_removed
+  FROM mk, unnest(range(p, p + {SPAN_W})) AS v(q)
+  WHERE own < doc_id GROUP BY doc_id
+)
+SELECT b.doc_id, b.source,
+       CAST(len(b.l) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(len(b.l) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+FROM t b LEFT JOIN rm r USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+SPAN_REMOVAL_SQL = _span_removal_sql()
 
 
 # --- corpus_release: the end-to-end training-data release -------------------
@@ -2729,6 +2897,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         span_dedup,
         SPAN_DEDUP_SQL,
         "substring-level duplicated-span audit (hashed token windows)",
+    ),
+    DeclaredQuery(
+        "span_removal",
+        span_removal,
+        SPAN_REMOVAL_SQL,
+        "per-doc duplicated-span excision extents (canonical copy kept)",
     ),
     DeclaredQuery("q23", q23, Q23_SQL, "word count (text analysis)"),
     DeclaredQuery("q24", q24, Q24_SQL, "exact dedup (R10)"),

@@ -2,7 +2,7 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (63 as of round 10). The external correctness gate records the
+entries (64 as of round 10). The external correctness gate records the
 first 50 entries per round, so the surplus sits past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
@@ -20,14 +20,15 @@ stale:
   operators.dedup.connected_components (convergence-guard fix), and
   wiki_pipeline through the r10-pinned timestamp parse — all inside.
 - NEW entries have no official row at all, so they must sit inside
-  the first 50 (round 10: span_removal — added below when it lands).
+  the first 50 (round 10: span_removal, per-doc duplicated-span
+  excision).
 - The entries that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (round 10: 13
-  r9-official-green extensions, lang_id through stratified_sample in
-  the tail). span_dedup (shares the r10-refactored span helper),
-  token_stats and corpus_stats (the heaviest consumers of the
-  r10-edited operators.text module) hold in-window slots as a guard
-  even though their semantics are unchanged.
+  certified green in the immediately-preceding round (round 10: 14
+  r9-official-green extensions, minhash_lsh through
+  stratified_sample in the tail). span_dedup (shares the
+  r10-refactored span-occurrence helper), token_stats and
+  corpus_stats (the heaviest consumers of the r10-edited
+  operators.text module) hold in-window slots as a guard.
 
 All entries are benched by bench.py regardless of position, and the
 oracle-backed entries are oracle-tested every run in
@@ -74,6 +75,9 @@ DECLARATION_ORDER: list[str] = [
     "bm25_rank",
     "corpus_release",
     "dedup_corpus",
+    # --- NEW in round 10 (never certified — must sit inside the gate
+    # window): per-doc duplicated-span excision ---
+    "span_removal",
     # --- in-window guards for r10 shared-module edits: span_dedup
     # (shares the refactored span-occurrence helper with the new
     # span_removal), token_stats + corpus_stats (operators.text
@@ -82,9 +86,9 @@ DECLARATION_ORDER: list[str] = [
     "token_stats",
     "corpus_stats",
     "rep_filter",
-    "minhash_lsh",
-    # --- positions 51-63: yield their slots this round (all UNCHANGED
+    # --- positions 51-64: yield their slots this round (all UNCHANGED
     # in r10 with fresh r9-official green rows) ---
+    "minhash_lsh",
     "lang_id",
     "quantize_embeddings",
     "lang_id_chargram",

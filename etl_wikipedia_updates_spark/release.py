@@ -19,27 +19,48 @@ R11-R14 sink contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_wikipedia_updates_spark.plans.northstar import (
     release_audit,
     release_members,
+    remove_dup_spans,
 )
 from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
 from etl_wikipedia_updates_spark.tables import load_table
 
 
 def release_corpus(
-    spark: SparkSession, sf_dir: str, members: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    members: DataFrame | None = None,
+    remove_spans: bool = False,
 ) -> DataFrame:
     """The released corpus as a DataFrame: every surviving document's
     full row plus its ``split``. The join key is the unique doc_id, so
     this is one co-partitionable shuffle join against the member set —
     no broadcast assumption (at web scale the member set is
-    corpus-sized)."""
+    corpus-sized).
+
+    ``remove_spans=True`` adds the optional span-excision stage
+    (plans.northstar.remove_dup_spans) over the RELEASED docs: doc-
+    level near-dups are already gone by construction, so this excises
+    the remaining cross-doc duplicated spans (shared boilerplate)
+    from every doc but the canonical minimum-id owner — Lee et al.
+    2021's span-level dedup as a release stage. The audit card still
+    accounts n_chars of the ORIGINAL text (membership and mixing were
+    decided on it); span accounting lives in the span_removal query."""
     docs = load_table(spark, sf_dir, "documents")
     if members is None:
         members = release_members(spark, sf_dir)
-    return docs.join(members.select("doc_id", "split"), "doc_id")
+    released = docs.join(members.select("doc_id", "split"), "doc_id")
+    if remove_spans:
+        released = (
+            remove_dup_spans(released)
+            .withColumn("text", F.col("text_clean"))
+            .drop("text_clean")
+        )
+    return released
 
 
 def write_release(
@@ -47,6 +68,7 @@ def write_release(
     sf_dir: str,
     out_root: str,
     keep_last: int = 2,
+    remove_spans: bool = False,
 ) -> dict:
     """Publish one release version: data partitioned by split, audit
     card in the version metadata, old versions vacuumed to a horizon.
@@ -64,8 +86,14 @@ def write_release(
     try:
         audit = [r.asDict() for r in release_audit(members).collect()]
         version = table.publish(
-            release_corpus(spark, sf_dir, members=members),
-            meta={"sf_dir": sf_dir, "audit": audit},
+            release_corpus(
+                spark, sf_dir, members=members, remove_spans=remove_spans
+            ),
+            meta={
+                "sf_dir": sf_dir,
+                "audit": audit,
+                "remove_spans": remove_spans,
+            },
             partition_by=["split"],
         )
     finally:

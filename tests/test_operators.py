@@ -354,6 +354,59 @@ def test_connected_components_converges_at_exact_diameter(spark):
     assert len(cc) == 7
 
 
+def _span_fixture(spark):
+    """doc 1 = shared 16-token span + 8 unique tail; doc 2 = 8 unique
+    head + the same shared span (HOP-aligned at p=8); doc 3 = all
+    unique. With SPAN_W=16/HOP=8 doc1@p0 and doc2@p8 hash equal."""
+    shared = " ".join(f"s{i}" for i in range(16))
+    d1 = shared + " " + " ".join(f"a{i}" for i in range(8))
+    d2 = " ".join(f"b{i}" for i in range(8)) + " " + shared
+    d3 = " ".join(f"c{i}" for i in range(24))
+    return spark.createDataFrame(
+        [(1, d1, "en", "srcA"), (2, d2, "en", "srcA"), (3, d3, "en", "srcB")],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_remove_dup_spans_keeps_canonical_copy(spark):
+    """Span excision: the minimum-id owner of a duplicated span keeps
+    its text verbatim; every other doc loses exactly the span's
+    tokens; untouched docs pass through unchanged."""
+    from etl_wikipedia_updates_spark.plans.northstar import remove_dup_spans
+
+    docs = _span_fixture(spark)
+    out = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert out[1]["text_clean"] == texts[1]  # canonical owner: verbatim
+    assert out[3]["text_clean"] == texts[3]  # no dup spans: verbatim
+    # doc 2 loses the 16 shared tokens, keeps its 8-token head
+    assert out[2]["text_clean"] == " ".join(f"b{i}" for i in range(8))
+
+
+def test_span_removal_extents_match_excision(spark, tmp_path):
+    """The registered span_removal extents agree with what
+    remove_dup_spans actually excises (n_kept == token count of
+    text_clean) on the crafted fixture, written as a parquet table so
+    the query builder's load path is exercised."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        remove_dup_spans,
+        span_removal,
+    )
+
+    docs = _span_fixture(spark)
+    docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
+    ext = {r["doc_id"]: r for r in span_removal(spark, str(tmp_path)).collect()}
+    assert ext[1]["n_removed"] == 0 and ext[1]["n_kept"] == 24
+    assert ext[2]["n_removed"] == 16 and ext[2]["n_kept"] == 8
+    assert ext[3]["n_removed"] == 0
+    cleaned = {
+        r["doc_id"]: len(r["text_clean"].split(" "))
+        for r in remove_dup_spans(docs).collect()
+    }
+    for doc_id, row in ext.items():
+        assert cleaned[doc_id] == row["n_kept"]
+
+
 def test_multimodal_null_payload_yields_null_features(spark):
     """NULL payloads (encode(NULL) upstream) must map to NULL features
     in byte_features/frame_sample — SQL-null semantics, matching

@@ -108,6 +108,15 @@ CASES = [
         ["Generate", "hashpartitioning(h", "Window", "partial_"],
         ["Join"],
     ),
+    # span_removal (r10): the same one-Generate + h-window core as
+    # span_dedup, then ONE doc_id-keyed aggregation and a doc_id join
+    # back to the corpus with NO broadcast assumption and no global
+    # sort beyond the total_order contract exchange
+    (
+        "span_removal",
+        ["Generate", "hashpartitioning(h", "Window"],
+        ["Exchange rangepartitioning", "BroadcastNestedLoopJoin"],
+    ),
 ]
 
 

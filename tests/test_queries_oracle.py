@@ -101,6 +101,7 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         "lang_id",
         "lang_id_chargram",
         "span_dedup",
+        "span_removal",
         "minhash_lsh",
     ]
     failures = []

@@ -208,6 +208,38 @@ def test_write_release_publishes_data_with_audit(spark, sf_smoke, tmp_path):
     assert pinned.count() == audit_docs
 
 
+def test_write_release_with_span_removal_stage(spark, sf_smoke, tmp_path):
+    """The optional span-excision release stage: published texts equal
+    the batch remove_dup_spans view over the released members, the
+    membership/audit card is unchanged vs a plain release (spans only
+    edit text, never membership), and the stage is recorded in the
+    version metadata."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        release_members,
+        remove_dup_spans,
+    )
+    from etl_wikipedia_updates_spark.release import release_corpus, write_release
+
+    root = str(tmp_path / "release")
+    out = write_release(spark, sf_smoke, root, remove_spans=True)
+    t = SnapshotTable(root)
+    assert t.meta_for(1)["remove_spans"] is True
+    data = t.read(spark)
+
+    plain = release_corpus(
+        spark, sf_smoke, members=release_members(spark, sf_smoke)
+    )
+    expected = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_dup_spans(plain).collect()
+    }
+    got = {r["doc_id"]: r["text"] for r in data.collect()}
+    assert got == expected
+    # membership identical to the plain release; audit card unchanged
+    assert set(got) == {r["doc_id"] for r in plain.collect()}
+    assert out["audit"] == write_release(spark, sf_smoke, root)["audit"]
+
+
 def test_release_refresh_dedups_new_duplicates(spark, tmp_path):
     """Release lifecycle on a growing corpus: after ingesting an exact
     duplicate of every document (fresh higher doc_ids), the next

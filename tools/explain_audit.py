@@ -51,6 +51,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "hashpartitioning(doc_id"],
     ),
     "span_dedup": (["Generate", "hashpartitioning(h", "Window"], ["Join"]),
+    # r10: same span core, then one doc_id agg + corpus join back
+    "span_removal": (
+        ["Generate", "hashpartitioning(h", "Window"],
+        ["Exchange rangepartitioning", "BroadcastNestedLoopJoin"],
+    ),
     # r10: top-k is per-partition heaps; the rank window sits above the
     # limit (structural bound checked by audit_unpartitioned_windows)
     "bm25_rank": (
