@@ -94,13 +94,35 @@ def cmd_index(args) -> int:
     from etl_wikipedia_updates_spark.vector_index import (
         append_to_ivf_index,
         build_ivf_index,
+        index_recall,
         probe_selectivity,
         query_ivf_index,
     )
 
     if args.action == "stats":
         # driver-side footer reads only — no Spark session needed
-        print(json.dumps(probe_selectivity(args.root)))
+        # (unless --recall asks for the measured-accuracy readout)
+        out = probe_selectivity(args.root)
+        if args.recall:
+            from etl_wikipedia_updates_spark.streaming.snapshot import (
+                SnapshotTable,
+            )
+
+            spark = _spark()
+            q = (
+                SnapshotTable(args.root)
+                .read(spark)
+                .select(
+                    F.col("vec_id").alias("q_vec_id"),
+                    F.col("embedding").alias("q_embedding"),
+                )
+                .orderBy("q_vec_id")
+                .limit(args.recall)
+            )
+            out["recall"] = index_recall(
+                spark, args.root, q, topk=args.topk, n_probes=args.n_probes
+            )
+        print(json.dumps(out))
         return 0
     spark = _spark()
     if args.action == "build":
@@ -442,6 +464,12 @@ def main(argv: list[str] | None = None) -> int:
     idx.add_argument(
         "--quantize", action="store_true",
         help="build: store SQ8 int8 vectors beside the floats",
+    )
+    idx.add_argument(
+        "--recall", type=int, default=0, metavar="N",
+        help="stats: measure recall@topk of the probe vs brute force "
+        "using the index's N smallest vec_ids as queries (runs Spark "
+        "jobs; 0 = skip, footer-only stats)",
     )
 
     ded = sub.add_parser(

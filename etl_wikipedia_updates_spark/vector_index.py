@@ -266,6 +266,76 @@ def probe_selectivity(index_root: str, version: int | None = None) -> dict:
     }
 
 
+def index_recall(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    topk: int = 5,
+    version: int | None = None,
+    n_probes: int = 1,
+    exclude_self: bool = True,
+) -> dict:
+    """Measured recall@k of the index probe vs brute-force cosine over
+    the SAME published version's vectors — the accuracy half of the
+    probe_selectivity telemetry (selectivity says what a probe READS;
+    recall says what it FINDS). A cell-probed query is exact only when
+    every true neighbor shares the query's probed cells, so recall < 1
+    is expected and n_probes is the knob that buys it back.
+
+    queries: (q_vec_id, q_embedding). Cost: one probe run + one
+    brute-force run over |queries| x |index| pairs — a MEASUREMENT
+    (run on a sample or a small tier), not a serving path; the
+    per-query overlap compare is |queries|-bounded driver work.
+    Returns {"recall_at_k", "per_query", "topk", "n_probes", ...}."""
+    table = SnapshotTable(index_root)
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published index under {index_root}")
+    approx = query_ivf_index(
+        spark,
+        index_root,
+        queries,
+        topk=topk,
+        version=v,
+        n_probes=n_probes,
+        exclude_self=exclude_self,
+    )
+    exact = S.cosine_topk(
+        table.read(spark, v).select("vec_id", "embedding"),
+        queries,
+        k=topk,
+        exclude_self=exclude_self,
+    )
+
+    def hit_sets(df: DataFrame) -> dict:
+        return {
+            r["q_vec_id"]: set(r["hits"])
+            for r in df.groupBy("q_vec_id")
+            .agg(F.collect_set("vec_id").alias("hits"))
+            .collect()
+        }
+
+    got, want = hit_sets(approx), hit_sets(exact)
+    per_query = {
+        str(q): round(len(got.get(q, set()) & hits) / len(hits), 4)
+        for q, hits in sorted(want.items())
+        if hits
+    }
+    mean = (
+        round(sum(per_query.values()) / len(per_query), 4)
+        if per_query
+        else 1.0
+    )
+    return {
+        "version": v,
+        "topk": topk,
+        "n_probes": n_probes,
+        "n_queries": len(per_query),
+        "recall_at_k": mean,
+        "per_query": per_query,
+    }
+
+
 def query_ivf_index(
     spark: SparkSession,
     index_root: str,

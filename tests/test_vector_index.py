@@ -12,8 +12,16 @@ from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
 from etl_wikipedia_updates_spark.tables import load_table
 from etl_wikipedia_updates_spark.vector_index import (
     build_ivf_index,
+    index_recall,
     query_ivf_index,
 )
+
+# Measured 1-probe recall@5 on the sf0.001 fixture is 0.875 (the whole
+# pipeline is deterministic: scaled-long k-means fit, tie-broken
+# ranking); the floor leaves margin for fixture regeneration, not for
+# noise. An index whose single-probe recall drops below this is
+# misbuilt (wrong assignment or broken probe), not merely unlucky.
+RECALL_FLOOR_1PROBE = 0.7
 
 
 def _queries(emb, n=3):
@@ -346,3 +354,27 @@ def test_query_external_ids_with_exclude_self_false(spark, sf_smoke, tmp_path):
     # external behavior: the colliding vector ranks first (cos=1 with itself)
     assert incl[0].vec_id == 0 and incl[0].rank == 1
     assert abs(incl[0].cos_sim - 1.0) < 1e-6
+
+
+def test_index_recall_floor_monotone_and_exact_at_full_probe(
+    spark, sf_smoke, tmp_path
+):
+    """The recall@k audit: 1-probe recall holds the declared floor,
+    recall is monotone in n_probes (more probed cells can only add
+    candidates), and probing every cell IS brute force — recall
+    exactly 1.0. Also pins the readout shape probe_selectivity's
+    consumers (CLI index stats --recall) rely on."""
+    root = str(tmp_path / "idx")
+    out = build_ivf_index(spark, sf_smoke, root)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb, n=8)
+    recalls = {}
+    for p in (1, 2, out["k"]):
+        r = index_recall(spark, root, q, topk=5, n_probes=p)
+        recalls[p] = r["recall_at_k"]
+        assert r["n_queries"] == 8
+        assert set(r) >= {"recall_at_k", "per_query", "topk", "n_probes"}
+        assert all(0.0 <= v <= 1.0 for v in r["per_query"].values())
+    assert recalls[1] >= RECALL_FLOOR_1PROBE
+    assert recalls[1] <= recalls[2] <= recalls[out["k"]]
+    assert recalls[out["k"]] == 1.0
