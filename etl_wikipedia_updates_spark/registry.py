@@ -2,7 +2,7 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (64 as of round 10). The external correctness gate records the
+entries (65 as of round 10). The external correctness gate records the
 first 50 entries per round, so the surplus sits past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
@@ -21,10 +21,11 @@ stale:
   wiki_pipeline through the r10-pinned timestamp parse — all inside.
 - NEW entries have no official row at all, so they must sit inside
   the first 50 (round 10: span_removal, per-doc duplicated-span
-  excision).
+  excision; ann_lsh_multiprobe, the recall-audit-motivated
+  multi-probe LSH variant).
 - The entries that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (round 10: 14
-  r9-official-green extensions, minhash_lsh through
+  certified green in the immediately-preceding round (round 10: 15
+  r9-official-green extensions, rep_filter through
   stratified_sample in the tail). span_dedup (shares the
   r10-refactored span-occurrence helper), token_stats and
   corpus_stats (the heaviest consumers of the r10-edited
@@ -76,8 +77,10 @@ DECLARATION_ORDER: list[str] = [
     "corpus_release",
     "dedup_corpus",
     # --- NEW in round 10 (never certified — must sit inside the gate
-    # window): per-doc duplicated-span excision ---
+    # window): per-doc duplicated-span excision, and the multi-probe
+    # LSH variant the r10 recall audit motivated ---
     "span_removal",
+    "ann_lsh_multiprobe",
     # --- in-window guards for r10 shared-module edits: span_dedup
     # (shares the refactored span-occurrence helper with the new
     # span_removal), token_stats + corpus_stats (operators.text
@@ -85,9 +88,9 @@ DECLARATION_ORDER: list[str] = [
     "span_dedup",
     "token_stats",
     "corpus_stats",
-    "rep_filter",
-    # --- positions 51-64: yield their slots this round (all UNCHANGED
+    # --- positions 51-65: yield their slots this round (all UNCHANGED
     # in r10 with fresh r9-official green rows) ---
+    "rep_filter",
     "minhash_lsh",
     "lang_id",
     "quantize_embeddings",

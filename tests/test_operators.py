@@ -354,6 +354,51 @@ def test_connected_components_converges_at_exact_diameter(spark):
     assert len(cc) == 7
 
 
+def test_ann_lsh_multiprobe_dominates_single_probe(spark, sf_correctness):
+    """The Hamming<=1 multi-probe's candidate pool is a superset of
+    the single probe's (it always includes the query's own bucket),
+    so per (query, rank) its similarity must dominate, and its
+    recall@k vs brute force must be >= the single probe's."""
+    from etl_wikipedia_updates_spark.operators import similarity as S
+    from etl_wikipedia_updates_spark.registry import REGISTRY
+
+    emb = load_table(spark, sf_correctness, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    exact = {
+        r["q_vec_id"]: set(r["hits"])
+        for r in S.cosine_topk(emb, queries, k=3)
+        .groupBy("q_vec_id")
+        .agg(F.collect_set("vec_id").alias("hits"))
+        .collect()
+    }
+
+    def run(name):
+        rows = (
+            REGISTRY.queries[name]
+            .builder(spark, sf_correctness)
+            .collect()
+        )
+        sims = {(r["q_vec_id"], r["rk"]): r["cos_sim"] for r in rows}
+        hits: dict = {}
+        for r in rows:
+            hits.setdefault(r["q_vec_id"], set()).add(r["vec_id"])
+        recall = sum(
+            len(hits.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+        return sims, recall
+
+    sp_sims, sp_recall = run("ann_lsh")
+    mp_sims, mp_recall = run("ann_lsh_multiprobe")
+    for key, sim in sp_sims.items():
+        assert mp_sims[key] >= sim, f"multiprobe lost ground at {key}"
+    assert mp_recall >= sp_recall
+
+
 def _span_fixture(spark):
     """doc 1 = shared 16-token span + 8 unique tail; doc 2 = 8 unique
     head + the same shared span (HOP-aligned at p=8); doc 3 = all

@@ -11,7 +11,9 @@ line {"sf": .., "recall": {variant: {"recall_at_k": .., ...}}}.
 Run: python tools/ann_recall.py [sf_dir]   (default sf0.1)
 
 Measured 2026-08-14 at sf0.1 (deterministic — same fixture, same
-fits): ann_kmeans 1.0, ann_sq8 1.0, ann_ivf 0.2667, ann_lsh 0.1333.
+fits): ann_kmeans 1.0, ann_sq8 1.0, ann_ivf 0.2667, ann_lsh 0.1333,
+ann_lsh_multiprobe 0.3333 (the Hamming<=1 five-bucket probe buys
+2.5x recall for ~5x candidates).
 The split is structural, not noise: ann_kmeans probes LEARNED
 geometric cells (the k-means partition actually clusters cosine
 neighbors) and ann_sq8's exact rescore recovers everything its 10x
@@ -58,6 +60,7 @@ from etl_wikipedia_updates_spark.plans.northstar import (  # noqa: E402
 VARIANTS: dict[str, tuple[int, int]] = {
     "ann_ivf": (ANN_N_QUERIES, ANN_K),
     "ann_lsh": (ANN_N_QUERIES, ANN_K),
+    "ann_lsh_multiprobe": (ANN_N_QUERIES, ANN_K),
     "ann_kmeans": (ANN_KMEANS_N_QUERIES, ANN_KMEANS_K),
     "ann_sq8": (ANN_SQ8_N_QUERIES, ANN_SQ8_K),
 }
