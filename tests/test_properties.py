@@ -558,3 +558,104 @@ def test_decontam_matches_python_reference(spark, corpus, bench):
             ).collect()
         }
         assert got == expected_keep(exclude_self)
+
+
+# --- span_removal vs a pure-Python reference model ---------------------------
+@st.composite
+def _span_corpus(draw):
+    """Corpora with DELIBERATE cross-doc span sharing: each doc is a
+    concatenation of HOP-sized segments drawn from a tiny shared pool,
+    so HOP-aligned SPAN_W windows (two adjacent segments) recur across
+    docs with high probability — plus short docs (< SPAN_W tokens)
+    exercising the no-span path."""
+    from etl_wikipedia_updates_spark.plans.northstar import SPAN_HOP
+
+    pool = draw(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]),
+                min_size=SPAN_HOP,
+                max_size=SPAN_HOP,
+            ),
+            min_size=2,
+            max_size=4,
+        )
+    )
+    n_docs = draw(st.integers(min_value=2, max_value=6))
+    corpus = {}
+    for d in range(1, n_docs + 1):
+        idxs = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(pool) - 1),
+                min_size=1,
+                max_size=5,
+            )
+        )
+        corpus[d] = [t for i in idxs for t in pool[i]]
+    return corpus
+
+
+def _py_span_removal(corpus, W, HOP):
+    """Reference model on literal token tuples (no hashing): an
+    occurrence is removed iff a smaller doc_id holds the same span
+    anywhere; removed tokens = union of removed spans' positions."""
+    owner: dict = {}
+    spans: dict = {}
+    for d, toks in corpus.items():
+        if len(toks) < W:
+            continue
+        for p in range(0, len(toks) - W + 1, HOP):
+            t = tuple(toks[p : p + W])
+            owner[t] = min(owner.get(t, d), d)
+            spans.setdefault(d, []).append((p, t))
+    out = {}
+    for d, toks in corpus.items():
+        removed: set = set()
+        for p, t in spans.get(d, []):
+            if owner[t] < d:
+                removed.update(range(p, p + W))
+        out[d] = (len(toks), removed)
+    return out
+
+
+@given(corpus=_span_corpus())
+@SLOW
+def test_span_removal_matches_python_reference(spark, corpus):
+    """The engine's span excision (hashed HOP-aligned windows, h-window
+    ownership, map-side covered-position union) must equal the literal
+    Python model on ANY corpus: same per-doc removed counts AND the
+    cleaned text equals the model's kept tokens — including the
+    invariants that the globally-minimal doc never loses tokens and
+    short docs pass through."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SPAN_HOP,
+        SPAN_W,
+        _span_removed_positions,
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks), "en", "s") for d, toks in corpus.items()],
+        "doc_id long, text string, lang string, source string",
+    )
+    want = _py_span_removal(corpus, SPAN_W, SPAN_HOP)
+
+    got_rm = {
+        r["doc_id"]: set(r["rmpos"])
+        for r in _span_removed_positions(docs).collect()
+    }
+    for d, (_, removed) in want.items():
+        assert got_rm.get(d, set()) == removed, f"doc {d} removed-set differs"
+
+    got_clean = {
+        r["doc_id"]: r["text_clean"] for r in remove_dup_spans(docs).collect()
+    }
+    for d, toks in corpus.items():
+        _, removed = want[d]
+        expect = " ".join(
+            t for i, t in enumerate(toks) if i not in removed
+        )
+        assert got_clean[d] == expect, f"doc {d} cleaned text differs"
+    # the minimum doc_id can never lose tokens (it owns every span it
+    # shares downward)
+    assert want[min(corpus)][1] == set()
