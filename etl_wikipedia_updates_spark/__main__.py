@@ -79,7 +79,11 @@ def cmd_release(args) -> int:
         print(json.dumps(out))
         return 0 if out["ok"] else 1
     out = write_release(
-        spark, args.sf_dir, args.out, keep_last=args.keep_last
+        spark,
+        args.sf_dir,
+        args.out,
+        keep_last=args.keep_last,
+        remove_spans=args.remove_spans,
     )
     print(json.dumps(out))
     return 0
@@ -434,6 +438,11 @@ def main(argv: list[str] | None = None) -> int:
     rel.add_argument("--out", required=True, help="SnapshotTable root dir")
     rel.add_argument("--sf-dir", default=sf_default)
     rel.add_argument("--keep-last", type=int, default=2)
+    rel.add_argument(
+        "--remove-spans", action="store_true",
+        help="add the span-excision stage: cross-doc duplicated spans "
+        "are cut from every released doc but the canonical owner",
+    )
     rel.add_argument(
         "--verify",
         action="store_true",

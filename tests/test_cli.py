@@ -85,6 +85,50 @@ def test_cli_sql(spark, sf_smoke, capsys):
     assert "n" in capsys.readouterr().out
 
 
+def test_cli_release_remove_spans_and_index_recall(
+    spark, sf_smoke, tmp_path, capsys
+):
+    """r10 surfaces: `release --remove-spans` records the stage in the
+    version metadata, and `index stats --recall N` appends the
+    measured-accuracy readout beside the footer stats."""
+    import json
+
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    rel = str(tmp_path / "rel")
+    assert (
+        main(
+            [
+                "release", "--out", rel, "--sf-dir", sf_smoke,
+                "--remove-spans",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["audit"]
+    assert SnapshotTable(rel).meta_for(1)["remove_spans"] is True
+
+    idx = str(tmp_path / "idx")
+    assert (
+        main(["index", "build", "--root", idx, "--sf-dir", sf_smoke]) == 0
+    )
+    capsys.readouterr()
+    assert (
+        main(
+            [
+                "index", "stats", "--root", idx,
+                "--recall", "4", "--topk", "3",
+            ]
+        )
+        == 0
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    r = stats["recall"]
+    assert r["n_queries"] == 4 and 0.0 <= r["recall_at_k"] <= 1.0
+    assert len(r["per_query"]) == 4
+
+
 def test_cli_release_and_index(spark, sf_smoke, tmp_path, capsys):
     import json
 
