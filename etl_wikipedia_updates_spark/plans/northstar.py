@@ -972,7 +972,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-flip neighbor. The nearest buckets to a query are exactly those
 # whose sign differs on ONE hyperplane (the vector sits close to that
 # plane), so Hamming<=1 probing is the standard LSH recall buy-back.
-ANN_LSH_FLIP_MASKS = [0] + [2**i for i in range(len(ANN_LSH_PLANES))]
+# The radius is the production dial (S.lsh_probe_masks; radius ==
+# n_planes degenerates to exact brute force — equivalence pinned in
+# test_lsh_full_radius_probe_is_exact).
+ANN_LSH_FLIP_MASKS = S.lsh_probe_masks(len(ANN_LSH_PLANES), radius=1)
 
 
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2792,22 +2795,63 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
     """The cleaned corpus VIEW: every input column, plus text_clean =
     the document's kept tokens rejoined (removed-span tokens excised,
     canonical copies retained). Pure per-row array work after the one
-    doc_id join: filter-by-position inside the token array (the
-    two-arg lambda binds (element, 0-based index)), then array_join —
-    no second explode, no per-token shuffle."""
+    doc_id join, and LINEAR in the doc: rmpos (sorted distinct
+    positions) collapses to its consecutive runs via two vectorized
+    neighbor scans (element_at peeks, no fold), the runs complement
+    into kept gaps, and text_clean is the gap slices flattened and
+    rejoined. An array_contains-per-token filter here would be
+    O(n_tok x |rmpos|) — quadratic for a long heavily-duplicated doc
+    (a 100k-token boilerplate page is ~10^10 comparisons); the run
+    walk is O(n_tok + |rmpos|). The token array is bound ONCE as a
+    lambda variable (the shingles_col idiom) so the gap slices read a
+    materialized array instead of re-splitting text per gap; rmpos
+    needs no such binding (a join attribute, not a recomputed
+    expression). No second explode, no per-token shuffle."""
     with_text = docs.filter(F.col("text").isNotNull())
     rm = _span_removed_positions(with_text)
     joined = with_text.join(rm, "doc_id", "left")
-    cleaned = F.when(
-        F.col("rmpos").isNull(), F.col("text")
-    ).otherwise(
-        F.array_join(
-            F.filter(
-                T.tokens_col(),
-                lambda t, i: ~F.array_contains(F.col("rmpos"), i),
+    rmp = F.col("rmpos")
+    # run boundaries: x at 0-based index i starts a run iff i == 0 or
+    # its predecessor isn't x - 1 (element_at is 1-based, so the
+    # predecessor of 0-based i is element_at(rmp, i); the greatest()
+    # keeps the probe in bounds on the i == 0 branch, whose value the
+    # OR ignores). A run ends where the successor peek (element_at at
+    # i + 2) is NULL (past the end, ANSI off) or isn't x + 1.
+    run_starts = F.filter(
+        rmp,
+        lambda x, i: (i == 0)
+        | (x != F.element_at(rmp, F.greatest(i, F.lit(1))) + 1),
+    )
+    run_ends = F.filter(
+        rmp,
+        lambda x, i: F.element_at(rmp, i + 2).isNull()
+        | (F.element_at(rmp, i + 2) != x + 1),
+    )
+
+    def excised(tk):
+        # kept gaps: [0, first_run_start), between-run gaps, and
+        # [last_run_end + 1, n_tok) — zipped starts/ends are equal
+        # length by construction (runs are disjoint and sorted), and
+        # an empty gap slices to an empty array (length clamped >= 0).
+        gap_starts = F.concat(
+            F.array(F.lit(0)), F.transform(run_ends, lambda e: e + 1)
+        )
+        gap_ends = F.concat(run_starts, F.array(F.size(tk)))
+        return F.array_join(
+            F.flatten(
+                F.zip_with(
+                    gap_starts,
+                    gap_ends,
+                    lambda a, b: F.slice(
+                        tk, a + 1, F.greatest(b - a, F.lit(0))
+                    ),
+                )
             ),
             " ",
         )
+
+    cleaned = F.when(rmp.isNull(), F.col("text")).otherwise(
+        F.transform(F.array(T.tokens_col()), excised)[0]
     )
     return joined.withColumn("text_clean", cleaned).drop("rmpos")
 

@@ -399,6 +399,70 @@ def test_ann_lsh_multiprobe_dominates_single_probe(spark, sf_correctness):
     assert mp_recall >= sp_recall
 
 
+def test_lsh_probe_masks_enumeration():
+    """Radius-ascending Hamming-ball masks: the dial's contract.
+    radius=1 must reproduce the [home, single-bit-flips] list the
+    Hamming<=1 query ships, prefixes must nest (a radius-r list is a
+    prefix of radius r+1), counts follow sum C(n, r), and out-of-range
+    radii fail loudly."""
+    from math import comb
+
+    from etl_wikipedia_updates_spark.operators import similarity as S
+
+    assert S.lsh_probe_masks(4, 0) == [0]
+    assert S.lsh_probe_masks(4, 1) == [0, 1, 2, 4, 8]
+    for radius in range(5):
+        masks = S.lsh_probe_masks(4, radius)
+        assert len(masks) == sum(comb(4, r) for r in range(radius + 1))
+        assert len(set(masks)) == len(masks)
+        assert all(bin(m).count("1") <= radius for m in masks)
+        if radius:
+            smaller = S.lsh_probe_masks(4, radius - 1)
+            assert masks[: len(smaller)] == smaller
+    assert sorted(S.lsh_probe_masks(4, 4)) == list(range(16))
+    with pytest.raises(ValueError):
+        S.lsh_probe_masks(4, 5)
+    with pytest.raises(ValueError):
+        S.lsh_probe_masks(4, -1)
+
+
+def test_lsh_full_radius_probe_is_exact(spark, sf_correctness):
+    """radius == n_planes probes every sign bucket, so the multi-probe
+    candidate pool is the whole corpus and the result must be
+    row-identical to brute-force cosine_topk (same tie-break, same
+    rounding) — the degenerate end of the recall dial, pinning that
+    the probe join + distinct loses nothing."""
+    from etl_wikipedia_updates_spark.operators import similarity as S
+    from etl_wikipedia_updates_spark.plans.northstar import ANN_LSH_PLANES
+
+    n = len(ANN_LSH_PLANES)
+    masks = S.lsh_probe_masks(n, radius=n)
+    emb = load_table(spark, sf_correctness, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bucketed = emb.withColumn(
+        "lsh_cell", S.lsh_bucket_col("embedding", ANN_LSH_PLANES)
+    )
+    probes = F.array(
+        *[F.col("lsh_cell").bitwiseXOR(F.lit(m)) for m in masks]
+    )
+    queries = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        probes.alias("probe_cells"),
+    )
+    full = S.cosine_topk_multiprobe(
+        bucketed, queries, k=3, cell_col="lsh_cell"
+    )
+    exact = S.cosine_topk(
+        emb, queries.select("q_vec_id", "q_embedding"), k=3
+    )
+    key = ["q_vec_id", "rank"]
+    got = [r.asDict() for r in full.orderBy(*key).collect()]
+    want = [r.asDict() for r in exact.orderBy(*key).collect()]
+    assert got == want
+
+
 def _span_fixture(spark):
     """doc 1 = shared 16-token span + 8 unique tail; doc 2 = 8 unique
     head + the same shared span (HOP-aligned at p=8); doc 3 = all
