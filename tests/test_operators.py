@@ -492,6 +492,50 @@ def test_remove_dup_spans_keeps_canonical_copy(spark):
     assert out[2]["text_clean"] == " ".join(f"b{i}" for i in range(8))
 
 
+def test_remove_dup_spans_long_doc_linear(spark):
+    """Excision on a 30k-token doc: full-coverage removal (an exact
+    long duplicate loses EVERY token -> empty text_clean) and a
+    multi-run gap structure (unique insertions split the removal into
+    several runs, each complement gap kept verbatim). Also the
+    excision's de-facto runtime guard: the old per-token
+    array_contains filter was O(n x removed) — ~10^9 comparisons on
+    this fixture, minutes instead of seconds."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SPAN_HOP,
+        SPAN_W,
+        remove_dup_spans,
+    )
+
+    n = 30_000
+    base = [f"t{i % 997}" for i in range(n)]
+    # doc 2 = exact duplicate of doc 1; doc 3 = doc 1 with a unique
+    # 5-token island at two HOP-aligned offsets (too short to form a
+    # clean span on its own, so removal splits into runs around it)
+    d3 = list(base)
+    for off in (8_000, 16_000):
+        d3[off : off + 5] = [f"u{off}_{j}" for j in range(5)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base), "en", "s"),
+            (2, " ".join(base), "en", "s"),
+            (3, " ".join(d3), "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r["text_clean"] for r in remove_dup_spans(docs).collect()}
+    assert out[1] == " ".join(base)  # canonical owner: verbatim
+    assert out[2] == ""  # exact duplicate: fully excised
+    kept3 = out[3].split(" ")
+    # doc 3 keeps every unique token and nothing HOP-aligned far from
+    # the islands; removal is span-granular so a W-token neighborhood
+    # around each island also survives (no span covering it is shared
+    # cleanly — windows overlapping the island hash uniquely)
+    for off in (8_000, 16_000):
+        for j in range(5):
+            assert f"u{off}_{j}" in kept3
+    assert len(kept3) < 2 * (5 + 2 * (SPAN_W + SPAN_HOP))
+
+
 def test_span_removal_extents_match_excision(spark, tmp_path):
     """The registered span_removal extents agree with what
     remove_dup_spans actually excises (n_kept == token count of
