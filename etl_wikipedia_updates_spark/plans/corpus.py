@@ -1,0 +1,407 @@
+"""Corpus-engineering operators: temperature mixing, char-LM quality
+scoring, and output-shard planning.
+
+These extend the training-data-pipeline surface past the reference's
+own operator set (the reference pipeline ships filtered rows straight
+to one SQLite sink — `/root/reference/pipeline.py` has no mixing,
+perplexity-filter, or shard-planning stage), re-expressed the way a
+100 TB Spark curation job would run them:
+
+- ``temperature_mix``: temperature-scaled multinomial source sampling
+  (the mixing rule multilingual LM training uses — sample source s
+  with p_s proportional to share_s^alpha, alpha < 1 upweighting small
+  sources; see mT5/XLM-R-style temperature sampling). Deterministic
+  hash-bucket membership, no RNG state.
+- ``charlm_score``: corpus-fit character-bigram language model scoring
+  every document in bits per character transition — the CCNet-style
+  "perplexity filter" quality signal, with the model fit and the
+  scoring both expressed as DataFrame aggregations (no driver-side
+  fit, no UDF).
+- ``shard_manifest``: deterministic assignment of every document to a
+  fixed number of output shards plus the per-shard manifest (doc/char
+  budgets, checksums, balance shares) a dataloader or writer consumes.
+  The actual partitioned write is operators.layout's job; this is the
+  planning/audit view of it.
+
+Determinism conventions: membership rules are the shared universal
+hash (``ubucket_col`` / ``sql_ubucket`` — identical integer sequences
+on both engines); every floating-point value that crosses the oracle
+hash is either produced by IEEE-correctly-rounded ops only (divide,
+sqrt, multiply, floor) or pinned through functions.deterministic
+(det_round / dec_sum) at a declared scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.functions.deterministic import (
+    dec_sum,
+    det_round,
+    sql_dec_sum,
+    sql_det_round,
+)
+from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
+from etl_wikipedia_updates_spark.plans.northstar import (
+    sql_ubucket,
+    ubucket_col,
+)
+from etl_wikipedia_updates_spark.tables import load_table
+
+# --- temperature_mix: temperature-scaled source sampling ----------------------
+# rate_s = (min_chars / chars_s)^(1 - alpha): alpha = 1 is the natural
+# distribution (keep everything), alpha = 0 equalizes character
+# budgets (source_mix's rule), and the contract pins alpha = 0.5 —
+# rate_s = sqrt(min_chars / chars_s) — because sqrt, divide and
+# multiply are IEEE-754 correctly-rounded in BOTH engines, so the
+# per-source keep threshold is bit-identical across Spark and DuckDB
+# with no libm in the membership path (a deployment choosing another
+# alpha swaps in pow() and accepts engine-local determinism only).
+# The FP math runs once per SOURCE (a handful of rows); each ROW's
+# membership is then a pure integer compare against the precomputed
+# integer threshold, like source_mix/sample_hash.
+TEMP_ALPHA = 0.5  # documented; the sqrt form below IS this value
+TEMP_BUCKETS = 1_000_000  # ppm resolution on the keep rate
+TEMP_A = 22_695_477  # Borland LCG multiplier — public constant,
+TEMP_B = 1  # distinct from sample_hash/source_mix so samples are uncorrelated
+
+
+def _temp_rate_ppm() -> "F.Column":
+    """floor(sqrt(min_chars / chars_s) * BUCKETS) as an integer ppm
+    threshold; 0 for a zero-char source (nothing to balance toward)."""
+    rate = F.sqrt(
+        F.col("min_chars").cast("double") / F.col("chars_in").cast("double")
+    )
+    return (
+        F.when(
+            F.col("chars_in") > 0,
+            F.floor(rate * F.lit(float(TEMP_BUCKETS))).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rate_ppm")
+    )
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the alpha=0.5 temperature downsample.
+
+    Scale shape (mirrors _source_mix): the budget pass is one
+    map-side-combined tiny agg (|sources| rows); the per-source sqrt
+    threshold is computed on that tiny frame and broadcast back onto
+    the corpus; membership is stateless per-row integer math (bucket <
+    rate_ppm — reproducible on any cluster size, no RNG); only the
+    final audit agg shuffles, on source. Two 3-column corpus scans
+    (budget + filter), same trade as source_mix: a cheap partial-agg
+    pass beats shuffling a skewed source key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    budgets = docs.groupBy("source").agg(
+        F.count("*").alias("docs_in"),
+        F.sum("n_chars").alias("chars_in"),
+    )
+    # min over sources that HAVE characters: a zero-char source would
+    # otherwise zero every threshold and empty the whole mix.
+    floor_b = (
+        budgets.filter(F.col("chars_in") > 0)
+        .agg(F.min("chars_in").alias("min_chars"))
+    )
+    rates = budgets.crossJoin(F.broadcast(floor_b)).select(
+        "source", "docs_in", "chars_in", _temp_rate_ppm()
+    )
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        ubucket_col(TEMP_A, TEMP_B, TEMP_BUCKETS) < F.col("rate_ppm")
+    )
+    out = kept.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.sum("doc_id").alias("kept_checksum"),
+    )
+    return (
+        rates.join(F.broadcast(out), "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.col("chars_in").cast("bigint").alias("chars_in"),
+            "rate_ppm",
+            F.coalesce("docs_kept", F.lit(0)).cast("bigint").alias("docs_kept"),
+            F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
+            F.coalesce("kept_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH b AS (
+  SELECT source, COUNT(*) AS docs_in, SUM(n_chars) AS chars_in
+  FROM documents GROUP BY source
+),
+f AS (SELECT MIN(chars_in) AS min_chars FROM b WHERE chars_in > 0),
+r AS (
+  SELECT source, docs_in, chars_in,
+    CASE WHEN chars_in > 0
+         THEN CAST(floor(sqrt(CAST(min_chars AS DOUBLE)
+                              / CAST(chars_in AS DOUBLE))
+                         * CAST({TEMP_BUCKETS} AS DOUBLE)) AS BIGINT)
+         ELSE 0 END AS rate_ppm
+  FROM b CROSS JOIN f
+),
+k AS (
+  SELECT d.source, COUNT(*) AS docs_kept, SUM(d.n_chars) AS chars_kept,
+         SUM(d.doc_id) AS kept_checksum
+  FROM documents d JOIN r USING (source)
+  WHERE {sql_ubucket(TEMP_A, TEMP_B, TEMP_BUCKETS, col="d.doc_id")} < rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source,
+  CAST(docs_in AS BIGINT) AS docs_in,
+  CAST(chars_in AS BIGINT) AS chars_in,
+  rate_ppm,
+  CAST(COALESCE(docs_kept, 0) AS BIGINT) AS docs_kept,
+  CAST(COALESCE(chars_kept, 0) AS BIGINT) AS chars_kept,
+  CAST(COALESCE(kept_checksum, 0) AS BIGINT) AS kept_checksum
+FROM r LEFT JOIN k USING (source) ORDER BY source
+"""
+
+
+# --- charlm_score: character-bigram LM quality scoring ------------------------
+# Add-one-smoothed bigram model fit on the WHOLE corpus, every doc
+# scored in bits per character transition (mean -log2 p(c2|c1)) — high
+# bits = the doc's character sequence is surprising under the corpus
+# model, the CCNet perplexity-filter signal. logp is det-rounded to
+# CHARLM_ROUND decimals AT THE MODEL (a vocabulary-sized frame), so
+# every downstream sum is exact scaled-integer arithmetic; the only
+# libm call in the whole query (log2) happens once per distinct
+# bigram, not once per corpus position.
+CHARLM_ROUND = 6
+CHARLM_FLAG_BITS = 2.52  # audit threshold: ~p90 of the fixture corpus
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bg): every adjacent character pair. Docs with
+    NULL or single-char text have no transitions and are excluded on
+    BOTH engines (the explicit length filter — Spark's sequence(1, 0)
+    would DESCEND and fabricate positions, DuckDB's range(1, 1) is
+    empty; never rely on that divergence)."""
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") >= 2))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("bg"),
+        )
+    )
+
+
+def charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of corpus-fit char-bigram LM scores.
+
+    Scale shape: the model fit is a map-side-combined partial agg of
+    the exploded transitions down to the bigram VOCABULARY (bounded by
+    observed-charset^2 — thousands of rows even on a multilingual web
+    corpus, never corpus-scale), joined to its context totals and
+    successor-vocabulary size (both tiny, broadcast). Scoring
+    broadcasts the model onto the exploded corpus — the corpus side
+    streams, the bounded side broadcasts — and the per-doc agg
+    partial-aggregates the (doc_id, logp) stream map-side before the
+    |docs|-row shuffle (exploded transitions for one doc are adjacent,
+    so partials collapse per task). Two corpus scans (fit + score),
+    the same trade source_mix documents.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    big = _doc_bigrams(docs)
+    model_c = big.groupBy("bg").agg(F.count("*").alias("c"))
+    ctx = model_c.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c").alias("ctx_c")
+    )
+    vocab = model_c.agg(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("vs")
+    )
+    model = (
+        model_c.join(
+            F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("c1")
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            det_round(
+                F.log2(
+                    (F.col("c") + 1)
+                    / (F.col("ctx_c") + F.col("vs")).cast("double")
+                ),
+                CHARLM_ROUND,
+            ).alias("logp"),
+        )
+    )
+    per_doc = big.join(F.broadcast(model), "bg").groupBy(
+        "doc_id", "source"
+    ).agg(
+        (
+            -dec_sum(F.col("logp"), scale=CHARLM_ROUND) / F.count("*")
+        ).alias("bits")
+    )
+    flagged = F.col("bits") > F.lit(CHARLM_FLAG_BITS)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            det_round(
+                dec_sum(F.col("bits"), scale=CHARLM_ROUND) / F.count("*"), 4
+            ).alias("mean_bits"),
+            det_round(F.max("bits"), 4).alias("max_bits"),
+            F.coalesce(
+                F.sum(F.when(flagged, 1)), F.lit(0)
+            ).cast("bigint").alias("flagged_docs"),
+            F.coalesce(
+                F.sum(F.when(flagged, F.col("doc_id"))), F.lit(0)
+            ).cast("bigint").alias("flagged_checksum"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+CHARLM_SCORE_SQL = f"""
+WITH big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, i, 2))) AS bg
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 2
+),
+mc AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+ctx AS (SELECT substr(bg, 1, 1) AS c1, SUM(c) AS ctx_c FROM mc GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vs FROM mc),
+model AS (
+  SELECT bg,
+    {sql_det_round('log2((c + 1) / CAST(ctx_c + vs AS DOUBLE))', CHARLM_ROUND)}
+      AS logp
+  FROM mc JOIN ctx ON substr(mc.bg, 1, 1) = ctx.c1 CROSS JOIN v
+),
+pd AS (
+  SELECT doc_id, source,
+         -({sql_dec_sum('logp', CHARLM_ROUND)}) / COUNT(*) AS bits
+  FROM big JOIN model USING (bg) GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+  {sql_det_round(f"{sql_dec_sum('bits', CHARLM_ROUND)} / COUNT(*)", 4)}
+    AS mean_bits,
+  {sql_det_round('MAX(bits)', 4)} AS max_bits,
+  CAST(COALESCE(SUM(CASE WHEN bits > {CHARLM_FLAG_BITS} THEN 1 END), 0)
+       AS BIGINT) AS flagged_docs,
+  CAST(COALESCE(SUM(CASE WHEN bits > {CHARLM_FLAG_BITS} THEN doc_id END), 0)
+       AS BIGINT) AS flagged_checksum
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
+# --- shard_manifest: deterministic output sharding + manifest -----------------
+N_SHARDS = 16
+SHARD_A = 1_664_525  # Numerical Recipes LCG — public constants,
+SHARD_B = 1_013_904_223  # a third stream uncorrelated with split/mix
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc to one of N_SHARDS output shards by the
+    universal hash and emit the per-shard manifest: doc/char budgets,
+    id checksum, source spread, and balance shares.
+
+    Scale shape: assignment is stateless per-row integer math (the
+    writer's repartition key — any cluster size reproduces it); the
+    manifest is one N_SHARDS-key agg with map-side partials plus a
+    broadcast single-row total for the share columns. The actual
+    sharded WRITE is df.repartition(N_SHARDS, shard).write — this
+    query is the plan/audit for it (operators.layout owns file
+    layout). doc_share/char_share expose skew directly: a hot shard
+    shows up as share >> 1/N before any file is written.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    totals = docs.agg(
+        F.count("*").alias("total_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    shards = docs.groupBy(
+        ubucket_col(SHARD_A, SHARD_B, N_SHARDS).alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        shards.crossJoin(F.broadcast(totals))
+        .select(
+            "shard",
+            "n_docs",
+            F.col("n_chars_total").cast("bigint").alias("n_chars_total"),
+            F.col("id_checksum").cast("bigint").alias("id_checksum"),
+            "n_sources",
+            det_round(
+                F.col("n_docs").cast("double")
+                / F.col("total_docs").cast("double"),
+                6,
+            ).alias("doc_share"),
+            det_round(
+                F.col("n_chars_total").cast("double")
+                / F.col("total_chars").cast("double"),
+                6,
+            ).alias("char_share"),
+        )
+        .transform(total_order, "shard")
+    )
+
+
+SHARD_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS total_docs,
+         CAST(SUM(n_chars) AS DOUBLE) AS total_chars
+  FROM documents
+),
+s AS (
+  SELECT {sql_ubucket(SHARD_A, SHARD_B, N_SHARDS)} AS shard,
+         COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total,
+         SUM(doc_id) AS id_checksum, COUNT(DISTINCT source) AS n_sources
+  FROM documents GROUP BY 1
+)
+SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_chars_total AS BIGINT) AS n_chars_total,
+  CAST(id_checksum AS BIGINT) AS id_checksum,
+  CAST(n_sources AS BIGINT) AS n_sources,
+  {sql_det_round('n_docs / total_docs', 6)} AS doc_share,
+  {sql_det_round('n_chars_total / total_chars', 6)} AS char_share
+FROM s CROSS JOIN t ORDER BY shard
+"""
+
+
+CORPUS_QUERIES: list[DeclaredQuery] = [
+    DeclaredQuery(
+        "temperature_mix",
+        temperature_mix,
+        TEMPERATURE_MIX_SQL,
+        "temperature-scaled (alpha=0.5) deterministic source sampling",
+    ),
+    DeclaredQuery(
+        "charlm_score",
+        charlm_score,
+        CHARLM_SCORE_SQL,
+        "char-bigram LM bits-per-transition quality scoring (CCNet-style)",
+    ),
+    DeclaredQuery(
+        "shard_manifest",
+        shard_manifest,
+        SHARD_MANIFEST_SQL,
+        "deterministic output-shard assignment + balance manifest",
+    ),
+]

@@ -2,7 +2,7 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (65 as of round 10). The external correctness gate records the
+entries (68 as of round 10). The external correctness gate records the
 first 50 entries per round, so the surplus sits past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
@@ -22,14 +22,16 @@ stale:
 - NEW entries have no official row at all, so they must sit inside
   the first 50 (round 10: span_removal, per-doc duplicated-span
   excision; ann_lsh_multiprobe, the recall-audit-motivated
-  multi-probe LSH variant).
+  multi-probe LSH variant; and the plans.corpus trio —
+  temperature_mix, charlm_score, shard_manifest).
 - The entries that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (round 10: 15
-  r9-official-green extensions, rep_filter through
-  stratified_sample in the tail). span_dedup (shares the
-  r10-refactored span-occurrence helper), token_stats and
-  corpus_stats (the heaviest consumers of the r10-edited
-  operators.text module) hold in-window slots as a guard.
+  certified green in the immediately-preceding round (round 10: 18
+  r9-official-green extensions in the tail). The corpus trio's
+  arrival displaced the three in-window guards an earlier r10
+  session held for shared-module edits (span_dedup, token_stats,
+  corpus_stats): a never-certified entry outranks a guard whose
+  r9-official row is one round old and whose oracle is re-proven
+  locally every run by tests/test_queries_oracle.py.
 
 All entries are benched by bench.py regardless of position, and the
 oracle-backed entries are oracle-tested every run in
@@ -43,6 +45,7 @@ from __future__ import annotations
 
 from etl_wikipedia_updates_spark.plans.base import QueryRegistry
 from etl_wikipedia_updates_spark.plans.clustering import CLUSTERING_QUERIES
+from etl_wikipedia_updates_spark.plans.corpus import CORPUS_QUERIES
 from etl_wikipedia_updates_spark.plans.events import EVENTS_QUERIES
 from etl_wikipedia_updates_spark.plans.northstar import NORTHSTAR_QUERIES
 from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
@@ -77,19 +80,22 @@ DECLARATION_ORDER: list[str] = [
     "corpus_release",
     "dedup_corpus",
     # --- NEW in round 10 (never certified — must sit inside the gate
-    # window): per-doc duplicated-span excision, and the multi-probe
-    # LSH variant the r10 recall audit motivated ---
+    # window): per-doc duplicated-span excision, the multi-probe
+    # LSH variant the r10 recall audit motivated, and the corpus trio
+    # (temperature mixing / char-LM quality scoring / shard planning,
+    # plans/corpus.py) ---
     "span_removal",
     "ann_lsh_multiprobe",
-    # --- in-window guards for r10 shared-module edits: span_dedup
-    # (shares the refactored span-occurrence helper with the new
-    # span_removal), token_stats + corpus_stats (operators.text
-    # consumers) ---
+    "temperature_mix",
+    "charlm_score",
+    "shard_manifest",
+    # --- positions 51-68: yield their slots this round (all with
+    # r9-official green rows; span_dedup/token_stats/corpus_stats
+    # are UNCHANGED-in-behavior consumers of r10-edited shared
+    # modules, oracle-green locally — see docstring) ---
     "span_dedup",
     "token_stats",
     "corpus_stats",
-    # --- positions 51-65: yield their slots this round (all UNCHANGED
-    # in r10 with fresh r9-official green rows) ---
     "rep_filter",
     "minhash_lsh",
     "lang_id",
@@ -112,6 +118,7 @@ _declared.extend(RELATIONAL_QUERIES)
 _declared.extend(EVENTS_QUERIES)
 _declared.extend(NORTHSTAR_QUERIES)
 _declared.extend(CLUSTERING_QUERIES)
+_declared.extend(CORPUS_QUERIES)
 _declared.extend(WIKI_QUERIES)
 
 _missing = set(_declared.queries) - set(DECLARATION_ORDER)

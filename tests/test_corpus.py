@@ -1,0 +1,203 @@
+"""Unit + reference-model tests for plans/corpus.py (temperature_mix,
+charlm_score, shard_manifest). The DuckDB differential runs in
+test_queries_oracle.py like every registered query; these tests pin
+the SEMANTICS against independent Python reference models and the
+conservation laws the oracle hash alone wouldn't explain.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from etl_wikipedia_updates_spark.plans import corpus as C
+
+
+def _write_docs(tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(str(tmp_path) + "/documents.parquet")
+    return str(tmp_path)
+
+
+# --- temperature_mix ----------------------------------------------------------
+
+
+def test_temperature_rate_math(spark, sf_smoke):
+    """rate_ppm must equal floor(sqrt(min_chars/chars_s) * 1e6) computed
+    independently, the min-char source must keep at 100% rate (ppm ==
+    BUCKETS), and rates must be monotone non-increasing in chars_in."""
+    rows = C.temperature_mix(spark, sf_smoke).collect()
+    chars = {r["source"]: r["chars_in"] for r in rows}
+    min_chars = min(v for v in chars.values() if v > 0)
+    for r in rows:
+        expect = math.floor(
+            math.sqrt(min_chars / float(r["chars_in"])) * C.TEMP_BUCKETS
+        )
+        assert r["rate_ppm"] == expect, r
+    by_rate = sorted(rows, key=lambda r: r["chars_in"])
+    assert by_rate[0]["rate_ppm"] == C.TEMP_BUCKETS  # smallest keeps all
+    ppms = [r["rate_ppm"] for r in by_rate]
+    assert ppms == sorted(ppms, reverse=True)
+
+
+def test_temperature_membership_matches_reference(spark, tmp_path):
+    """Row membership is exactly the shared universal-hash rule: replay
+    bucket < rate_ppm in pure Python and demand identical kept sets
+    (via the checksum) — including a source with a huge int64 doc_id
+    (the overflow regime ubucket_col defends against)."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "x" * (10 + i % 3), "en", "small", 10 + i % 3))
+    for i in range(160):
+        rows.append((100 + i, "y" * 40, "en", "big", 40))
+    rows.append((9_223_372_036, "z" * 40, "en", "big", 40))
+    sf = _write_docs(tmp_path, rows)
+    out = {r["source"]: r for r in C.temperature_mix(spark, sf).collect()}
+
+    chars = Counter()
+    for doc_id, _, _, src, n in rows:
+        chars[src] += n
+    min_chars = min(chars.values())
+    for src in chars:
+        ppm = math.floor(
+            math.sqrt(min_chars / float(chars[src])) * C.TEMP_BUCKETS
+        )
+        kept = [
+            d
+            for d, _, _, s, _ in rows
+            if s == src
+            and ((d % 2147483647) * C.TEMP_A + C.TEMP_B)
+            % 2147483647
+            % C.TEMP_BUCKETS
+            < ppm
+        ]
+        assert out[src]["rate_ppm"] == ppm
+        assert out[src]["docs_kept"] == len(kept)
+        assert out[src]["kept_checksum"] == sum(kept)
+    # alpha=0.5 keeps MORE of the big source than char-equalization
+    # (alpha=0) would, but less than everything: the temperature law.
+    big = out["big"]
+    assert 0 < big["docs_kept"] < big["docs_in"]
+    assert big["chars_kept"] * 1.0 / big["chars_in"] > min_chars / chars["big"]
+
+
+# --- charlm_score -------------------------------------------------------------
+
+
+def _ref_charlm(rows, flag_bits):
+    """Literal Python reference of the add-one char-bigram model +
+    scoring + per-source audit, floor-rounding exactly as declared."""
+
+    def r(x, d):
+        s = float(10**d)
+        return math.floor(x * s + 0.5) / s
+
+    bigs = []
+    for doc_id, text, _, src, _ in rows:
+        if text is None or len(text) < 2:
+            continue
+        for i in range(len(text) - 1):
+            bigs.append((doc_id, src, text[i : i + 2]))
+    mc = Counter(bg for _, _, bg in bigs)
+    ctx = Counter()
+    for bg, c in mc.items():
+        ctx[bg[0]] += c
+    vs = len({bg[1] for bg in mc})
+    logp = {
+        bg: r(math.log2((c + 1) / float(ctx[bg[0]] + vs)), C.CHARLM_ROUND)
+        for bg, c in mc.items()
+    }
+    per = {}
+    for d, s, bg in bigs:
+        t = per.setdefault((d, s), [0, 0])
+        t[0] += math.floor(logp[bg] * 10**C.CHARLM_ROUND + 0.5)
+        t[1] += 1
+    bits = {
+        k: -(v[0] / float(10**C.CHARLM_ROUND)) / v[1] for k, v in per.items()
+    }
+    out = {}
+    for (d, s), b in bits.items():
+        o = out.setdefault(s, {"n": 0, "sum": 0, "mx": -1e18, "fd": 0, "fc": 0})
+        o["n"] += 1
+        o["sum"] += math.floor(b * 10**C.CHARLM_ROUND + 0.5)
+        o["mx"] = max(o["mx"], b)
+        if b > flag_bits:
+            o["fd"] += 1
+            o["fc"] += d
+    return {
+        s: {
+            "n_docs": o["n"],
+            "mean_bits": r(
+                (o["sum"] / float(10**C.CHARLM_ROUND)) / o["n"], 4
+            ),
+            "max_bits": r(o["mx"], 4),
+            "flagged_docs": o["fd"],
+            "flagged_checksum": o["fc"],
+        }
+        for s, o in out.items()
+    }
+
+
+def test_charlm_matches_python_reference(spark, tmp_path):
+    """Third-implementation check (Spark vs DuckDB vs literal Python):
+    a skewed corpus where srcREP repeats one character pair (low
+    surprise) and srcMIX cycles many pairs (high surprise), plus the
+    degenerate rows — NULL text and a single-char doc score nothing
+    on every implementation."""
+    rows = []
+    for i in range(8):
+        rows.append((i, "ababab" + "ab" * i, "en", "srcREP", 6 + 2 * i))
+    for i in range(8):
+        # quadratic stepping over 26 letters: mostly one-off bigrams,
+        # each carrying near-maximal surprise under the corpus model
+        text = "".join(
+            chr(ord("a") + (i * 7 + j * j) % 26) for j in range(30)
+        )
+        rows.append((100 + i, text, "en", "srcMIX", 30))
+    rows.append((200, None, "en", "srcREP", 0))
+    rows.append((201, "q", "en", "srcMIX", 1))
+    sf = _write_docs(tmp_path, rows)
+    got = {r["source"]: r.asDict() for r in C.charlm_score(spark, sf).collect()}
+    want = _ref_charlm(rows, C.CHARLM_FLAG_BITS)
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        for k, v in w.items():
+            assert g[k] == v, (src, k, g[k], v)
+    # the repeated-pair source must be less surprising than the mixer
+    assert got["srcREP"]["mean_bits"] < got["srcMIX"]["mean_bits"]
+
+
+# --- shard_manifest -----------------------------------------------------------
+
+
+def test_shard_manifest_conserves_corpus(spark, sf_smoke):
+    """Shards partition the corpus exactly: doc/char/checksum totals
+    across shards equal the corpus totals, shard ids live in
+    [0, N_SHARDS), and the share columns sum to ~1."""
+    import duckdb
+
+    rows = C.shard_manifest(spark, sf_smoke).collect()
+    con = duckdb.connect()
+    total_docs, total_chars, total_ids = con.execute(
+        "SELECT COUNT(*), SUM(n_chars), SUM(doc_id) FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    ).fetchone()
+    con.close()
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    assert sum(r["n_chars_total"] for r in rows) == total_chars
+    assert sum(r["id_checksum"] for r in rows) == total_ids
+    assert all(0 <= r["shard"] < C.N_SHARDS for r in rows)
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["char_share"] for r in rows) - 1.0) < 1e-4
+    # the universal hash should spread this corpus: no empty shard and
+    # no shard above 3x its fair share
+    assert len(rows) == C.N_SHARDS
+    assert max(r["doc_share"] for r in rows) < 3.0 / C.N_SHARDS

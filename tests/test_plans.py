@@ -117,6 +117,26 @@ CASES = [
         ["Generate", "hashpartitioning(h", "Window"],
         ["Exchange rangepartitioning", "BroadcastNestedLoopJoin"],
     ),
+    # temperature_mix (r10): same scale contract as source_mix — the
+    # per-source threshold frame broadcasts back onto the corpus; the
+    # corpus never shuffles on the skewed source key before the final
+    # audit agg (the sqrt runs once per SOURCE, membership is integer
+    # math per row)
+    ("temperature_mix", ["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
+    # charlm_score (r10): the bounded bigram-vocabulary model
+    # broadcasts onto the exploded corpus (never the reverse — the
+    # corpus side is transition-scale); the per-doc agg combines
+    # map-side; everything stays JVM-side (no Python eval) and no
+    # window anywhere
+    (
+        "charlm_score",
+        ["Generate", "BroadcastHashJoin", "partial_"],
+        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython", "Window"],
+    ),
+    # shard_manifest (r10): stateless per-row shard assignment feeding
+    # one N_SHARDS-key agg with map-side partials; no explode, no
+    # joins beyond the single-row totals broadcast
+    ("shard_manifest", ["partial_"], ["SortMergeJoin", "Generate", "Window"]),
 ]
 
 

@@ -103,6 +103,9 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         "span_dedup",
         "span_removal",
         "minhash_lsh",
+        "temperature_mix",
+        "charlm_score",
+        "shard_manifest",
     ]
     failures = []
     for name in hardened:

@@ -62,6 +62,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "BroadcastExchange"],
         ["hashpartitioning", "Generate"],
     ),
+    # r10 corpus trio (mirrors tests/test_plans.py): threshold/model
+    # frames broadcast onto the streamed corpus, map-side partials,
+    # no merge joins, charlm stays JVM-side with no window
+    "temperature_mix": (["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
+    "charlm_score": (
+        ["Generate", "BroadcastHashJoin", "partial_"],
+        ["SortMergeJoin", "BatchEvalPython", "Window"],
+    ),
+    "shard_manifest": (["partial_"], ["SortMergeJoin", "Generate", "Window"]),
 }
 
 
