@@ -44,10 +44,11 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
 )
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.plans.northstar import (
+    _memo_model,
     sql_ubucket,
     ubucket_col,
 )
-from etl_wikipedia_updates_spark.tables import load_table
+from etl_wikipedia_updates_spark.tables import load_table, spread
 
 # --- temperature_mix: temperature-scaled source sampling ----------------------
 # rate_s = (min_chars / chars_s)^(1 - alpha): alpha = 1 is the natural
@@ -187,64 +188,102 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     NULL or single-char text have no transitions and are excluded on
     BOTH engines (the explicit length filter — Spark's sequence(1, 0)
     would DESCEND and fabricate positions, DuckDB's range(1, 1) is
-    empty; never rely on that divergence)."""
+    empty; never rely on that divergence).
+
+    Built by splitting to a char array once and zipping it against its
+    own tail — O(len) per doc. The tempting one-liner
+    ``transform(sequence(1, len-1), i -> substring(text, i, 2))`` is
+    O(len^2): Spark's UTF8String.substring walks from the string start
+    for every position (at 100 TB the quadratic blowup scales with
+    document length, not corpus size — long documents stall single
+    tasks).
+
+    The transition is emitted as a PACKED INTEGER id, codepoint(c1) *
+    0x110000 + codepoint(c2) — injective for every Unicode pair (code
+    points are < 0x110000), and a long join/group key beats a 2-char
+    string key measurably (string bigrams: 2.4s full query at sf0.1;
+    packed longs: ~1.6s — the broadcast probe and the vocab agg both
+    hash longs instead of strings, and the explode allocates no
+    per-transition string). Spark's ascii() returns the true first
+    codepoint (astral planes included — test-pinned), so the driver
+    unpacks with // and % in exact integer math."""
     return (
         docs.filter(F.col("text").isNotNull() & (F.length("text") >= 2))
+        .withColumn("cs", F.split("text", ""))
         .select(
             "doc_id",
             "source",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, length(text) - 1),"
-                    " i -> substring(text, i, 2))"
+                    "zip_with(slice(cs, 1, size(cs) - 1),"
+                    " slice(cs, 2, size(cs) - 1),"
+                    " (a, b) -> cast(ascii(a) as bigint) * 1114112"
+                    " + ascii(b))"
                 )
             ).alias("bg"),
         )
     )
 
 
+def _fit_bigram_counts(big: DataFrame) -> list[tuple[int, int]]:
+    """One count job down to the bigram vocabulary — the fit-small
+    half. The result is bounded by observed-charset^2 (thousands of
+    rows even on a multilingual web corpus, never corpus-scale), so
+    collecting it is the same bounded-model collect lang_id and
+    kmeans_clusters already rely on."""
+    return [
+        (r["bg"], r["c"])
+        for r in big.groupBy("bg").agg(F.count("*").alias("c")).collect()
+    ]
+
+
 def charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source audit of corpus-fit char-bigram LM scores.
 
-    Scale shape: the model fit is a map-side-combined partial agg of
-    the exploded transitions down to the bigram VOCABULARY (bounded by
-    observed-charset^2 — thousands of rows even on a multilingual web
-    corpus, never corpus-scale), joined to its context totals and
-    successor-vocabulary size (both tiny, broadcast). Scoring
-    broadcasts the model onto the exploded corpus — the corpus side
-    streams, the bounded side broadcasts — and the per-doc agg
-    partial-aggregates the (doc_id, logp) stream map-side before the
-    |docs|-row shuffle (exploded transitions for one doc are adjacent,
-    so partials collapse per task). Two corpus scans (fit + score),
-    the same trade source_mix documents.
+    Eager fit-then-score (the lang_id/kmeans pattern): the bigram
+    counts are fitted in ONE map-side-combined count job at build time
+    and memoized; context totals and the successor-vocabulary size are
+    derived driver-side in integer arithmetic (no Python float math —
+    the logp expression stays a JVM det_round(log2(...)) over the
+    inlined integer counts, identical to the oracle's). A first,
+    declarative-diamond version recomputed the corpus explode once per
+    model branch (model/ctx/vocab — AQE does not reuse those
+    exchanges) and ran 3.7s at sf0.1; the eager fit runs the explode
+    once for the fit and once for scoring.
+
+    Scoring broadcasts the bounded model onto the exploded corpus —
+    the corpus side streams, the bounded side broadcasts — and the
+    per-doc agg partial-aggregates map-side before the |docs|-row
+    shuffle (exploded transitions for one doc are adjacent, so
+    partials collapse per task).
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    counts = _memo_model(
+        spark,
+        sf_dir,
+        "charlm_bigram_counts",
+        lambda: _fit_bigram_counts(_doc_bigrams(spread(docs))),
+    )
+    ctx: dict[int, int] = {}
+    for bg, c in counts:
+        ctx[bg // 1114112] = ctx.get(bg // 1114112, 0) + c
+    vs = len({bg % 1114112 for bg, _ in counts})
+    model_rows = [(bg, c, ctx[bg // 1114112], vs) for bg, c in counts]
+    model = spark.createDataFrame(
+        model_rows, schema="bg bigint, c bigint, ctx_c bigint, vs bigint"
+    ).select(
+        "bg",
+        det_round(
+            F.log2(
+                (F.col("c") + 1)
+                / (F.col("ctx_c") + F.col("vs")).cast("double")
+            ),
+            CHARLM_ROUND,
+        ).alias("logp"),
+    )
     big = _doc_bigrams(docs)
-    model_c = big.groupBy("bg").agg(F.count("*").alias("c"))
-    ctx = model_c.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-        F.sum("c").alias("ctx_c")
-    )
-    vocab = model_c.agg(
-        F.countDistinct(F.substring("bg", 2, 1)).alias("vs")
-    )
-    model = (
-        model_c.join(
-            F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("c1")
-        )
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bg",
-            det_round(
-                F.log2(
-                    (F.col("c") + 1)
-                    / (F.col("ctx_c") + F.col("vs")).cast("double")
-                ),
-                CHARLM_ROUND,
-            ).alias("logp"),
-        )
-    )
     per_doc = big.join(F.broadcast(model), "bg").groupBy(
         "doc_id", "source"
     ).agg(
@@ -397,6 +436,7 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         charlm_score,
         CHARLM_SCORE_SQL,
         "char-bigram LM bits-per-transition quality scoring (CCNet-style)",
+        eager=True,  # bigram-count model fit runs a job at build time
     ),
     DeclaredQuery(
         "shard_manifest",

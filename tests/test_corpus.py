@@ -163,6 +163,9 @@ def test_charlm_matches_python_reference(spark, tmp_path):
         rows.append((100 + i, text, "en", "srcMIX", 30))
     rows.append((200, None, "en", "srcREP", 0))
     rows.append((201, "q", "en", "srcMIX", 1))
+    # non-ASCII incl. an astral-plane char: the packed-codepoint
+    # transition id must agree with Python ord() beyond Latin-1
+    rows.append((202, "é€中\U0001D11E é€中", "en", "srcMIX", 8))
     sf = _write_docs(tmp_path, rows)
     got = {r["source"]: r.asDict() for r in C.charlm_score(spark, sf).collect()}
     want = _ref_charlm(rows, C.CHARLM_FLAG_BITS)
