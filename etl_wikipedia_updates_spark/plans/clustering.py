@@ -22,6 +22,7 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
     sql_det_round,
 )
 from etl_wikipedia_updates_spark.operators import clustering as C
+from etl_wikipedia_updates_spark.operators import similarity as S
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.tables import load_table, spread
 from etl_wikipedia_updates_spark.caches import purge_stale
@@ -257,6 +258,94 @@ ORDER BY q_vec_id, rk
 
 ANN_KMEANS_SQL = _ann_kmeans_sql(KMEANS_K, KMEANS_ITERS)
 
+
+# --- semantic_dedup: SemDeDup over the learned cells --------------------------
+# SemDeDup (Abbas et al. 2023): cluster the embedding space, then call
+# two vectors in the SAME cluster semantic duplicates when their cosine
+# clears a threshold, and keep one representative. Survivorship follows
+# the repo-wide near-dup convention (dedup_corpus, span_removal): the
+# LOWEST vec_id in a duplicate relation is canonical — a vector is
+# removed iff a smaller vec_id in its cluster sits within the
+# threshold. The threshold matches cosine_neardup's, but over LEARNED
+# cells instead of the fixture's label column — the label-free
+# composition a real curation run needs.
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup audit: members, removed duplicates, and
+    removed/kept id checksums.
+
+    Scale shape: the fit is the SHARED memoized k-means
+    (_fit_centroids — kmeans_clusters / ann_kmeans / semantic_dedup
+    train once per session+sf); assignment is a map-side struct-min
+    projection; the pair space is per-cell (equi-join on cid + id
+    inequality, the cosine_near_pairs operator), so the quadratic term
+    is bounded by the largest CELL, never the corpus — at 100 TB a
+    skewed cell is salted or sub-clustered, and k grows with the
+    corpus (SemDeDup uses k ~ sqrt(n)). The removed-id set joins back
+    on vec_id for the audit — the same corpus-keyed shuffle the
+    release view needs anyway."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cents = _fit_centroids(emb, sf_dir)
+    assigned = C.assignment(emb, cents).select("vec_id", "embedding", "cid")
+    pairs = S.cosine_near_pairs(assigned, SEMDEDUP_TAU, cell_col="cid")
+    removed = (
+        pairs.select(F.col("vec_id2").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    flagged = assigned.select("vec_id", "cid").join(removed, "vec_id", "left")
+    rm = F.col("rm") == 1
+    return (
+        flagged.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.coalesce(F.sum(F.when(rm, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.sum(F.when(rm, F.col("vec_id"))), F.lit(0))
+            .cast("bigint")
+            .alias("removed_checksum"),
+            F.coalesce(F.sum(F.when(F.col("rm").isNull(), F.col("vec_id"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+        .transform(total_order, "cid")
+    )
+
+
+def _semantic_dedup_sql(k: int, iters: int) -> str:
+    from etl_wikipedia_updates_spark.functions.arrays import (
+        sql_cosine_similarity,
+    )
+
+    cos = sql_cosine_similarity("a.embedding", "b.embedding")
+    return (
+        ",\n".join(_kmeans_ctes(k, iters))
+        + f""",
+rmv AS (
+  SELECT DISTINCT b.vec_id AS rm
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU}
+)
+SELECT af.cid AS cid, COUNT(*) AS n_members,
+  CAST(COALESCE(SUM(CASE WHEN rm IS NOT NULL THEN 1 END), 0) AS BIGINT)
+    AS n_removed,
+  CAST(COALESCE(SUM(CASE WHEN rm IS NOT NULL THEN af.vec_id END), 0) AS BIGINT)
+    AS removed_checksum,
+  CAST(COALESCE(SUM(CASE WHEN rm IS NULL THEN af.vec_id END), 0) AS BIGINT)
+    AS kept_checksum
+FROM af LEFT JOIN rmv ON af.vec_id = rmv.rm
+GROUP BY af.cid ORDER BY cid
+"""
+    )
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql(KMEANS_K, KMEANS_ITERS)
+
 CLUSTERING_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "kmeans_clusters",
@@ -270,6 +359,13 @@ CLUSTERING_QUERIES: list[DeclaredQuery] = [
         ann_kmeans,
         ANN_KMEANS_SQL,
         "IVF top-k over learned k-means cells",
+        eager=True,  # Lloyd's fit runs jobs at build time
+    ),
+    DeclaredQuery(
+        "semantic_dedup",
+        semantic_dedup,
+        SEMANTIC_DEDUP_SQL,
+        "SemDeDup: within-learned-cluster cosine near-dup removal audit",
         eager=True,  # Lloyd's fit runs jobs at build time
     ),
 ]

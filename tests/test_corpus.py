@@ -204,3 +204,30 @@ def test_shard_manifest_conserves_corpus(spark, sf_smoke):
     # no shard above 3x its fair share
     assert len(rows) == C.N_SHARDS
     assert max(r["doc_share"] for r in rows) < 3.0 / C.N_SHARDS
+
+
+# --- semantic_dedup (plans/clustering.py) --------------------------------------
+
+
+def test_semantic_dedup_conserves_and_keeps_canonical(spark, sf_smoke):
+    """SemDeDup invariants the oracle hash alone wouldn't explain:
+    clusters partition the corpus (member/checksum conservation vs the
+    raw table), and every cluster keeps at least one member — the
+    cluster's minimum vec_id has no smaller partner, so it can never
+    be removed."""
+    import duckdb
+
+    from etl_wikipedia_updates_spark.plans.clustering import semantic_dedup
+
+    rows = semantic_dedup(spark, sf_smoke).collect()
+    con = duckdb.connect()
+    n, ids = con.execute(
+        f"SELECT COUNT(*), SUM(vec_id) FROM '{sf_smoke}/embeddings.parquet'"
+    ).fetchone()
+    con.close()
+    assert sum(r["n_members"] for r in rows) == n
+    assert (
+        sum(r["removed_checksum"] + r["kept_checksum"] for r in rows) == ids
+    )
+    for r in rows:
+        assert 0 <= r["n_removed"] < r["n_members"], r

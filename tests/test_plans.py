@@ -137,6 +137,10 @@ CASES = [
     # one N_SHARDS-key agg with map-side partials; no explode, no
     # joins beyond the single-row totals broadcast
     ("shard_manifest", ["partial_"], ["SortMergeJoin", "Generate", "Window"]),
+    # semantic_dedup (r10): assignment is a map-side struct-min
+    # projection over inlined centroid literals (no centroid-frame
+    # join), the pair space is cell-blocked, everything stays JVM-side
+    ("semantic_dedup", ["partial_"], ["BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 

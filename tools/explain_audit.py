@@ -71,6 +71,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin", "BatchEvalPython", "Window"],
     ),
     "shard_manifest": (["partial_"], ["SortMergeJoin", "Generate", "Window"]),
+    "semantic_dedup": (["partial_"], ["BatchEvalPython"]),
 }
 
 
