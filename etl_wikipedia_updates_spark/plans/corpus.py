@@ -22,6 +22,9 @@ perplexity-filter, or shard-planning stage), re-expressed the way a
   budgets, checksums, balance shares) a dataloader or writer consumes.
   The actual partitioned write is operators.layout's job; this is the
   planning/audit view of it.
+- ``pii_scrub``: regex PII detection + redaction audit
+  (email/IPv4/phone) in the Java-regex/RE2 common subset, map-side
+  only.
 
 Determinism conventions: membership rules are the shared universal
 hash (``ubucket_col`` / ``sql_ubucket`` — identical integer sequences
@@ -424,6 +427,96 @@ FROM s CROSS JOIN t ORDER BY shard
 """
 
 
+# --- pii_scrub: PII detection + redaction audit -------------------------------
+# The standard curation stage the fixture corpus happens not to need
+# (synthetic lorem text carries no PII — the per-source rows are
+# all-zero there) but a web corpus always does; the regex semantics are
+# pinned by tests/test_corpus.py over a fixture that DOES carry PII.
+# Patterns live in the Java-regex/RE2 COMMON SUBSET (character classes,
+# bounded quantifiers, \b, \d — no backreferences, no lookaround), so
+# Spark and DuckDB match identically; parity over emails / IPs / phone
+# forms is probed in the test. Spark-side patterns go through the
+# Column API (F.lit), never an F.expr SQL literal — Spark SQL string
+# literals eat backslashes, DuckDB's don't, and a pattern embedded in
+# both dialects' source text is exactly how the engines drift apart.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}[ -]?\d{6,12}"  # E.164-ish: +CC then 6-12 digits
+_PII_TAGS = [(PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"), (PII_PHONE, "<PHONE>")]
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII audit: match counts per class, flagged docs, and
+    the redacted-text length checksum (proves the REPLACEMENT, not
+    just the detection, agrees across engines).
+
+    Scale shape: pure map-side regex projections over one corpus scan
+    (Java regex on the JVM side, no Python), then a |sources|-key agg
+    with map-side partials. NULL text scans as '' (coalesce on BOTH
+    engines — the size(NULL) = -1 trap class), so every doc is
+    counted. The redaction chain is the same expression a release
+    pipeline applies before write_release; this query is its audit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
+    )
+    red = F.col("t")
+    for pat, tag in _PII_TAGS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(tag))
+    counts = {
+        name: F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0)))
+        for name, pat in [
+            ("emails", PII_EMAIL),
+            ("ipv4", PII_IPV4),
+            ("phones", PII_PHONE),
+        ]
+    }
+    per_doc = docs.select(
+        "source",
+        *[c.alias(n) for n, c in counts.items()],
+        F.length(red).alias("red_len"),
+    )
+    hit = sum(F.col(n) for n in counts)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(hit > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_flagged"),
+            *[
+                F.sum(n).cast("bigint").alias(f"n_{n}")
+                for n in ("emails", "ipv4", "phones")
+            ],
+            F.sum("red_len").cast("bigint").alias("redacted_len_sum"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH d AS (SELECT source, COALESCE(text, '') AS t FROM documents),
+per_doc AS (
+  SELECT source,
+    len(regexp_extract_all(t, '{PII_EMAIL}')) AS emails,
+    len(regexp_extract_all(t, '{PII_IPV4}')) AS ipv4,
+    len(regexp_extract_all(t, '{PII_PHONE}')) AS phones,
+    length(regexp_replace(regexp_replace(regexp_replace(t,
+      '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_IPV4}', '<IP>', 'g'),
+      '{PII_PHONE}', '<PHONE>', 'g')) AS red_len
+  FROM d
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN emails + ipv4 + phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_flagged,
+  CAST(SUM(emails) AS BIGINT) AS n_emails,
+  CAST(SUM(ipv4) AS BIGINT) AS n_ipv4,
+  CAST(SUM(phones) AS BIGINT) AS n_phones,
+  CAST(SUM(red_len) AS BIGINT) AS redacted_len_sum
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 CORPUS_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "temperature_mix",
@@ -443,5 +536,11 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         shard_manifest,
         SHARD_MANIFEST_SQL,
         "deterministic output-shard assignment + balance manifest",
+    ),
+    DeclaredQuery(
+        "pii_scrub",
+        pii_scrub,
+        PII_SCRUB_SQL,
+        "PII detection + redaction audit (email/IPv4/phone)",
     ),
 ]

@@ -2,7 +2,7 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (69 as of round 10). The external correctness gate records the
+entries (70 as of round 10). The external correctness gate records the
 first 50 entries per round, so the surplus sits past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
@@ -22,9 +22,9 @@ stale:
 - NEW entries have no official row at all, so they must sit inside
   the first 50 (round 10: span_removal, per-doc duplicated-span
   excision; ann_lsh_multiprobe, the recall-audit-motivated
-  multi-probe LSH variant; the plans.corpus trio —
-  temperature_mix, charlm_score, shard_manifest; and semantic_dedup,
-  SemDeDup over the shared learned k-means cells).
+  multi-probe LSH variant; the plans.corpus additions —
+  temperature_mix, charlm_score, shard_manifest, pii_scrub; and
+  semantic_dedup, SemDeDup over the shared learned k-means cells).
 - The entries that yield their slots are UNCHANGED-this-round entries
   certified green in the immediately-preceding round (round 10: 18
   r9-official-green extensions in the tail). The corpus trio's
@@ -55,10 +55,11 @@ from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 DECLARATION_ORDER: list[str] = [
     # --- round-10 rotation head: the entries past round 8's cutoff
     # (newest official rows r7, two rounds stale after the r9 no-op)
-    # regain certification first — 12 of the 13 here; percentiles_approx
-    # (rows-only by design, unchanged) yields its slot to the new
-    # oracle-backed semantic_dedup, see the tail comment. text_quality
-    # leads: its deferred NULL-text parity fix lands at this slot ---
+    # regain certification first — 11 of the 13 here; q12_approx and
+    # percentiles_approx (rows-only by design, unchanged) yield their
+    # slots to the new oracle-backed semantic_dedup and pii_scrub, see
+    # the tail comment. text_quality leads: its deferred NULL-text
+    # parity fix lands at this slot ---
     "text_quality",
     "dedup_clusters",
     "contamination",
@@ -70,7 +71,6 @@ DECLARATION_ORDER: list[str] = [
     "multimodal_bytes",
     "ann_lsh",
     "ann_ivf",
-    "q12_approx",
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
@@ -83,25 +83,27 @@ DECLARATION_ORDER: list[str] = [
     "dedup_corpus",
     # --- NEW in round 10 (never certified — must sit inside the gate
     # window): per-doc duplicated-span excision, the multi-probe
-    # LSH variant the r10 recall audit motivated, the corpus trio
-    # (temperature mixing / char-LM quality scoring / shard planning,
-    # plans/corpus.py), and semantic_dedup (SemDeDup over the shared
-    # learned k-means cells) ---
+    # LSH variant the r10 recall audit motivated, the plans.corpus
+    # additions (temperature mixing / char-LM quality scoring / shard
+    # planning / PII scrub), and semantic_dedup (SemDeDup over the
+    # shared learned k-means cells) ---
     "span_removal",
     "ann_lsh_multiprobe",
     "temperature_mix",
     "charlm_score",
     "shard_manifest",
     "semantic_dedup",
-    # --- positions 51-69: yield their slots this round (all with
+    "pii_scrub",
+    # --- positions 51-70: yield their slots this round (all with
     # r9-official green rows; span_dedup/token_stats/corpus_stats
     # are UNCHANGED-in-behavior consumers of r10-edited shared
     # modules, oracle-green locally — see docstring).
-    # percentiles_approx sits here despite its r7-stale official row:
-    # it is rows-only by design (no oracle hash), unchanged since r7,
-    # and its slot buys semantic_dedup — a never-certified
-    # oracle-backed entry — a first official row; the weakest check
-    # yields to the strongest ---
+    # q12_approx and percentiles_approx sit here despite their r7-stale
+    # official rows: both are rows-only by design (no oracle hash),
+    # unchanged since r7, and their slots buy semantic_dedup and
+    # pii_scrub — never-certified oracle-backed entries — first
+    # official rows; the weakest checks yield to the strongest ---
+    "q12_approx",
     "percentiles_approx",
     "span_dedup",
     "token_stats",

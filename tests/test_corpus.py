@@ -231,3 +231,63 @@ def test_semantic_dedup_conserves_and_keeps_canonical(spark, sf_smoke):
     )
     for r in rows:
         assert 0 <= r["n_removed"] < r["n_members"], r
+
+
+# --- pii_scrub ------------------------------------------------------------------
+
+
+def test_pii_scrub_on_pii_bearing_fixture(spark, tmp_path):
+    """The sf corpora carry no PII (all-zero audit rows), so the regex
+    semantics are pinned here on a corpus that DOES: expected counts
+    computed independently with Python re, and the full oracle SQL
+    cross-checked on the same fixture (three implementations again)."""
+    import re
+
+    from etl_wikipedia_updates_spark.oracle import (
+        compare_frames,
+        duckdb_connection,
+    )
+
+    rows = [
+        (1, "contact a.smith+x@ex-ample.co.uk or b@c.io now", "en", "srcA", 46),
+        (2, "server at 10.0.255.7 and 999.1.2.3 edge", "en", "srcA", 40),
+        (3, "call +44 2079460000 or +1-5551234567 ok", "en", "srcB", 40),
+        (4, "no pii here at all", "en", "srcB", 18),
+        (5, "mixed bob@x.org 192.168.0.1 +49 301234567", "en", "srcB", 42),
+        (6, None, "en", "srcB", 0),  # NULL text scans as ''
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["source"]: r.asDict() for r in C.pii_scrub(spark, sf).collect()}
+
+    tags = [(C.PII_EMAIL, "<EMAIL>"), (C.PII_IPV4, "<IP>"), (C.PII_PHONE, "<PHONE>")]
+    want = {}
+    for _, text, _, src, _ in rows:
+        t = text or ""
+        w = want.setdefault(
+            src,
+            {"n_docs": 0, "docs_flagged": 0, "n_emails": 0, "n_ipv4": 0,
+             "n_phones": 0, "redacted_len_sum": 0},
+        )
+        e, i, p = (len(re.findall(pat, t)) for pat, _ in tags)
+        red = t
+        for pat, tag in tags:
+            red = re.sub(pat, tag, red)
+        w["n_docs"] += 1
+        w["docs_flagged"] += 1 if e + i + p > 0 else 0
+        w["n_emails"] += e
+        w["n_ipv4"] += i
+        w["n_phones"] += p
+        w["redacted_len_sum"] += len(red)
+    assert {s: {k: g[k] for k in want[s]} for s, g in got.items()} == want
+    # at least one of every class actually fired in this fixture
+    assert sum(w["n_emails"] for w in want.values()) >= 3
+    assert sum(w["n_ipv4"] for w in want.values()) >= 3
+    assert sum(w["n_phones"] for w in want.values()) >= 3
+
+    duck = duckdb_connection(sf)
+    q = C.CORPUS_QUERIES[-1]
+    assert q.name == "pii_scrub"
+    r = compare_frames(
+        "pii_scrub", C.pii_scrub(spark, sf).toPandas(), duck.sql(q.oracle).df()
+    )
+    assert r.ok, r.detail

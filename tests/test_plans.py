@@ -141,6 +141,13 @@ CASES = [
     # projection over inlined centroid literals (no centroid-frame
     # join), the pair space is cell-blocked, everything stays JVM-side
     ("semantic_dedup", ["partial_"], ["BatchEvalPython", "ArrowEvalPython"]),
+    # pii_scrub (r10): JVM-regex map-side projections + one source-key
+    # agg — no explode, no joins, no Python
+    (
+        "pii_scrub",
+        ["partial_"],
+        ["Generate", "Join", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 ]
 
 

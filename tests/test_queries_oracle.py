@@ -106,6 +106,7 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         "temperature_mix",
         "charlm_score",
         "shard_manifest",
+        "pii_scrub",
     ]
     failures = []
     for name in hardened:
