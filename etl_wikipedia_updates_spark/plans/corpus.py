@@ -25,6 +25,9 @@ perplexity-filter, or shard-planning stage), re-expressed the way a
 - ``pii_scrub``: regex PII detection + redaction audit
   (email/IPv4/phone) in the Java-regex/RE2 common subset, map-side
   only.
+- ``distinct_kmv``: deterministic bottom-k (KMV) distinct-cardinality
+  sketch over hashed shingles — approximate in accuracy, exact in
+  value, so the sketch itself is oracle-hash-certifiable.
 
 Determinism conventions: membership rules are the shared universal
 hash (``ubucket_col`` / ``sql_ubucket`` — identical integer sequences
@@ -36,8 +39,11 @@ sqrt, multiply, floor) or pinned through functions.deterministic
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+from etl_wikipedia_updates_spark.operators import text as T
+from etl_wikipedia_updates_spark.operators.text import HASH_P
 
 from etl_wikipedia_updates_spark.functions.deterministic import (
     dec_sum,
@@ -517,6 +523,123 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+# --- distinct_kmv: deterministic bottom-k (KMV) distinct sketch ---------------
+# K-minimum-values estimator (Bar-Yossef et al. 2002) over the hashed
+# 3-token shingle universe: the kth-smallest of the distinct term
+# hashes estimates the distinct count as (k-1) * HASH_P / kth. Unlike
+# HLL (q12_approx, rows-only check), a KMV over the STATELESS term
+# hash is fully deterministic — both engines compute the identical
+# integer hash sequence, so the sketch itself (kth min, estimate) is
+# hash-certifiable, not just its row count: an approximate-in-accuracy
+# but exact-in-value operator. The audit emits the exact distinct
+# count beside the estimate with the relative error.
+KMV_K = 64
+# Map-side prune: only hashes below HASH_P/8 can be among the bottom-k
+# whenever the true distinct count exceeds ~8k (kth min ~ k*P/n). The
+# prune makes the sketch's shuffle 1/8 of the vocabulary INDEPENDENT of
+# k's position — a deployment tunes the ratio so expected survivors
+# stay >> k; when a stratum is so small the kth survivor doesn't exist,
+# the estimator falls back to the threshold form n_surv * P / T (the
+# prune IS a sketch: survivors are a fixed 1/8 coin-flip of the hash
+# space).
+KMV_PRUNE = HASH_P // 8
+
+
+def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality: exact count (the audit
+    column) beside the KMV bottom-k estimate and its relative error.
+
+    Scale shape: the SKETCH path filters hashes map-side BEFORE any
+    distinct (tid < PRUNE is a stateless projection over the exploded
+    shingles), so its shuffle carries ~1/8 of the vocabulary; the
+    per-source window then ranks only survivors. The EXACT column is
+    the audit — a vocabulary-scale distinct a 100 TB run would skip,
+    publishing the estimate alone (that is the sketch's point). All
+    estimator math is 64-bit integer (k, HASH_P, kth min), so the
+    published estimate is bit-identical cross-engine."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(T.shingles_col()).alias("term"))
+        .select("source", T.term_hash_col("term").alias("tid"))
+    )
+    exact = (
+        docs.distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    surv = docs.filter(F.col("tid") < KMV_PRUNE).distinct()
+    w = W.partitionBy("source").orderBy("tid")
+    agg = (
+        surv.withColumn("rk", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_surv"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("tid"))).alias("kth"),
+        )
+    )
+    est = F.when(
+        F.col("kth").isNotNull(),
+        F.expr(f"({KMV_K - 1}L * {HASH_P}L) div kth"),
+    ).otherwise(
+        F.expr(f"(coalesce(n_surv, 0L) * {HASH_P}L) div {KMV_PRUNE}L")
+    )
+    return (
+        exact.join(F.broadcast(agg), "source", "left")
+        .withColumn("kmv_estimate", est.cast("bigint"))
+        .select(
+            "source",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.coalesce("n_surv", F.lit(0)).cast("bigint").alias("n_surv"),
+            F.coalesce("kth", F.lit(0)).cast("bigint").alias("kth_min"),
+            "kmv_estimate",
+            det_round(
+                F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+DISTINCT_KMV_SQL = f"""
+WITH sh AS (
+  SELECT source, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS term
+  FROM (SELECT source, string_split(lower(text), ' ') AS l
+        FROM documents WHERE text IS NOT NULL)
+),
+tids AS (SELECT DISTINCT source, {T.sql_term_hash('term')} AS tid FROM sh),
+exact AS (SELECT source, COUNT(*) AS exact_distinct FROM tids GROUP BY source),
+surv AS (
+  SELECT source, tid,
+         row_number() OVER (PARTITION BY source ORDER BY tid) AS rk
+  FROM tids WHERE tid < {KMV_PRUNE}
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_surv,
+         MAX(CASE WHEN rk = {KMV_K} THEN tid END) AS kth
+  FROM surv GROUP BY source
+),
+j AS (
+  SELECT e.source, exact_distinct, n_surv, kth,
+    CASE WHEN kth IS NOT NULL
+         THEN (CAST({KMV_K - 1} AS BIGINT) * {HASH_P}) // kth
+         ELSE (CAST(COALESCE(n_surv, 0) AS BIGINT) * {HASH_P}) // {KMV_PRUNE}
+    END AS kmv_estimate
+  FROM exact e LEFT JOIN agg USING (source)
+)
+SELECT source, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+  CAST(COALESCE(n_surv, 0) AS BIGINT) AS n_surv,
+  CAST(COALESCE(kth, 0) AS BIGINT) AS kth_min,
+  CAST(kmv_estimate AS BIGINT) AS kmv_estimate,
+  {sql_det_round('abs(kmv_estimate - exact_distinct)'
+                 ' / CAST(exact_distinct AS DOUBLE)', 4)} AS rel_err
+FROM j ORDER BY source
+"""
+
+
 CORPUS_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "temperature_mix",
@@ -542,5 +665,11 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         pii_scrub,
         PII_SCRUB_SQL,
         "PII detection + redaction audit (email/IPv4/phone)",
+    ),
+    DeclaredQuery(
+        "distinct_kmv",
+        distinct_kmv,
+        DISTINCT_KMV_SQL,
+        "deterministic bottom-k (KMV) distinct-cardinality sketch + audit",
     ),
 ]

@@ -291,3 +291,67 @@ def test_pii_scrub_on_pii_bearing_fixture(spark, tmp_path):
         "pii_scrub", C.pii_scrub(spark, sf).toPandas(), duck.sql(q.oracle).df()
     )
     assert r.ok, r.detail
+
+
+# --- distinct_kmv ---------------------------------------------------------------
+
+
+def test_distinct_kmv_matches_python_replay(spark, tmp_path):
+    """Replay the whole sketch in Python — shingle, fold-hash, prune,
+    bottom-k — on a fixture that exercises BOTH estimator paths: a
+    tiny source (fewer than K survivors -> threshold fallback,
+    kth_min = 0) and a large one (kth-min path)."""
+    from etl_wikipedia_updates_spark.plans.corpus import (
+        KMV_K,
+        KMV_PRUNE,
+        distinct_kmv,
+    )
+
+    P = 2_147_483_647
+
+    def th(term):
+        a = 0
+        for ch in term:
+            a = (a * 131 + ord(ch)) % P
+        return a
+
+    def shingle_hashes(texts):
+        out = set()
+        for t in texts:
+            toks = t.lower().split(" ")
+            out |= {
+                th(" ".join(toks[i : i + 3]))
+                for i in range(len(toks) - 2)
+            }
+        return out
+
+    rows = []
+    rows.append((0, "a b c d", "en", "tiny", 7))  # 2 shingles
+    big_texts = []
+    for i in range(120):
+        words = [f"w{(i * 17 + j * j) % 997}" for j in range(40)]
+        big_texts.append(" ".join(words))
+        rows.append((100 + i, big_texts[-1], "en", "big", 200))
+    sf = _write_docs(tmp_path, rows)
+    got = {r["source"]: r.asDict() for r in distinct_kmv(spark, sf).collect()}
+
+    for src, texts in [("tiny", ["a b c d"]), ("big", big_texts)]:
+        hs = shingle_hashes(texts)
+        surv = sorted(h for h in hs if h < KMV_PRUNE)
+        g = got[src]
+        assert g["exact_distinct"] == len(hs), src
+        assert g["n_surv"] == len(surv), src
+        if len(surv) >= KMV_K:
+            kth = surv[KMV_K - 1]
+            assert g["kth_min"] == kth
+            assert g["kmv_estimate"] == (KMV_K - 1) * P // kth
+        else:
+            assert g["kth_min"] == 0
+            assert g["kmv_estimate"] == len(surv) * P // KMV_PRUNE
+    # both paths genuinely exercised
+    assert got["tiny"]["kth_min"] == 0
+    assert got["big"]["kth_min"] > 0
+    # estimator accuracy on the big source: within ~4 standard errors
+    # (1/sqrt(K-1) each) of the truth
+    err = abs(got["big"]["kmv_estimate"] - got["big"]["exact_distinct"])
+    assert err / got["big"]["exact_distinct"] < 4.0 / (KMV_K - 1) ** 0.5

@@ -148,6 +148,10 @@ CASES = [
         ["partial_"],
         ["Generate", "Join", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    # distinct_kmv (r10): the sketch prunes hashes map-side BEFORE the
+    # distinct (the tid < PRUNE filter must sit under the exchange);
+    # the only window is per-source over pruned survivors
+    ("distinct_kmv", ["Generate", "partial_"], ["BatchEvalPython"]),
 ]
 
 

@@ -107,6 +107,7 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         "charlm_score",
         "shard_manifest",
         "pii_scrub",
+        "distinct_kmv",
     ]
     failures = []
     for name in hardened:

@@ -73,6 +73,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "shard_manifest": (["partial_"], ["SortMergeJoin", "Generate", "Window"]),
     "semantic_dedup": (["partial_"], ["BatchEvalPython"]),
     "pii_scrub": (["partial_"], ["Generate", "Join", "BatchEvalPython"]),
+    "distinct_kmv": (["Generate", "partial_"], ["BatchEvalPython"]),
 }
 
 
