@@ -216,6 +216,11 @@ def cmd_dedup_ingest(args) -> int:
             args.checkpoint or args.sink + "_ckpt",
             compact_every=args.compact_every,
             exclude_self=args.bench is None,
+            **(
+                {"redact_pii": True}
+                if args.mode == "curate" and args.redact_pii
+                else {}
+            ),
         )
     else:
         start = {
@@ -514,6 +519,11 @@ def main(argv: list[str] | None = None) -> int:
         help="decontam: parquet path of the held-out benchmark docs "
         "(needs doc_id/lang/text columns; default: the "
         "CONTAM_BENCH_SOURCE slice of sf-dir's documents table)",
+    )
+    ded.add_argument(
+        "--redact-pii", action="store_true",
+        help="curate: redact email/IPv4/phone matches (the pii_scrub "
+        "expression) as stage 0, before the quality gate",
     )
     ded.add_argument("--timeout", type=int, default=600)
     ded.add_argument(

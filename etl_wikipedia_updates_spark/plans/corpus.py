@@ -523,6 +523,29 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """THE redaction transform: every PII match replaced by its class
+    tag, n_chars refreshed when present. Shared by the pii_scrub audit
+    (same _PII_TAGS chain) and the streaming curation ingest's
+    optional stage 0 (streaming/decontam.py, redact_pii=True) so the
+    audited expression and the applied expression can never diverge.
+    Stateless map-side projection — streams under any batching; NULL
+    text stays NULL (regexp_replace of NULL), its n_chars becomes 0
+    (the fixture convention)."""
+    red = F.col(text_col)
+    for pat, tag in _PII_TAGS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(tag))
+    out = docs.withColumn(text_col, red)
+    if "n_chars" in docs.columns:
+        out = out.withColumn(
+            "n_chars",
+            F.coalesce(F.length(text_col), F.lit(0)).cast(
+                docs.schema["n_chars"].dataType
+            ),
+        )
+    return out
+
+
 # --- distinct_kmv: deterministic bottom-k (KMV) distinct sketch ---------------
 # K-minimum-values estimator (Bar-Yossef et al. 2002) over the hashed
 # 3-token shingle universe: the kth-smallest of the distinct term

@@ -262,23 +262,31 @@ def full_curation_ingest_batch(
     batch_id: int,
     compact_every: int | None = None,
     exclude_self: bool = True,
+    redact_pii: bool = False,
 ) -> None:
     """One micro-batch of the COMPLETE per-doc curation pipeline — the
     ingest-time twin of corpus_release's per-doc stages in one pass:
+    (0) optional PII redaction (stateless TRANSFORM — the shared
+    plans.corpus.pii_redact expression the pii_scrub audit certifies),
     (1) the Gopher-style repetition quality gate (stateless),
     (2) the benchmark shingle veto (stateless, quarantined),
     (3) near-dup dedup against the accumulating bucket store.
+    Redaction runs FIRST so every downstream signal (quality ratios,
+    shingles, near-dup signatures) sees the text a release would ship.
     Stage order is the cheap-to-expensive rule: quality needs no
     state, decontam joins a tiny broadcast, and only the survivors of
     both pay the signature aggregation + store join. Mixing/splitting
     stay release-time (corpus-global budgets). The quarantine and
     bucket stores both fold on the ``compact_every`` cadence."""
+    from etl_wikipedia_updates_spark.plans.corpus import pii_redact
     from etl_wikipedia_updates_spark.plans.northstar import quality_keep
     from etl_wikipedia_updates_spark.streaming.neardup import (
         dedup_ingest_batch,
     )
 
     spark = batch_df.sparkSession
+    if redact_pii:
+        batch_df = pii_redact(batch_df)
     # kept and clean are each consumed by MULTIPLE downstream actions
     # (verdicts, the quarantine write, dedup's band aggregation AND
     # its survivors append); without the persists every action
@@ -313,11 +321,12 @@ def ingest_with_full_curation(
     available_now: bool = True,
     compact_every: int | None = None,
     exclude_self: bool = True,
+    redact_pii: bool = False,
 ) -> StreamingQuery:
-    """Streamed documents -> quality-gated, decontaminated,
-    near-dup-deduped sink: the one-command crawl-curation ingest.
-    Persisted-bench (released on stream termination) and exclude_self
-    notes as in ingest_with_decontam."""
+    """Streamed documents -> (optionally PII-redacted,) quality-gated,
+    decontaminated, near-dup-deduped sink: the one-command
+    crawl-curation ingest. Persisted-bench (released on stream
+    termination) and exclude_self notes as in ingest_with_decontam."""
     bench_sh = bench_shingles(bench_docs).persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -325,6 +334,7 @@ def ingest_with_full_curation(
             batch_df, bench_sh, sink_path, batch_id,
             compact_every=compact_every,
             exclude_self=exclude_self,
+            redact_pii=redact_pii,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -341,17 +351,22 @@ def batch_full_curation_keep(
     docs: DataFrame,
     bench_docs: DataFrame,
     exclude_self: bool = True,
+    redact_pii: bool = False,
 ) -> DataFrame:
-    """The BATCH statement of the full pipeline: quality gate, then
-    benchmark veto, then the no-smaller-id-shares-a-bucket rule over
-    the survivors. Equals the streamed sink when the corpus replays
-    in doc_id order (the dedup stage's usual arrival-order contract;
-    the first two stages are stateless and order-free)."""
+    """The BATCH statement of the full pipeline: optional PII
+    redaction, quality gate, then benchmark veto, then the
+    no-smaller-id-shares-a-bucket rule over the survivors. Equals the
+    streamed sink when the corpus replays in doc_id order (the dedup
+    stage's usual arrival-order contract; redaction and the first two
+    gates are stateless and order-free)."""
+    from etl_wikipedia_updates_spark.plans.corpus import pii_redact
     from etl_wikipedia_updates_spark.plans.northstar import quality_keep
     from etl_wikipedia_updates_spark.streaming.neardup import (
         batch_neardup_keep,
     )
 
+    if redact_pii:
+        docs = pii_redact(docs)
     kept = quality_keep(docs)
     return batch_neardup_keep(
         batch_decontam_keep(kept, bench_docs, exclude_self=exclude_self)

@@ -487,3 +487,47 @@ def test_cli_dedup_ingest_curate(spark, sf_smoke, tmp_path, capsys):
     # full pipeline materialized both state stores
     assert _os.path.isdir(_os.path.join(sink, "_contaminated"))
     assert _os.path.isdir(_os.path.join(sink, "_lsh_buckets"))
+
+
+def test_cli_dedup_ingest_curate_redact_pii(spark, sf_smoke, tmp_path, capsys):
+    """--redact-pii threads through to the curation ingest: the flag is
+    accepted, the run completes, and the sink equals the redacted
+    batch statement (the sf corpus has no PII, so equality with the
+    redact_pii batch twin plus a clean exit is the wiring proof)."""
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_full_curation_keep,
+    )
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+    )
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 2, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", sink,
+                "--sf-dir", sf_smoke,
+                "--mode", "curate",
+                "--redact-pii",
+            ]
+        )
+        == 0
+    )
+    assert "rows kept:" in capsys.readouterr().out
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    expected = batch_full_curation_keep(docs, bench, redact_pii=True)
+    got = read_sink(spark, sink)
+    assert got.count() == expected.count()
+    assert (
+        got.agg(F.sum("doc_id")).first()[0]
+        == expected.agg(F.sum("doc_id")).first()[0]
+    )

@@ -1557,3 +1557,68 @@ def test_embedding_band_rows_rejects_wrong_dim(spark):
     # guard — real consumers always evaluate band_key (joins/groupBy)
     with pytest.raises(Exception, match="expected 64-dim embedding"):
         embedding_band_rows(bad).collect()
+
+
+def test_streaming_curation_with_pii_redaction(spark, tmp_path):
+    """redact_pii=True: the streamed curated sink equals the batch
+    statement with the same flag AND ships no raw PII — every
+    email/IP/phone is its class tag and n_chars reflects the REDACTED
+    text (redaction is stage 0, so every downstream signal sees the
+    text a release would ship)."""
+    from etl_wikipedia_updates_spark.plans.corpus import PII_EMAIL
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_full_curation_keep,
+        ingest_with_full_curation,
+    )
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    some = base.filter(F.col("doc_id") < 40).collect()
+    rows = [
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in some
+    ]
+    # PII-bearing docs over otherwise-unique text (one email each —
+    # low enough repetition to clear the quality gate)
+    t1 = " ".join(f"alpha{i} beta{i * 3}" for i in range(25))
+    t2 = " ".join(f"gamma{i} delta{i * 7}" for i in range(25))
+    rows.append((5001, t1 + " reach alice@example.com today", "en", "srcP", 0))
+    rows.append(
+        (5003, "server 10.1.2.3 dial +49 301234567 " + t2, "en", "srcP", 0)
+    )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long"))
+    bench = base.filter(F.col("doc_id") > 10_000)  # empty: isolate redaction
+
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 4, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = ingest_with_full_curation(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        redact_pii=True,
+    )
+    q.awaitTermination(300)
+
+    out = read_sink(spark, sink)
+    expected = batch_full_curation_keep(docs, bench, redact_pii=True)
+    assert _checksum_docs(out) == _checksum_docs(expected)
+    # no raw PII anywhere in the sink
+    leaked = out.filter(
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))) > 0
+    )
+    assert leaked.count() == 0
+    tagged = {
+        r["doc_id"]: r for r in out.filter(F.col("doc_id") >= 5001).collect()
+    }
+    assert "<EMAIL>" in tagged[5001]["text"]
+    assert "<IP>" in tagged[5003]["text"]
+    assert "<PHONE>" in tagged[5003]["text"]
+    # n_chars follows the redacted text, not the raw input
+    assert all(r["n_chars"] == len(r["text"]) for r in tagged.values())
+    # without the flag the raw texts flow through untouched
+    raw = batch_full_curation_keep(docs, bench).filter(F.col("doc_id") == 5001)
+    assert "alice@example.com" in raw.first()["text"]
