@@ -65,18 +65,23 @@ def sql_squared_l2(e: str, c: str) -> str:
     )
 
 
-def _dist_structs_expr(centroids: list[list[float]]) -> str:
-    """Per-row array of (d2, cid) structs, one per centroid."""
+def _dist_structs_expr(
+    centroids: list[list[float]], col: str = "embedding"
+) -> str:
+    """Per-row array of (d2, cid) structs, one per centroid. ``col``
+    is any SQL array expression (the PQ encoder passes subvector
+    slices) — it appears once per zip_with call, so a slice() there is
+    evaluated k times per row, not k*dim times."""
     return (
         f"transform({_matrix_sql(centroids)}, (c, i) -> "
-        "named_struct('d2', aggregate(zip_with(embedding, c, "
+        f"named_struct('d2', aggregate(zip_with({col}, c, "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "0.0D, (acc, v) -> acc + v), 'cid', CAST(i AS INT)))"
     )
 
 
-def _best_expr(centroids: list[list[float]]) -> str:
-    return f"array_min({_dist_structs_expr(centroids)})"
+def _best_expr(centroids: list[list[float]], col: str = "embedding") -> str:
+    return f"array_min({_dist_structs_expr(centroids, col=col)})"
 
 
 def probe_cells(

@@ -94,42 +94,47 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_sql(cents: str) -> str:
+def _assign_sql(cents: str, rel: str = "embeddings") -> str:
     d = C.sql_squared_l2("emb.embedding", "c.cent")
     return (
         "SELECT vec_id, embedding, cid, d2 FROM ("
         f"SELECT emb.vec_id, emb.embedding, c.cid, {d} AS d2, "
         f"row_number() OVER (PARTITION BY emb.vec_id ORDER BY {d}, c.cid) AS rn "
-        f"FROM embeddings emb CROSS JOIN {cents} c) WHERE rn = 1"
+        f"FROM {rel} emb CROSS JOIN {cents} c) WHERE rn = 1"
     )
 
 
-def _kmeans_ctes(k: int, iters: int) -> list[str]:
-    """CTE chain c0 .. c{iters} (fit) + af (final assignment)."""
+def _kmeans_ctes(
+    k: int, iters: int, rel: str = "embeddings", prefix: str = ""
+) -> list[str]:
+    """CTE chain {p}c0 .. {p}c{iters} (fit) + {p}af (final assignment)
+    over relation ``rel``. The caller prepends WITH; ``prefix`` keeps
+    several chains (ann_pq runs one per subspace) from colliding."""
+    p = prefix
     parts = [
-        "WITH c0 AS ("
+        f"{p}c0 AS ("
         "SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent "
-        f"FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))"
+        f"FROM (SELECT vec_id, embedding FROM {rel} ORDER BY vec_id LIMIT {k}))"
     ]
     mean = f"({sql_dec_sum('u.x', scale=C.MEAN_SCALE)} / COUNT(u.x))"
     for i in range(1, iters + 1):
-        parts.append(f"a{i} AS ({_assign_sql(f'c{i - 1}')})")
+        parts.append(f"{p}a{i} AS ({_assign_sql(f'{p}c{i - 1}', rel=rel)})")
         parts.append(
-            f"g{i} AS (SELECT cid, u.pos AS pos, {mean} AS m FROM ("
+            f"{p}g{i} AS (SELECT cid, u.pos AS pos, {mean} AS m FROM ("
             "SELECT cid, unnest(list_transform(range(1, len(embedding) + 1), "
             "i -> struct_pack(pos := i, x := CAST(embedding[i] AS DOUBLE)))) AS u "
-            f"FROM a{i}) GROUP BY cid, u.pos)"
+            f"FROM {p}a{i}) GROUP BY cid, u.pos)"
         )
         parts.append(
-            f"n{i} AS (SELECT cid, list(m ORDER BY pos) AS cent FROM g{i} "
+            f"{p}n{i} AS (SELECT cid, list(m ORDER BY pos) AS cent FROM {p}g{i} "
             "GROUP BY cid)"
         )
         parts.append(
-            f"c{i} AS (SELECT p.cid, coalesce(q.cent, p.cent) AS cent "
-            f"FROM c{i - 1} p LEFT JOIN n{i} q USING (cid))"
+            f"{p}c{i} AS (SELECT p.cid, coalesce(q.cent, p.cent) AS cent "
+            f"FROM {p}c{i - 1} p LEFT JOIN {p}n{i} q USING (cid))"
         )
-    parts.append(f"af AS ({_assign_sql(f'c{iters}')})")
+    parts.append(f"{p}af AS ({_assign_sql(f'{p}c{iters}', rel=rel)})")
     return parts
 
 
@@ -138,7 +143,8 @@ def _kmeans_sql(k: int, iters: int) -> str:
         f"{sql_dec_sum('af.d2', scale=C.MEAN_SCALE)} / COUNT(af.d2)", 4
     )
     return (
-        ",\n".join(_kmeans_ctes(k, iters))
+        "WITH "
+        + ",\n".join(_kmeans_ctes(k, iters))
         + f"\nSELECT af.cid AS cid, COUNT(*) AS n_members, {mean_d2} AS mean_dist2, "
         + sql_det_round("max(c.cent[1])", 4)
         + f" AS cent1\nFROM af JOIN c{iters} c USING (cid) "
@@ -236,7 +242,8 @@ def _ann_kmeans_sql(k: int, iters: int) -> str:
 
     cos = sql_cosine_similarity("q.qe", "e.embedding")
     return (
-        ",\n".join(_kmeans_ctes(k, iters))
+        "WITH "
+        + ",\n".join(_kmeans_ctes(k, iters))
         + f""",
 q AS (
   SELECT vec_id AS q_vec_id, embedding AS qe, cid
@@ -257,6 +264,251 @@ ORDER BY q_vec_id, rk
 
 
 ANN_KMEANS_SQL = _ann_kmeans_sql(KMEANS_K, KMEANS_ITERS)
+
+
+# --- ann_pq: product quantization + ADC scan + exact rescore ------------------
+# Product quantization (Jégou et al. 2011): the 64-dim embedding splits
+# into PQ_M contiguous subvectors, each quantized to its own
+# PQ_KS-centroid codebook (k-means per subspace), so a vector stores as
+# PQ_M small codes. Search is the ADC (asymmetric distance computation)
+# scan: the query precomputes a PQ_M x PQ_KS table of exact
+# subvector-to-centroid distances, and every candidate's approximate
+# distance is PQ_M table lookups + adds — the compressed-domain linear
+# scan that is memory-bandwidth-bound instead of FLOP-bound at scale
+# (and composes with IVF cells for sublinearity; here it scans the full
+# corpus, PQ's standalone role). Overfetched shortlist re-scored with
+# exact float cosine, the ann_sq8 contract.
+PQ_M = 4  # subspaces (64-dim embedding -> 16-dim subvectors)
+PQ_SUB = 16
+PQ_KS = 16  # centroids per subspace codebook
+PQ_TOPK = 3
+PQ_N_QUERIES = 5
+# Overfetch dial, swept at sf0.1 (normalized codes, k=3): 12 -> 0.40
+# recall, 24 -> 0.53, 48 -> 0.73, 96 -> 0.73 (plateau; m=8 sub-spaces
+# plateau identically). The fixture embeddings are random unit
+# vectors — PQ's worst case (no low-dimensional structure for the
+# codebooks to exploit) — so the plateau is the data's, not the
+# dial's; 48 buys the whole achievable recall for a 16x-smaller
+# shortlist than the corpus.
+PQ_OVERFETCH = 48
+
+# (applicationId, sf_dir, subspace) -> codebook. Same train-once
+# contract as _FIT_CACHE; keyed per subspace because all four books
+# share (k, iters).
+_PQ_FIT_CACHE: dict[tuple[str, str, int], list[list[float]]] = {}
+
+# PQ encodes the UNIT-NORMALIZED vectors: on the unit sphere L2 order
+# equals cosine order, so the ADC shortlist ranks by the same metric
+# the exact rescore uses (unnormalized PQ measured recall@3 0.40 at
+# sf0.1, plateauing at 0.73 with any overfetch — the residual loss was
+# pure L2-vs-cosine rank disagreement; normalized PQ recovers it, see
+# SCALE.md). The norm is bound ONCE per row through a 1-element struct
+# array (s.n below): referencing a computed scalar from inside the
+# divide lambda would re-inline its fold per ELEMENT (the
+# shingles_col/Catalyst no-CSE-into-lambdas pitfall, O(dim^2) per row).
+_NE_SQL = (
+    "element_at(transform(array(named_struct('t', {e}, 'n', {n})), "
+    "s -> transform(s.t, x -> x / s.n)), 1)"
+).format(e=_E_SQL, n=_NRM_SQL.format(e=_E_SQL))
+
+
+def _pq_slice(m: int, col: str = "embedding") -> str:
+    return f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
+
+
+def _fit_codebooks(emb: DataFrame, sf_dir: str) -> list[list[list[float]]]:
+    spark = emb.sparkSession
+    app = spark.sparkContext.applicationId
+    books = []
+    for m in range(PQ_M):
+        key = (app, sf_dir, m)
+        cents = _PQ_FIT_CACHE.get(key)
+        if cents is None:
+            purge_stale(_PQ_FIT_CACHE, app)
+            sub = emb.selectExpr(
+                "vec_id", f"{_pq_slice(m, _NE_SQL)} AS embedding"
+            )
+            cents = C.kmeans_fit(sub, PQ_KS, KMEANS_ITERS)
+            _PQ_FIT_CACHE[key] = cents
+        books.append(cents)
+    return books
+
+
+def _d2_array_expr(cents: list[list[float]], col: str) -> str:
+    """Array of exact squared-L2 distances from ``col`` to every
+    codebook centroid — the query-side ADC table for one subspace
+    (same fold sequence as _dist_structs_expr, values only)."""
+    return (
+        f"transform({C._matrix_sql(cents)}, c -> "
+        f"aggregate(zip_with({col}, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k: encode the corpus to PQ_M codes (map-side
+    struct-min per subspace over inlined codebook literals), broadcast
+    the queries WITH their precomputed distance tables, score every
+    candidate by PQ_M element_at lookups + adds, shortlist by
+    approximate distance, rescore the shortlist with exact cosine.
+
+    Scale shape: encoding and the ADC scan are pure projections over
+    one corpus pass (at 100 TB the codes table is what you'd
+    materialize — 4 bytes/vector here vs 256 for the floats); the only
+    corpus-wide state is the per-query shortlist window, the q25/
+    ann_kmeans ranked-window shape. Eager (four codebook fits run at
+    build), so the same plan-rebuild trade as ann_kmeans applies."""
+    emb_raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb = spread(emb_raw)
+    books = _fit_codebooks(emb, sf_dir)
+    cands = emb.selectExpr(
+        "vec_id",
+        f"{_E_SQL} AS e",
+        *[
+            f"{C._best_expr(books[m], col=_pq_slice(m, _NE_SQL))}.cid"
+            f" AS code{m}"
+            for m in range(PQ_M)
+        ],
+    ).selectExpr("*", f"{_NRM_SQL.format(e='e')} AS nrm")
+    queries = F.broadcast(
+        emb_raw.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .selectExpr(
+            "vec_id AS q_vec_id", f"{_E_SQL} AS qe", f"{_NE_SQL} AS nqe"
+        )
+        .selectExpr(
+            "q_vec_id",
+            "qe",
+            f"{_NRM_SQL.format(e='qe')} AS q_nrm",
+            *[
+                f"{_d2_array_expr(books[m], _pq_slice(m, 'nqe'))} AS qt{m}"
+                for m in range(PQ_M)
+            ],
+        )
+    )
+    adc = " + ".join(
+        f"element_at(qt{m}, code{m} + 1)" for m in range(PQ_M)
+    )
+    pairs = cands.join(
+        queries, F.col("vec_id") != F.col("q_vec_id")
+    ).selectExpr("q_vec_id", "vec_id", "qe", "e", "q_nrm", "nrm", f"{adc} AS ad2")
+    short = (
+        pairs.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY q_vec_id"
+            " ORDER BY ad2, vec_id) AS rn",
+        )
+        .filter(F.col("rn") <= PQ_OVERFETCH)
+        .selectExpr(
+            "q_vec_id",
+            "vec_id",
+            "aggregate(zip_with(qe, e, (x, y) -> x * y), 0.0D,"
+            " (acc, v) -> acc + v) / (q_nrm * nrm) AS sim",
+        )
+    )
+    return (
+        short.selectExpr(
+            "q_vec_id",
+            "vec_id",
+            "sim",
+            "CAST(row_number() OVER (PARTITION BY q_vec_id"
+            " ORDER BY sim DESC, vec_id) AS BIGINT) AS rk",
+        )
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select(
+            "q_vec_id",
+            "rk",
+            "vec_id",
+            det_round(F.col("sim"), 4).alias("cos_sim"),
+        )
+        .transform(total_order, "q_vec_id", "rk")
+    )
+
+
+def _ann_pq_sql(iters: int) -> str:
+    from etl_wikipedia_updates_spark.functions.arrays import (
+        sql_cosine_similarity,
+    )
+
+    from etl_wikipedia_updates_spark.functions.arrays import sql_l2_norm
+
+    # unit-normalize exactly as Spark's _NE_SQL: per element
+    # CAST-to-double divided by the full-vector norm (identical IEEE
+    # op sequence -> identical doubles)
+    ne = (
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+        f"{sql_l2_norm('embedding')})"
+    )
+    parts = [f"en AS (SELECT vec_id, {ne} AS ne FROM embeddings)"]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        parts.append(
+            f"e{m} AS (SELECT vec_id, list_slice(ne, {lo}, {hi})"
+            " AS embedding FROM en)"
+        )
+        parts.extend(_kmeans_ctes(PQ_KS, iters, rel=f"e{m}", prefix=f"p{m}"))
+    joins = " ".join(
+        f"JOIN p{m}af a{m} USING (vec_id)" for m in range(1, PQ_M)
+    )
+    codes = (
+        "codes AS (SELECT a0.vec_id, "
+        + ", ".join(f"a{m}.cid AS k{m}" for m in range(PQ_M))
+        + f" FROM p0af a0 {joins})"
+    )
+    book_joins = " ".join(
+        f"JOIN p{m}c{iters} b{m} ON b{m}.cid = c.k{m}" for m in range(PQ_M)
+    )
+    ad2 = " + ".join(
+        C.sql_squared_l2(
+            f"list_slice(q.nqe, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB})",
+            f"b{m}.cent",
+        )
+        for m in range(PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + ",\n"
+        + codes
+        + f""",
+q AS (
+  SELECT e.vec_id AS q_vec_id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qe,
+         n.ne AS nqe
+  FROM embeddings e JOIN en n ON n.vec_id = e.vec_id
+  WHERE e.vec_id < {PQ_N_QUERIES}
+),
+pairs AS (
+  SELECT q.q_vec_id, c.vec_id, {ad2} AS ad2
+  FROM codes c CROSS JOIN q {book_joins}
+  WHERE c.vec_id != q.q_vec_id
+),
+short AS (
+  SELECT q_vec_id, vec_id FROM (
+    SELECT q_vec_id, vec_id,
+           row_number() OVER (PARTITION BY q_vec_id ORDER BY ad2, vec_id) AS rn
+    FROM pairs) WHERE rn <= {PQ_OVERFETCH}
+),
+resc AS (
+  SELECT s.q_vec_id, s.vec_id,
+         {sql_cosine_similarity('q.qe', 'e.embedding')} AS cos
+  FROM short s JOIN q ON q.q_vec_id = s.q_vec_id
+  JOIN embeddings e ON e.vec_id = s.vec_id
+)
+SELECT q_vec_id,
+       CAST(row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, vec_id)
+            AS BIGINT) AS rk,
+       vec_id, {sql_det_round('cos', 4)} AS cos_sim
+FROM resc
+QUALIFY rk <= {PQ_TOPK}
+ORDER BY q_vec_id, rk
+"""
+    )
+
+
+ANN_PQ_SQL = _ann_pq_sql(KMEANS_ITERS)
 
 
 # --- semantic_dedup: SemDeDup over the learned cells --------------------------
@@ -324,7 +576,8 @@ def _semantic_dedup_sql(k: int, iters: int) -> str:
 
     cos = sql_cosine_similarity("a.embedding", "b.embedding")
     return (
-        ",\n".join(_kmeans_ctes(k, iters))
+        "WITH "
+        + ",\n".join(_kmeans_ctes(k, iters))
         + f""",
 rmv AS (
   SELECT DISTINCT b.vec_id AS rm
@@ -367,5 +620,12 @@ CLUSTERING_QUERIES: list[DeclaredQuery] = [
         SEMANTIC_DEDUP_SQL,
         "SemDeDup: within-learned-cluster cosine near-dup removal audit",
         eager=True,  # Lloyd's fit runs jobs at build time
+    ),
+    DeclaredQuery(
+        "ann_pq",
+        ann_pq,
+        ANN_PQ_SQL,
+        "product-quantized ADC scan + exact rescore top-k",
+        eager=True,  # four per-subspace codebook fits run at build time
     ),
 ]

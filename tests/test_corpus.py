@@ -285,8 +285,7 @@ def test_pii_scrub_on_pii_bearing_fixture(spark, tmp_path):
     assert sum(w["n_phones"] for w in want.values()) >= 3
 
     duck = duckdb_connection(sf)
-    q = C.CORPUS_QUERIES[-1]
-    assert q.name == "pii_scrub"
+    q = next(d for d in C.CORPUS_QUERIES if d.name == "pii_scrub")
     r = compare_frames(
         "pii_scrub", C.pii_scrub(spark, sf).toPandas(), duck.sql(q.oracle).df()
     )
@@ -355,3 +354,21 @@ def test_distinct_kmv_matches_python_replay(spark, tmp_path):
     # (1/sqrt(K-1) each) of the truth
     err = abs(got["big"]["kmv_estimate"] - got["big"]["exact_distinct"])
     assert err / got["big"]["exact_distinct"] < 4.0 / (KMV_K - 1) ** 0.5
+
+
+# --- ann_pq (plans/clustering.py) -----------------------------------------------
+
+
+def test_ann_pq_recall_floor(spark, sf_smoke):
+    """PQ-ADC with the swept overfetch must recover most of the exact
+    cosine top-k even on random unit vectors (PQ's worst case):
+    measured 0.80 at sf0.001 / 0.87 at sf0.01 / 0.73 at sf0.1 — floor
+    pinned beneath the worst measured tier."""
+    from etl_wikipedia_updates_spark.plans.clustering import (
+        PQ_N_QUERIES,
+        PQ_TOPK,
+    )
+    from tools.ann_recall import recall_of
+
+    r = recall_of(spark, sf_smoke, "ann_pq", PQ_N_QUERIES, PQ_TOPK)
+    assert r["recall_at_k"] >= 0.6, r

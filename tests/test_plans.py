@@ -152,6 +152,11 @@ CASES = [
     # distinct (the tid < PRUNE filter must sit under the exchange);
     # the only window is per-source over pruned survivors
     ("distinct_kmv", ["Generate", "partial_"], ["BatchEvalPython"]),
+    # ann_pq (r10): encoding is a map-side projection over inlined
+    # codebook literals; the 5-query table frame broadcasts onto the
+    # streamed codes (BNLJ, the q25 shape); ranked windows per query
+    ("ann_pq", ["BroadcastNestedLoopJoin", "row_number"],
+     ["SortMergeJoin", "BatchEvalPython"]),
 ]
 
 

@@ -49,6 +49,8 @@ from etl_wikipedia_updates_spark.tables import load_table
 from etl_wikipedia_updates_spark.plans.clustering import (  # noqa: E402
     ANN_KMEANS_K,
     ANN_KMEANS_N_QUERIES,
+    PQ_N_QUERIES,
+    PQ_TOPK,
 )
 from etl_wikipedia_updates_spark.plans.northstar import (  # noqa: E402
     ANN_K,
@@ -63,6 +65,7 @@ VARIANTS: dict[str, tuple[int, int]] = {
     "ann_lsh_multiprobe": (ANN_N_QUERIES, ANN_K),
     "ann_kmeans": (ANN_KMEANS_N_QUERIES, ANN_KMEANS_K),
     "ann_sq8": (ANN_SQ8_N_QUERIES, ANN_SQ8_K),
+    "ann_pq": (PQ_N_QUERIES, PQ_TOPK),
 }
 
 

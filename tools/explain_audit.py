@@ -74,6 +74,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "semantic_dedup": (["partial_"], ["BatchEvalPython"]),
     "pii_scrub": (["partial_"], ["Generate", "Join", "BatchEvalPython"]),
     "distinct_kmv": (["Generate", "partial_"], ["BatchEvalPython"]),
+    "ann_pq": (
+        ["BroadcastNestedLoopJoin", "row_number"],
+        ["SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 
