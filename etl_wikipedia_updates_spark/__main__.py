@@ -84,6 +84,7 @@ def cmd_release(args) -> int:
         args.out,
         keep_last=args.keep_last,
         remove_spans=args.remove_spans,
+        mix_alpha=0.5 if args.temperature_mix else None,
     )
     print(json.dumps(out))
     return 0
@@ -447,6 +448,12 @@ def main(argv: list[str] | None = None) -> int:
         "--remove-spans", action="store_true",
         help="add the span-excision stage: cross-doc duplicated spans "
         "are cut from every released doc but the canonical owner",
+    )
+    rel.add_argument(
+        "--temperature-mix", action="store_true",
+        help="mix with the temperature law (alpha=0.5: small sources "
+        "upweighted, rate = sqrt(min_chars/chars)) instead of "
+        "equalizing every source to the smallest character budget",
     )
     rel.add_argument(
         "--verify",

@@ -53,8 +53,15 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
 )
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.plans.northstar import (
+    TEMP_A,
+    TEMP_ALPHA,  # noqa: F401 — the documented knob, re-exported
+    TEMP_B,
+    TEMP_BUCKETS,
     _memo_model,
+    sql_temp_rate_ppm,
     sql_ubucket,
+    temp_keep_cond,
+    temp_rate_ppm,
     ubucket_col,
 )
 from etl_wikipedia_updates_spark.tables import load_table, spread
@@ -62,35 +69,14 @@ from etl_wikipedia_updates_spark.tables import load_table, spread
 # --- temperature_mix: temperature-scaled source sampling ----------------------
 # rate_s = (min_chars / chars_s)^(1 - alpha): alpha = 1 is the natural
 # distribution (keep everything), alpha = 0 equalizes character
-# budgets (source_mix's rule), and the contract pins alpha = 0.5 —
-# rate_s = sqrt(min_chars / chars_s) — because sqrt, divide and
-# multiply are IEEE-754 correctly-rounded in BOTH engines, so the
-# per-source keep threshold is bit-identical across Spark and DuckDB
-# with no libm in the membership path (a deployment choosing another
-# alpha swaps in pow() and accepts engine-local determinism only).
-# The FP math runs once per SOURCE (a handful of rows); each ROW's
-# membership is then a pure integer compare against the precomputed
-# integer threshold, like source_mix/sample_hash.
-TEMP_ALPHA = 0.5  # documented; the sqrt form below IS this value
-TEMP_BUCKETS = 1_000_000  # ppm resolution on the keep rate
-TEMP_A = 22_695_477  # Borland LCG multiplier — public constant,
-TEMP_B = 1  # distinct from sample_hash/source_mix so samples are uncorrelated
-
-
-def _temp_rate_ppm() -> "F.Column":
-    """floor(sqrt(min_chars / chars_s) * BUCKETS) as an integer ppm
-    threshold; 0 for a zero-char source (nothing to balance toward)."""
-    rate = F.sqrt(
-        F.col("min_chars").cast("double") / F.col("chars_in").cast("double")
-    )
-    return (
-        F.when(
-            F.col("chars_in") > 0,
-            F.floor(rate * F.lit(float(TEMP_BUCKETS))).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("rate_ppm")
-    )
+# budgets (source_mix's rule), and the contract pins alpha = 0.5.
+# The RULE (constants, threshold expression, membership compare, and
+# the determinism argument) lives beside mix_keep_cond in
+# plans.northstar — shared with release_members(mix_alpha=0.5) so the
+# standalone mixer and the composed release can never diverge. The FP
+# math runs once per SOURCE (a handful of rows); each ROW's membership
+# is a pure integer compare against the precomputed integer threshold,
+# like source_mix/sample_hash.
 
 
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,11 +105,10 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("chars_in").alias("min_chars"))
     )
     rates = budgets.crossJoin(F.broadcast(floor_b)).select(
-        "source", "docs_in", "chars_in", _temp_rate_ppm()
+        "source", "docs_in", "chars_in",
+        temp_rate_ppm("chars_in", "min_chars"),
     )
-    kept = docs.join(F.broadcast(rates), "source").filter(
-        ubucket_col(TEMP_A, TEMP_B, TEMP_BUCKETS) < F.col("rate_ppm")
-    )
+    kept = docs.join(F.broadcast(rates), "source").filter(temp_keep_cond())
     out = kept.groupBy("source").agg(
         F.count("*").alias("docs_kept"),
         F.sum("n_chars").alias("chars_kept"),
@@ -154,11 +139,7 @@ WITH b AS (
 f AS (SELECT MIN(chars_in) AS min_chars FROM b WHERE chars_in > 0),
 r AS (
   SELECT source, docs_in, chars_in,
-    CASE WHEN chars_in > 0
-         THEN CAST(floor(sqrt(CAST(min_chars AS DOUBLE)
-                              / CAST(chars_in AS DOUBLE))
-                         * CAST({TEMP_BUCKETS} AS DOUBLE)) AS BIGINT)
-         ELSE 0 END AS rate_ppm
+    {sql_temp_rate_ppm('chars_in', 'min_chars')} AS rate_ppm
   FROM b CROSS JOIN f
 ),
 k AS (
@@ -586,12 +567,20 @@ def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(T.shingles_col()).alias("term"))
         .select("source", T.term_hash_col("term").alias("tid"))
     )
-    exact = (
-        docs.distinct()
-        .groupBy("source")
-        .agg(F.count("*").alias("exact_distinct"))
+    # The distinct (source, tid) frame is the shared input of BOTH the
+    # exact audit and the sketch — a plain diamond re-executes the
+    # explode+hash+distinct once per branch (Catalyst duplicates
+    # shared subtrees; AQE does not reuse those exchanges — measured
+    # 5.1s at sf0.1). localCheckpoint(eager=False) materializes it on
+    # first use and both branches read the cached RDD: the same
+    # shared-CTE materialization the DuckDB oracle gets for free
+    # (same trade as connected_components' iteration checkpoints;
+    # blocks free when the plan-cache entry is dropped). 2.1s after.
+    tids = docs.distinct().localCheckpoint(eager=False)
+    exact = tids.groupBy("source").agg(
+        F.count("*").alias("exact_distinct")
     )
-    surv = docs.filter(F.col("tid") < KMV_PRUNE).distinct()
+    surv = tids.filter(F.col("tid") < KMV_PRUNE)
     w = W.partitionBy("source").orderBy("tid")
     agg = (
         surv.withColumn("rk", F.row_number().over(w))
@@ -694,5 +683,11 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         distinct_kmv,
         DISTINCT_KMV_SQL,
         "deterministic bottom-k (KMV) distinct-cardinality sketch + audit",
+        # eager: the builder localCheckpoints the shared distinct-tids
+        # frame; a cached plan would keep serving the SAME materialized
+        # blocks, hiding the query's real cost from the bench (the
+        # bench gc()s between runs precisely so eager checkpoint
+        # blocks are released and re-paid)
+        eager=True,
     ),
 ]

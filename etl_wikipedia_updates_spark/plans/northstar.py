@@ -2284,6 +2284,53 @@ def mix_keep_cond(budget_col: str, floor_col: str) -> "F.Column":
     return bucket * F.col(budget_col) < F.col(floor_col) * MIX_BUCKETS
 
 
+# Temperature mixing law (alpha = 0.5): rate_s = (floor/chars_s)^(1-a)
+# = sqrt(floor/chars_s) — the mT5/XLM-R small-source upweighting rule.
+# THE rule shared by plans.corpus.temperature_mix and
+# release_members(mix_alpha=0.5), kept here beside mix_keep_cond for
+# the same never-diverge reason. Only the a=0.5 instantiation is in
+# the contract: sqrt/divide/multiply/floor are IEEE-correctly-rounded
+# in both engines, so the per-source integer ppm threshold is
+# bit-identical cross-engine with zero libm in the membership path (a
+# deployment choosing another alpha swaps in pow() and accepts
+# engine-local determinism only).
+TEMP_ALPHA = 0.5
+TEMP_BUCKETS = 1_000_000  # ppm resolution on the keep rate
+TEMP_A = 22_695_477  # Borland LCG — public constants, a stream
+TEMP_B = 1  # uncorrelated with sample_hash/source_mix
+
+
+def temp_rate_ppm(chars_col: str, floor_col: str) -> "F.Column":
+    """floor(sqrt(floor/chars) * BUCKETS) as an integer ppm threshold;
+    0 for a zero-char stratum (nothing to balance toward)."""
+    rate = F.sqrt(
+        F.col(floor_col).cast("double") / F.col(chars_col).cast("double")
+    )
+    return (
+        F.when(
+            F.col(chars_col) > 0,
+            F.floor(rate * F.lit(float(TEMP_BUCKETS))).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rate_ppm")
+    )
+
+
+def temp_keep_cond() -> "F.Column":
+    """Per-row temperature membership: integer bucket < the stratum's
+    precomputed integer rate_ppm column."""
+    return ubucket_col(TEMP_A, TEMP_B, TEMP_BUCKETS) < F.col("rate_ppm")
+
+
+def sql_temp_rate_ppm(chars: str, floor: str) -> str:
+    """DuckDB twin of temp_rate_ppm — identical IEEE op sequence."""
+    return (
+        f"CASE WHEN {chars} > 0 THEN CAST(floor(sqrt(CAST({floor} AS DOUBLE)"
+        f" / CAST({chars} AS DOUBLE)) * CAST({TEMP_BUCKETS} AS DOUBLE))"
+        f" AS BIGINT) ELSE 0 END"
+    )
+
+
 def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: per-source audit of a deterministic downsample to
     the smallest source's character budget."""
@@ -2896,11 +2943,20 @@ SPAN_REMOVAL_SQL = _span_removal_sql()
 
 
 # --- corpus_release: the end-to-end training-data release -------------------
-def release_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+def release_members(
+    spark: SparkSession, sf_dir: str, mix_alpha: float | None = None
+) -> DataFrame:
     """The released doc set — (source, split, doc_id, n_chars), one row
     per surviving document. Shared by corpus_release (which aggregates
     the audit card) and release.write_release (which joins text back on
-    and materializes the corpus through SnapshotTable)."""
+    and materializes the corpus through SnapshotTable).
+
+    ``mix_alpha`` selects the mixing law: None (default) is the
+    all-integer character-budget equalization (source_mix's rule,
+    alpha = 0); 0.5 is the temperature law (temperature_mix's rule —
+    small sources upweighted, the sqrt form whose integer ppm
+    threshold is bit-portable cross-engine). Other alphas are refused:
+    their pow() thresholds are engine-local (see temp_rate_ppm)."""
     pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
     labels = D.connected_components(pairs)
     dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
@@ -2915,9 +2971,23 @@ def release_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets = kept.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
     floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))
     rates = budgets.crossJoin(F.broadcast(floor_b))
-    mixed = kept.join(F.broadcast(rates), "source").filter(
-        mix_keep_cond("chars_q", "min_chars")
-    )
+    if mix_alpha is None:
+        mixed = kept.join(F.broadcast(rates), "source").filter(
+            mix_keep_cond("chars_q", "min_chars")
+        )
+    elif mix_alpha == TEMP_ALPHA:
+        rates = rates.withColumn(
+            "rate_ppm", temp_rate_ppm("chars_q", "min_chars")
+        )
+        mixed = kept.join(F.broadcast(rates), "source").filter(
+            temp_keep_cond()
+        )
+    else:
+        raise ValueError(
+            f"mix_alpha={mix_alpha!r}: only None (budget equalization) "
+            f"and {TEMP_ALPHA} (bit-portable temperature law) are "
+            "contract mixing rules"
+        )
     return mixed.select(
         "source", split_col().alias("split"), "doc_id", "n_chars"
     )
@@ -2964,7 +3034,21 @@ def release_audit(members: DataFrame) -> DataFrame:
     )
 
 
-CORPUS_RELEASE_SQL = f"""
+def _corpus_release_sql(temperature: bool) -> str:
+    """The release oracle with the mixing CTE selected by law: the
+    all-integer budget rule, or the temperature ppm threshold (the
+    sql_temp_rate_ppm twin of release_members' mix_alpha=0.5 path)."""
+    if temperature:
+        mix_where = (
+            f"({sql_ubucket(TEMP_A, TEMP_B, TEMP_BUCKETS, 'k.doc_id')})"
+            f" < {sql_temp_rate_ppm('b.chars_q', 'f.min_chars')}"
+        )
+    else:
+        mix_where = (
+            f"({sql_ubucket(MIX_A, MIX_B, MIX_BUCKETS, 'k.doc_id')})"
+            f" * b.chars_q < f.min_chars * {MIX_BUCKETS}"
+        )
+    return f"""
 WITH RECURSIVE {_CC_CTES},
 dropped AS (SELECT doc_id FROM cc WHERE cluster_id != doc_id),
 {_REP_PER_DOC_CTES},
@@ -2981,8 +3065,7 @@ floor_b AS (SELECT MIN(chars_q) AS min_chars FROM budgets),
 mixed AS (
   SELECT k.source, k.doc_id, k.n_chars
   FROM keptq k JOIN budgets b USING (source) CROSS JOIN floor_b f
-  WHERE ({sql_ubucket(MIX_A, MIX_B, MIX_BUCKETS, 'k.doc_id')}) * b.chars_q
-        < f.min_chars * {MIX_BUCKETS}
+  WHERE {mix_where}
 )
 SELECT source,
   CASE WHEN {sql_ubucket(SAMPLE_A, SAMPLE_B, SAMPLE_BUCKETS)}
@@ -2992,6 +3075,20 @@ SELECT source,
   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM mixed GROUP BY 1, 2 ORDER BY source, split
 """
+
+
+CORPUS_RELEASE_SQL = _corpus_release_sql(temperature=False)
+CORPUS_RELEASE_TEMP_SQL = _corpus_release_sql(temperature=True)
+
+
+def corpus_release_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_release under the temperature mixing law (mix_alpha=0.5):
+    the identical dedup/quality/split stages, with small sources
+    upweighted instead of every source clamped to the smallest
+    character budget. Same scale shape as corpus_release — the law
+    only changes the per-source integer threshold computed on the
+    |sources|-row broadcast frame."""
+    return release_audit(release_members(spark, sf_dir, mix_alpha=TEMP_ALPHA))
 
 
 NORTHSTAR_QUERIES: list[DeclaredQuery] = [
@@ -3133,6 +3230,13 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         corpus_release,
         CORPUS_RELEASE_SQL,
         "end-to-end release: dedup + quality filter + mix + split",
+        eager=True,  # CC strategy probe runs jobs at build time
+    ),
+    DeclaredQuery(
+        "corpus_release_temp",
+        corpus_release_temp,
+        CORPUS_RELEASE_TEMP_SQL,
+        "the release under the temperature (alpha=0.5) mixing law",
         eager=True,  # CC strategy probe runs jobs at build time
     ),
     DeclaredQuery(

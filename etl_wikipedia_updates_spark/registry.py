@@ -2,7 +2,7 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (72 as of round 10). The external correctness gate records the
+entries (73 as of round 10). The external correctness gate records the
 first 50 entries per round, so the surplus sits past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
@@ -94,15 +94,16 @@ DECLARATION_ORDER: list[str] = [
     "shard_manifest",
     "semantic_dedup",
     "pii_scrub",
-    # --- positions 51-52: distinct_kmv and ann_pq are ALSO new this
-    # round, but the window is saturated (11 three-round-stale
-    # recertifications + 29 contract rows + 3 changed + 7 new fill all
-    # 50); they take the first slots past the cutoff, are oracle-tested
-    # every run locally like every entry, and HEAD the round-11
-    # rotation ---
+    # --- positions 51-53: distinct_kmv, ann_pq and corpus_release_temp
+    # are ALSO new this round, but the window is saturated (11
+    # three-round-stale recertifications + 29 contract rows + 3 changed
+    # + 7 new fill all 50); they take the first slots past the cutoff,
+    # are oracle-tested every run locally like every entry, and HEAD
+    # the round-11 rotation ---
     "distinct_kmv",
     "ann_pq",
-    # --- positions 53-72: yield their slots this round (all with
+    "corpus_release_temp",
+    # --- positions 54-73: yield their slots this round (all with
     # r9-official green rows; span_dedup/token_stats/corpus_stats
     # are UNCHANGED-in-behavior consumers of r10-edited shared
     # modules, oracle-green locally — see docstring).

@@ -35,6 +35,7 @@ def release_corpus(
     sf_dir: str,
     members: DataFrame | None = None,
     remove_spans: bool = False,
+    mix_alpha: float | None = None,
 ) -> DataFrame:
     """The released corpus as a DataFrame: every surviving document's
     full row plus its ``split``. The join key is the unique doc_id, so
@@ -52,7 +53,7 @@ def release_corpus(
     decided on it); span accounting lives in the span_removal query."""
     docs = load_table(spark, sf_dir, "documents")
     if members is None:
-        members = release_members(spark, sf_dir)
+        members = release_members(spark, sf_dir, mix_alpha=mix_alpha)
     released = docs.join(members.select("doc_id", "split"), "doc_id")
     if remove_spans:
         released = (
@@ -69,6 +70,7 @@ def write_release(
     out_root: str,
     keep_last: int = 2,
     remove_spans: bool = False,
+    mix_alpha: float | None = None,
 ) -> dict:
     """Publish one release version: data partitioned by split, audit
     card in the version metadata, old versions vacuumed to a horizon.
@@ -82,7 +84,7 @@ def write_release(
     Returns {"version": N, "audit": [card rows as dicts]}.
     """
     table = SnapshotTable(out_root)
-    members = release_members(spark, sf_dir).persist()
+    members = release_members(spark, sf_dir, mix_alpha=mix_alpha).persist()
     try:
         audit = [r.asDict() for r in release_audit(members).collect()]
         version = table.publish(
@@ -93,6 +95,7 @@ def write_release(
                 "sf_dir": sf_dir,
                 "audit": audit,
                 "remove_spans": remove_spans,
+                "mix_alpha": mix_alpha,
             },
             partition_by=["split"],
         )

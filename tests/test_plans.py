@@ -148,10 +148,16 @@ CASES = [
         ["partial_"],
         ["Generate", "Join", "BatchEvalPython", "ArrowEvalPython"],
     ),
-    # distinct_kmv (r10): the sketch prunes hashes map-side BEFORE the
-    # distinct (the tid < PRUNE filter must sit under the exchange);
-    # the only window is per-source over pruned survivors
-    ("distinct_kmv", ["Generate", "partial_"], ["BatchEvalPython"]),
+    # distinct_kmv (r10): the shared distinct-tids frame is
+    # localCheckpointed so the exact audit and the sketch read ONE
+    # materialization (Scan ExistingRDD) instead of re-running the
+    # explode per branch; the only window is per-source over pruned
+    # survivors
+    (
+        "distinct_kmv",
+        ["Scan ExistingRDD", "partial_"],
+        ["BatchEvalPython", "Generate"],
+    ),
     # ann_pq (r10): encoding is a map-side projection over inlined
     # codebook literals; the 5-query table frame broadcasts onto the
     # streamed codes (BNLJ, the q25 shape); ranked windows per query

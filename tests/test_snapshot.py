@@ -332,3 +332,32 @@ def test_read_paths_do_not_mutate_the_sink(spark, tmp_path):
     assert not os.path.exists(st.root)  # still nothing written
     st.publish(spark.range(3))
     assert st.read(spark).count() == 3
+
+
+def test_write_release_temperature_mix(spark, sf_smoke, tmp_path):
+    """mix_alpha=0.5 threads end-to-end: the published audit equals the
+    corpus_release_temp query's card, the meta records the law, and
+    the temperature release keeps MORE docs than the budget release
+    (alpha=0.5 upweights instead of clamping to the smallest source)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        corpus_release,
+        corpus_release_temp,
+    )
+    from etl_wikipedia_updates_spark.release import write_release
+
+    root = str(tmp_path / "rel")
+    out = write_release(spark, sf_smoke, root, mix_alpha=0.5)
+    card = {
+        (r["source"], r["split"]): (r["n_docs"], r["id_checksum"])
+        for r in corpus_release_temp(spark, sf_smoke).collect()
+    }
+    published = {
+        (d["source"], d["split"]): (d["n_docs"], d["id_checksum"])
+        for d in out["audit"]
+    }
+    assert published == card
+    n_temp = sum(v[0] for v in card.values())
+    n_budget = sum(
+        r["n_docs"] for r in corpus_release(spark, sf_smoke).collect()
+    )
+    assert n_temp >= n_budget

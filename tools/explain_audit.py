@@ -73,7 +73,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "shard_manifest": (["partial_"], ["SortMergeJoin", "Generate", "Window"]),
     "semantic_dedup": (["partial_"], ["BatchEvalPython"]),
     "pii_scrub": (["partial_"], ["Generate", "Join", "BatchEvalPython"]),
-    "distinct_kmv": (["Generate", "partial_"], ["BatchEvalPython"]),
+    "distinct_kmv": (
+        ["Scan ExistingRDD", "partial_"],
+        ["BatchEvalPython", "Generate"],
+    ),
     "ann_pq": (
         ["BroadcastNestedLoopJoin", "row_number"],
         ["SortMergeJoin", "BatchEvalPython"],
