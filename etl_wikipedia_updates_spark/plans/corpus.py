@@ -227,25 +227,59 @@ def _fit_bigram_counts(big: DataFrame) -> list[tuple[int, int]]:
     ]
 
 
+# Dense-dispatch ceiling: an observed charset up to this size scores
+# through a |C|^2 scaled-long array LITERAL (128 -> 16k longs, a ~130KB
+# folded constant); a larger charset (CJK-heavy corpora) falls back to
+# the broadcast-join path. Both paths compute identical values.
+CHARLM_DENSE_MAX = 128
+
+
+def _charlm_table(counts: list[tuple[int, int]]):
+    """(sorted codepoints, dense |C|x|C| scaled-logp longs): the
+    add-one model as an O(1)-lookup table. The scaled value is
+    floor(log2((c+1)/(ctx+V)) * 1e6 + 0.5) — exactly the integer
+    dec_sum would recover from the det-rounded logp, computed here
+    with Python's libm log2 (the same libm as the DuckDB oracle's;
+    the unit reference test pins it against math.log2 directly).
+    Unseen transitions stay 0: impossible for the fit corpus (the
+    model is fit on the very text it scores)."""
+    import math
+
+    ctx: dict[int, int] = {}
+    for bg, c in counts:
+        ctx[bg // 1114112] = ctx.get(bg // 1114112, 0) + c
+    vs = len({bg % 1114112 for bg, _ in counts})
+    chars = sorted(
+        {bg // 1114112 for bg, _ in counts}
+        | {bg % 1114112 for bg, _ in counts}
+    )
+    rank = {cp: i for i, cp in enumerate(chars)}
+    n = len(chars)
+    scale = float(10**CHARLM_ROUND)
+    table = [0] * (n * n)
+    for bg, c in counts:
+        i, j = rank[bg // 1114112], rank[bg % 1114112]
+        lp = math.log2((c + 1) / float(ctx[bg // 1114112] + vs))
+        table[i * n + j] = int(math.floor(lp * scale + 0.5))
+    return chars, table, ctx, vs
+
+
 def charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source audit of corpus-fit char-bigram LM scores.
 
     Eager fit-then-score (the lang_id/kmeans pattern): the bigram
     counts are fitted in ONE map-side-combined count job at build time
-    and memoized; context totals and the successor-vocabulary size are
-    derived driver-side in integer arithmetic (no Python float math —
-    the logp expression stays a JVM det_round(log2(...)) over the
-    inlined integer counts, identical to the oracle's). A first,
-    declarative-diamond version recomputed the corpus explode once per
-    model branch (model/ctx/vocab — AQE does not reuse those
-    exchanges) and ran 3.7s at sf0.1; the eager fit runs the explode
-    once for the fit and once for scoring.
-
-    Scoring broadcasts the bounded model onto the exploded corpus —
-    the corpus side streams, the bounded side broadcasts — and the
-    per-doc agg partial-aggregates map-side before the |docs|-row
-    shuffle (exploded transitions for one doc are adjacent, so
-    partials collapse per task).
+    and memoized. Scoring is a PURE PROJECTION: each doc splits to
+    chars once, ranks them against the observed-charset literal, and
+    folds element_at(dense scaled-logp table, rank1*|C| + rank2) over
+    adjacent pairs — no explode, no join, no per-doc shuffle; the only
+    shuffle in the whole query is the |sources|-key audit agg with
+    map-side partials. (History: a declarative diamond re-executed the
+    corpus explode per model branch, 3.7s at sf0.1; an explode +
+    broadcast-join scorer ran 2.2s; the in-array scorer runs ~0.9s.
+    The 100 TB shape is the same projection.) Charsets past
+    CHARLM_DENSE_MAX fall back to the explode + broadcast-model join
+    (identical values, the bounded side broadcasts).
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
@@ -256,31 +290,11 @@ def charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "charlm_bigram_counts",
         lambda: _fit_bigram_counts(_doc_bigrams(spread(docs))),
     )
-    ctx: dict[int, int] = {}
-    for bg, c in counts:
-        ctx[bg // 1114112] = ctx.get(bg // 1114112, 0) + c
-    vs = len({bg % 1114112 for bg, _ in counts})
-    model_rows = [(bg, c, ctx[bg // 1114112], vs) for bg, c in counts]
-    model = spark.createDataFrame(
-        model_rows, schema="bg bigint, c bigint, ctx_c bigint, vs bigint"
-    ).select(
-        "bg",
-        det_round(
-            F.log2(
-                (F.col("c") + 1)
-                / (F.col("ctx_c") + F.col("vs")).cast("double")
-            ),
-            CHARLM_ROUND,
-        ).alias("logp"),
-    )
-    big = _doc_bigrams(docs)
-    per_doc = big.join(F.broadcast(model), "bg").groupBy(
-        "doc_id", "source"
-    ).agg(
-        (
-            -dec_sum(F.col("logp"), scale=CHARLM_ROUND) / F.count("*")
-        ).alias("bits")
-    )
+    chars, table, ctx, vs = _charlm_table(counts)
+    if chars and len(chars) <= CHARLM_DENSE_MAX:
+        per_doc = _charlm_score_dense(docs, chars, table)
+    else:
+        per_doc = _charlm_score_join(spark, docs, counts, ctx, vs)
     flagged = F.col("bits") > F.lit(CHARLM_FLAG_BITS)
     return (
         per_doc.groupBy("source")
@@ -298,6 +312,81 @@ def charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("flagged_checksum"),
         )
         .transform(total_order, "source")
+    )
+
+
+def _charlm_score_dense(
+    docs: DataFrame, chars: list[int], table: list[int]
+) -> DataFrame:
+    """(doc_id, source, bits) via the in-array scorer. instr() on the
+    charset literal ranks each char (O(|C|) substring scan of a tiny
+    constant); the rank array binds ONCE through a 1-element transform
+    (the no-CSE-into-lambdas pitfall) and the zipped fold reads the
+    folded table literal per adjacent pair."""
+    n = len(chars)
+    charset = "".join(chr(cp) for cp in chars).replace("'", "''")
+    tbl = "array(" + ",".join(f"{v}L" for v in table) + ")"
+    ranks = f"transform(split(text, ''), c -> instr('{charset}', c))"
+    fold = (
+        f"element_at(transform(array({ranks}), r -> "
+        "aggregate(zip_with(slice(r, 1, size(r) - 1),"
+        " slice(r, 2, size(r) - 1),"
+        f" (a, b) -> element_at({tbl}, (a - 1) * {n} + b)),"
+        " 0L, (acc, v) -> acc + v)), 1)"
+    )
+    scale = float(10**CHARLM_ROUND)
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") >= 2))
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"{fold} AS s_scaled",
+            "length(text) - 1 AS nt",
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                -(F.col("s_scaled").cast("double") / F.lit(scale))
+                / F.col("nt")
+            ).alias("bits"),
+        )
+    )
+
+
+def _charlm_score_join(
+    spark: SparkSession,
+    docs: DataFrame,
+    counts: list[tuple[int, int]],
+    ctx: dict[int, int],
+    vs: int,
+) -> DataFrame:
+    """(doc_id, source, bits) via explode + broadcast-model join — the
+    huge-charset fallback. logp is computed JVM-side over the inlined
+    integer counts; the per-doc agg partial-aggregates map-side before
+    the |docs|-row shuffle."""
+    model_rows = [(bg, c, ctx[bg // 1114112], vs) for bg, c in counts]
+    model = spark.createDataFrame(
+        model_rows, schema="bg bigint, c bigint, ctx_c bigint, vs bigint"
+    ).select(
+        "bg",
+        det_round(
+            F.log2(
+                (F.col("c") + 1)
+                / (F.col("ctx_c") + F.col("vs")).cast("double")
+            ),
+            CHARLM_ROUND,
+        ).alias("logp"),
+    )
+    big = _doc_bigrams(docs)
+    return (
+        big.join(F.broadcast(model), "bg")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                -dec_sum(F.col("logp"), scale=CHARLM_ROUND) / F.count("*")
+            ).alias("bits")
+        )
     )
 
 

@@ -10,7 +10,8 @@ stale:
 - Entries whose newest official row is OLDEST go FIRST. Round 10: the
   13 that fell past round 8's cutoff (text_quality through ann_ivf)
   whose newest official rows date to r7 — two rounds stale because
-  round 9 shipped no rotation at all.
+  round 9 shipped no rotation at all (11 of them head the window; the
+  two rows-only approx entries yielded, see below).
 - The contract rows Q1-Q28 + wiki and every entry CHANGED this round
   stay inside the first 50 (a changed query needs a fresh row; its
   old row certifies code that no longer exists). Round 10 changed
@@ -26,13 +27,16 @@ stale:
   temperature_mix, charlm_score, shard_manifest, pii_scrub; and
   semantic_dedup, SemDeDup over the shared learned k-means cells).
 - The entries that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (round 10: 18
-  r9-official-green extensions in the tail). The corpus trio's
+  certified green in the immediately-preceding round (the
+  r9-official-green extensions in the tail). The corpus additions'
   arrival displaced the three in-window guards an earlier r10
   session held for shared-module edits (span_dedup, token_stats,
   corpus_stats): a never-certified entry outranks a guard whose
   r9-official row is one round old and whose oracle is re-proven
-  locally every run by tests/test_queries_oracle.py.
+  locally every run by tests/test_queries_oracle.py. With the window
+  saturated, the LAST three new entries of the round (distinct_kmv,
+  ann_pq, corpus_release_temp) sit at positions 51-53 — no official
+  row this round, oracle-tested locally, heading the r11 rotation.
 
 All entries are benched by bench.py regardless of position, and the
 oracle-backed entries are oracle-tested every run in

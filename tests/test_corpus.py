@@ -372,3 +372,23 @@ def test_ann_pq_recall_floor(spark, sf_smoke):
 
     r = recall_of(spark, sf_smoke, "ann_pq", PQ_N_QUERIES, PQ_TOPK)
     assert r["recall_at_k"] >= 0.6, r
+
+
+def test_charlm_fallback_join_path_matches_dense(spark, tmp_path, monkeypatch):
+    """The huge-charset fallback (explode + broadcast-model join) must
+    produce byte-identical audits to the dense in-array scorer —
+    forced by dropping the dense ceiling to 0."""
+    from etl_wikipedia_updates_spark.plans import corpus as CC
+
+    rows = [
+        (i, "the quick brown fox " * (2 + i % 3), "en", f"src{i % 3}", 60)
+        for i in range(24)
+    ]
+    rows.append((100, None, "en", "src0", 0))
+    sf = _write_docs(tmp_path, rows)
+    dense = C.charlm_score(spark, sf).collect()
+    monkeypatch.setattr(CC, "CHARLM_DENSE_MAX", 0)
+    # fresh model key is unnecessary (counts identical); the path
+    # switch is decided per build
+    fallback = C.charlm_score(spark, sf).collect()
+    assert [r.asDict() for r in dense] == [r.asDict() for r in fallback]

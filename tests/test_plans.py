@@ -123,15 +123,16 @@ CASES = [
     # audit agg (the sqrt runs once per SOURCE, membership is integer
     # math per row)
     ("temperature_mix", ["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
-    # charlm_score (r10): the bounded bigram-vocabulary model
-    # broadcasts onto the exploded corpus (never the reverse — the
-    # corpus side is transition-scale); the per-doc agg combines
-    # map-side; everything stays JVM-side (no Python eval) and no
-    # window anywhere
+    # charlm_score (r10): the dense in-array scorer is a PURE
+    # projection — no explode, no join, no window; the only shuffle is
+    # the source-key audit agg with map-side partials (the huge-charset
+    # fallback reintroduces Generate + BroadcastHashJoin, covered by
+    # test_charlm_fallback_join_path_matches_dense)
     (
         "charlm_score",
-        ["Generate", "BroadcastHashJoin", "partial_"],
-        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython", "Window"],
+        ["partial_"],
+        ["Generate", "Join", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython", "Window"],
     ),
     # shard_manifest (r10): stateless per-row shard assignment feeding
     # one N_SHARDS-key agg with map-side partials; no explode, no

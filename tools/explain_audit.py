@@ -67,8 +67,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # no merge joins, charlm stays JVM-side with no window
     "temperature_mix": (["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
     "charlm_score": (
-        ["Generate", "BroadcastHashJoin", "partial_"],
-        ["SortMergeJoin", "BatchEvalPython", "Window"],
+        ["partial_"],
+        ["Generate", "Join", "BatchEvalPython", "Window"],
     ),
     "shard_manifest": (["partial_"], ["SortMergeJoin", "Generate", "Window"]),
     "semantic_dedup": (["partial_"], ["BatchEvalPython"]),
