@@ -33,7 +33,21 @@ SF = "/root/testdata/sf0.001"
 # and only until the next clearCache().
 DECLARED_LAZY_PERSISTS: set[str] = set()
 
-EAGER_BUILDERS = ["kmeans_clusters", "ann_kmeans", "dedup_clusters", "dedup_corpus"]
+EAGER_BUILDERS = [
+    "kmeans_clusters",
+    "ann_kmeans",
+    "dedup_clusters",
+    "dedup_corpus",
+    # r10 eager additions: shared/per-subspace k-means fits, the CC
+    # probe under the temperature release, the charlm bigram fit, and
+    # distinct_kmv (eager for bench honesty; its localCheckpoint is
+    # RDD-level storage, not a CacheManager entry)
+    "semantic_dedup",
+    "ann_pq",
+    "corpus_release_temp",
+    "charlm_score",
+    "distinct_kmv",
+]
 
 
 def _n_cached(spark) -> int:
@@ -103,3 +117,9 @@ def test_driver_caches_purge_stale_session_entries(spark):
     emb = tables.load_table(spark, SF, "embeddings").select("vec_id", "embedding")
     PC._fit_centroids(emb, SF)
     assert ("dead-app", SF, 8, 2) not in PC._FIT_CACHE
+
+    PC._PQ_FIT_CACHE[("dead-app", SF, 0)] = [[0.0]]
+    PC._PQ_FIT_CACHE.pop((app, SF, 0), None)
+    PC._fit_codebooks(emb, SF)
+    assert ("dead-app", SF, 0) not in PC._PQ_FIT_CACHE
+    assert (app, SF, 0) in PC._PQ_FIT_CACHE
