@@ -181,6 +181,14 @@ def cmd_dedup_ingest(args) -> int:
         if args.mode in ("embedding", "embedding-verified")
         else "documents"
     )
+    if getattr(args, "redact_pii", False) and args.mode != "curate":
+        # a privacy control must apply or fail loudly, never no-op
+        print(
+            "--redact-pii is a curation stage: it requires --mode curate "
+            f"(got --mode {args.mode})",
+            file=sys.stderr,
+        )
+        return 2
     schema = load_table(spark, args.sf_dir, table).schema
     stream = read_replay_stream(spark, args.replay, schema)
     if args.mode in ("decontam", "curate"):
@@ -217,11 +225,7 @@ def cmd_dedup_ingest(args) -> int:
             args.checkpoint or args.sink + "_ckpt",
             compact_every=args.compact_every,
             exclude_self=args.bench is None,
-            **(
-                {"redact_pii": True}
-                if args.mode == "curate" and args.redact_pii
-                else {}
-            ),
+            **({"redact_pii": True} if args.redact_pii else {}),
         )
     else:
         start = {

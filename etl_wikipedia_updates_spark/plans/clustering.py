@@ -364,14 +364,22 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = spread(emb_raw)
     books = _fit_codebooks(emb, sf_dir)
+    # The normalized subvector binds ONCE per (row, subspace) through
+    # a 1-element transform: passing _pq_slice(m, _NE_SQL) straight to
+    # _best_expr would inline the full O(dim) normalization into every
+    # one of the PQ_KS zip_withs — 64 whole-vector normalizations per
+    # corpus row on the side PQ exists to make cheap.
+    def _code(m: int) -> str:
+        best = C._best_expr(books[m], col="sub")
+        return (
+            f"element_at(transform(array({_pq_slice(m, _NE_SQL)}), "
+            f"sub -> {best}), 1).cid AS code{m}"
+        )
+
     cands = emb.selectExpr(
         "vec_id",
         f"{_E_SQL} AS e",
-        *[
-            f"{C._best_expr(books[m], col=_pq_slice(m, _NE_SQL))}.cid"
-            f" AS code{m}"
-            for m in range(PQ_M)
-        ],
+        *[_code(m) for m in range(PQ_M)],
     ).selectExpr("*", f"{_NRM_SQL.format(e='e')} AS nrm")
     queries = F.broadcast(
         emb_raw.filter(F.col("vec_id") < PQ_N_QUERIES)

@@ -318,30 +318,49 @@ def charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _charlm_score_dense(
     docs: DataFrame, chars: list[int], table: list[int]
 ) -> DataFrame:
-    """(doc_id, source, bits) via the in-array scorer. instr() on the
-    charset literal ranks each char (O(|C|) substring scan of a tiny
-    constant); the rank array binds ONCE through a 1-element transform
-    (the no-CSE-into-lambdas pitfall) and the zipped fold reads the
-    folded table literal per adjacent pair."""
+    """(doc_id, source, bits) via the in-array scorer. The charset is
+    bound through F.lit (call_function passes it as a VALUE) — NEVER
+    inlined into SQL source text, where Spark's string-literal escape
+    processing would corrupt any charset containing a backslash (or
+    quote/newline) and silently misalign every rank against the
+    Python-side table (hazard chars are in the unit fixture). The
+    table literal is digits-only, so its inline array() is safe. The
+    rank array binds ONCE through a 1-element transform (the
+    no-CSE-into-lambdas pitfall); instr on the tiny charset constant
+    is an O(|C|) scan per char (measured ~0.5s/corpus-pass cheaper
+    than array_position's per-element string comparisons at sf0.1)."""
     n = len(chars)
-    charset = "".join(chr(cp) for cp in chars).replace("'", "''")
-    tbl = "array(" + ",".join(f"{v}L" for v in table) + ")"
-    ranks = f"transform(split(text, ''), c -> instr('{charset}', c))"
-    fold = (
-        f"element_at(transform(array({ranks}), r -> "
-        "aggregate(zip_with(slice(r, 1, size(r) - 1),"
-        " slice(r, 2, size(r) - 1),"
-        f" (a, b) -> element_at({tbl}, (a - 1) * {n} + b)),"
-        " 0L, (acc, v) -> acc + v)), 1)"
+    cs_lit = F.lit("".join(chr(cp) for cp in chars))
+    tbl = F.expr("array(" + ",".join(f"{v}L" for v in table) + ")")
+    ranks = F.transform(
+        F.split("text", ""),
+        lambda c: F.call_function("instr", cs_lit, c).cast("long"),
+    )
+    fold = F.element_at(
+        F.transform(
+            F.array(ranks),
+            lambda r: F.aggregate(
+                F.zip_with(
+                    F.slice(r, F.lit(1), F.size(r) - 1),
+                    F.slice(r, F.lit(2), F.size(r) - 1),
+                    lambda a, b: F.element_at(
+                        tbl, ((a - 1) * n + b).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+        1,
     )
     scale = float(10**CHARLM_ROUND)
     return (
         docs.filter(F.col("text").isNotNull() & (F.length("text") >= 2))
-        .selectExpr(
+        .select(
             "doc_id",
             "source",
-            f"{fold} AS s_scaled",
-            "length(text) - 1 AS nt",
+            fold.alias("s_scaled"),
+            (F.length("text") - 1).alias("nt"),
         )
         .select(
             "doc_id",
@@ -535,9 +554,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
     )
-    red = F.col("t")
-    for pat, tag in _PII_TAGS:
-        red = F.regexp_replace(red, F.lit(pat), F.lit(tag))
+    red = pii_redacted_col("t")
     counts = {
         name: F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0)))
         for name, pat in [
@@ -593,19 +610,28 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def pii_redacted_col(col: str) -> "F.Column":
+    """THE redaction expression — every PII match replaced by its
+    class tag, in _PII_TAGS order. The single construction point for
+    pii_scrub (audit), pii_redact (applied transform) and therefore
+    the streaming curation stage: the audited chain and the applied
+    chain are one object, not two copies."""
+    red = F.col(col)
+    for pat, tag in _PII_TAGS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(tag))
+    return red
+
+
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """THE redaction transform: every PII match replaced by its class
     tag, n_chars refreshed when present. Shared by the pii_scrub audit
-    (same _PII_TAGS chain) and the streaming curation ingest's
+    (same pii_redacted_col chain) and the streaming curation ingest's
     optional stage 0 (streaming/decontam.py, redact_pii=True) so the
     audited expression and the applied expression can never diverge.
     Stateless map-side projection — streams under any batching; NULL
     text stays NULL (regexp_replace of NULL), its n_chars becomes 0
     (the fixture convention)."""
-    red = F.col(text_col)
-    for pat, tag in _PII_TAGS:
-        red = F.regexp_replace(red, F.lit(pat), F.lit(tag))
-    out = docs.withColumn(text_col, red)
+    out = docs.withColumn(text_col, pii_redacted_col(text_col))
     if "n_chars" in docs.columns:
         out = out.withColumn(
             "n_chars",

@@ -2969,14 +2969,22 @@ def release_members(
         .join(dropped, "doc_id", "left_anti")
     )
     budgets = kept.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
-    floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))
-    rates = budgets.crossJoin(F.broadcast(floor_b))
     if mix_alpha is None:
+        floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))
+        rates = budgets.crossJoin(F.broadcast(floor_b))
         mixed = kept.join(F.broadcast(rates), "source").filter(
             mix_keep_cond("chars_q", "min_chars")
         )
     elif mix_alpha == TEMP_ALPHA:
-        rates = rates.withColumn(
+        # min over strata that HAVE characters — temperature_mix's
+        # guard, mirrored here: a zero-char surviving stratum would
+        # otherwise zero every ppm threshold and silently empty the
+        # whole release.
+        floor_b = (
+            budgets.filter(F.col("chars_q") > 0)
+            .agg(F.min("chars_q").alias("min_chars"))
+        )
+        rates = budgets.crossJoin(F.broadcast(floor_b)).withColumn(
             "rate_ppm", temp_rate_ppm("chars_q", "min_chars")
         )
         mixed = kept.join(F.broadcast(rates), "source").filter(
@@ -3043,11 +3051,17 @@ def _corpus_release_sql(temperature: bool) -> str:
             f"({sql_ubucket(TEMP_A, TEMP_B, TEMP_BUCKETS, 'k.doc_id')})"
             f" < {sql_temp_rate_ppm('b.chars_q', 'f.min_chars')}"
         )
+        # the zero-char-stratum guard, mirroring release_members'
+        # temperature path (and temperature_mix's floor)
+        floor_sel = (
+            "SELECT MIN(chars_q) AS min_chars FROM budgets WHERE chars_q > 0"
+        )
     else:
         mix_where = (
             f"({sql_ubucket(MIX_A, MIX_B, MIX_BUCKETS, 'k.doc_id')})"
             f" * b.chars_q < f.min_chars * {MIX_BUCKETS}"
         )
+        floor_sel = "SELECT MIN(chars_q) AS min_chars FROM budgets"
     return f"""
 WITH RECURSIVE {_CC_CTES},
 dropped AS (SELECT doc_id FROM cc WHERE cluster_id != doc_id),
@@ -3061,7 +3075,7 @@ budgets AS (
   SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_q
   FROM keptq GROUP BY source
 ),
-floor_b AS (SELECT MIN(chars_q) AS min_chars FROM budgets),
+floor_b AS ({floor_sel}),
 mixed AS (
   SELECT k.source, k.doc_id, k.n_chars
   FROM keptq k JOIN budgets b USING (source) CROSS JOIN floor_b f

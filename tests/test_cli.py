@@ -531,3 +531,26 @@ def test_cli_dedup_ingest_curate_redact_pii(spark, sf_smoke, tmp_path, capsys):
         got.agg(F.sum("doc_id")).first()[0]
         == expected.agg(F.sum("doc_id")).first()[0]
     )
+
+
+def test_cli_redact_pii_requires_curate_mode(spark, sf_smoke, tmp_path, capsys):
+    """--redact-pii outside --mode curate must fail loudly (exit 2),
+    never silently ship raw PII with a clean exit."""
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 2, "doc_id")
+    rc = main(
+        [
+            "dedup-ingest",
+            "--replay", replay,
+            "--sink", str(tmp_path / "sink"),
+            "--sf-dir", sf_smoke,
+            "--mode", "doc",
+            "--redact-pii",
+        ]
+    )
+    assert rc == 2
+    assert "requires --mode curate" in capsys.readouterr().err

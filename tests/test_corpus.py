@@ -166,6 +166,11 @@ def test_charlm_matches_python_reference(spark, tmp_path):
     # non-ASCII incl. an astral-plane char: the packed-codepoint
     # transition id must agree with Python ord() beyond Latin-1
     rows.append((202, "é€中\U0001D11E é€中", "en", "srcMIX", 8))
+    # SQL-literal hazard chars (backslash, quotes, newline, tab): the
+    # dense scorer's charset must be BOUND, never inlined into SQL
+    # source text — an inlined 'C:\path' charset would be
+    # escape-processed and misalign every rank (review r10)
+    rows.append((203, "C:\\path\\x 'q' \"d\"\n\tend", "en", "srcMIX", 22))
     sf = _write_docs(tmp_path, rows)
     got = {r["source"]: r.asDict() for r in C.charlm_score(spark, sf).collect()}
     want = _ref_charlm(rows, C.CHARLM_FLAG_BITS)
