@@ -487,8 +487,12 @@ def main(argv: list[str] | None = None) -> int:
     idx.add_argument("--topk", type=int, default=5)
     idx.add_argument("--n-probes", type=int, default=1)
     idx.add_argument(
-        "--quantize", action="store_true",
-        help="build: store SQ8 int8 vectors beside the floats",
+        "--quantize", nargs="?", const="sq8", default=None,
+        choices=["sq8", "pq"],
+        help="build: store a compressed form beside the floats — "
+        "'sq8' (int8 vectors; bare --quantize keeps meaning this) or "
+        "'pq' (product-quantized codes + codebooks in metadata, the "
+        "IVF-PQ layout)",
     )
     idx.add_argument(
         "--recall", type=int, default=0, metavar="N",

@@ -306,10 +306,17 @@ _PQ_FIT_CACHE: dict[tuple[str, str, int], list[list[float]]] = {}
 # array (s.n below): referencing a computed scalar from inside the
 # divide lambda would re-inline its fold per ELEMENT (the
 # shingles_col/Catalyst no-CSE-into-lambdas pitfall, O(dim^2) per row).
-_NE_SQL = (
-    "element_at(transform(array(named_struct('t', {e}, 'n', {n})), "
-    "s -> transform(s.t, x -> x / s.n)), 1)"
-).format(e=_E_SQL, n=_NRM_SQL.format(e=_E_SQL))
+def ne_sql(col: str = "embedding") -> str:
+    """The unit-normalize expression over an arbitrary array column
+    (vector_index's PQ storage normalizes q_embedding through this)."""
+    e = f"transform({col}, x -> CAST(x AS DOUBLE))"
+    return (
+        "element_at(transform(array(named_struct('t', {e}, 'n', {n})), "
+        "s -> transform(s.t, x -> x / s.n)), 1)"
+    ).format(e=e, n=_NRM_SQL.format(e=e))
+
+
+_NE_SQL = ne_sql()
 
 
 def _pq_slice(m: int, col: str = "embedding") -> str:

@@ -39,6 +39,11 @@ from etl_wikipedia_updates_spark.operators import similarity as S
 from etl_wikipedia_updates_spark.plans.clustering import (
     KMEANS_ITERS,
     KMEANS_K,
+    PQ_KS,
+    PQ_M,
+    _d2_array_expr,
+    _pq_slice,
+    ne_sql,
 )
 from etl_wikipedia_updates_spark.streaming.snapshot import (
     SnapshotTable,
@@ -65,6 +70,49 @@ _SQ8_DEQUANT = (
 )
 
 
+def _norm_quantize(quantize) -> str | bool:
+    """Normalize the quantize knob: False/None -> False, True (the
+    pre-PQ boolean API) -> 'sq8', else the mode string."""
+    if not quantize:
+        return False
+    if quantize is True:
+        return "sq8"
+    if quantize in ("sq8", "pq"):
+        return quantize
+    raise ValueError(f"quantize={quantize!r}: expected False, 'sq8' or 'pq'")
+
+
+def _pq_fit_books(emb: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace codebooks over the UNIT-NORMALIZED vectors (the
+    ann_pq design: on the unit sphere ADC's L2 order equals the cosine
+    order the exact rescore uses)."""
+    return [
+        C.kmeans_fit(
+            emb.selectExpr(
+                "vec_id", f"{_pq_slice(m, ne_sql())} AS embedding"
+            ),
+            PQ_KS,
+            KMEANS_ITERS,
+        )
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_encode(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Add code0..code{M-1}: each subvector's nearest codebook entry.
+    The normalized subvector binds once per (row, subspace) — the
+    ann_pq encoder shape."""
+
+    def code(m: int) -> str:
+        best = C._best_expr(books[m], col="sub")
+        return (
+            f"element_at(transform(array({_pq_slice(m, ne_sql())}), "
+            f"sub -> {best}), 1).cid AS code{m}"
+        )
+
+    return df.selectExpr("*", *[code(m) for m in range(PQ_M)])
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -72,16 +120,21 @@ def build_ivf_index(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     keep_last: int = 2,
-    quantize: bool = False,
+    quantize: bool | str = False,
 ) -> dict:
     """Fit, assign, publish. Returns {"version": N, "k": k}.
 
-    quantize=True additionally stores each vector's symmetric-int8
-    form (qv tinyint array + absmax) beside the exact floats — the
-    ann_sq8 storage trade INSIDE the cell layout: the approximate
-    probe scans 1-byte elements (column pruning keeps the float
-    column unread), exact floats are touched only for the overfetched
-    rescore rows."""
+    quantize='sq8' (or legacy True) additionally stores each vector's
+    symmetric-int8 form (qv tinyint array + absmax) beside the exact
+    floats — the ann_sq8 storage trade INSIDE the cell layout: the
+    approximate probe scans 1-byte elements (column pruning keeps the
+    float column unread), exact floats are touched only for the
+    overfetched rescore rows. quantize='pq' stores product-quantized
+    codes instead (PQ_M small ints per vector — the IVF-PQ layout, the
+    ann_pq trade inside the cell layout) with the per-subspace
+    codebooks in the version metadata; the approximate probe is the
+    ADC table scan over the code columns alone."""
+    quantize = _norm_quantize(quantize)
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
@@ -89,20 +142,27 @@ def build_ivf_index(
     assigned = C.assignment(emb, cents).select(
         "vec_id", "embedding", F.col("cid").cast("int").alias("cell")
     )
-    if quantize:
+    pq_books = None
+    if quantize == "sq8":
         assigned = assigned.selectExpr(
             "vec_id", "embedding", "cell", f"{_SQ8_ABSMAX} AS absmax"
         ).selectExpr("vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv")
+    elif quantize == "pq":
+        pq_books = _pq_fit_books(emb)
+        assigned = _pq_encode(assigned, pq_books)
     table = SnapshotTable(out_root)
+    meta = {
+        "k": k,
+        "iters": iters,
+        "sf_dir": sf_dir,
+        "centroids": cents,
+        "quantized": quantize,
+    }
+    if pq_books is not None:
+        meta["pq_books"] = pq_books
     version = table.publish(
         assigned,
-        meta={
-            "k": k,
-            "iters": iters,
-            "sf_dir": sf_dir,
-            "centroids": cents,
-            "quantized": quantize,
-        },
+        meta=meta,
         partition_by=["cell"],
     )
     table.vacuum(keep_last=keep_last)
@@ -157,12 +217,17 @@ def append_to_ivf_index(
     assigned = C.assignment(
         new_vectors.select("vec_id", "embedding"), meta["centroids"]
     ).select("vec_id", "embedding", F.col("cid").cast("int").alias("cell"))
-    if meta.get("quantized"):
+    quant = _norm_quantize(meta.get("quantized"))
+    if quant == "sq8":
         assigned = assigned.selectExpr(
             "vec_id", "embedding", "cell", f"{_SQ8_ABSMAX} AS absmax"
         ).selectExpr(
             "vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv"
         )
+    elif quant == "pq":
+        # frozen codebooks, like the frozen centroids: an appended
+        # vector encodes exactly as a from-scratch encode would
+        assigned = _pq_encode(assigned, meta["pq_books"])
     existing = table.read(spark, base)
     if "n_rows" in meta:
         base_rows = int(meta["n_rows"])
@@ -397,23 +462,63 @@ def query_ivf_index(
     cells = sorted({c for r in qrows for c in r["probe_cells"]})
     qprobe = spark.createDataFrame(qrows, schema)
     data = table.read(spark, v).filter(F.col("cell").isin(cells))
-    if not meta.get("quantized"):
+    quant = _norm_quantize(meta.get("quantized"))
+    if not quant:
         out = S.cosine_topk_multiprobe(
             data, qprobe, k=topk, cell_col="cell", exclude_self=exclude_self
         )
         return out.orderBy("q_vec_id", "rank")
-    # quantized: approximate scan over dq (reads qv/absmax, not the
-    # float column), then exact rescore of the overfetched candidates
-    approx_side = data.selectExpr(
-        "vec_id", "cell", f"{_SQ8_DEQUANT} AS embedding"
-    )
-    cand = S.cosine_topk_multiprobe(
-        approx_side,
-        qprobe,
-        k=topk * overfetch,
-        cell_col="cell",
-        exclude_self=exclude_self,
-    ).select("q_vec_id", "vec_id")
+    if quant == "sq8":
+        # approximate scan over dq (reads qv/absmax, not the float
+        # column), then exact rescore of the overfetched candidates
+        approx_side = data.selectExpr(
+            "vec_id", "cell", f"{_SQ8_DEQUANT} AS embedding"
+        )
+        cand = S.cosine_topk_multiprobe(
+            approx_side,
+            qprobe,
+            k=topk * overfetch,
+            cell_col="cell",
+            exclude_self=exclude_self,
+        ).select("q_vec_id", "vec_id")
+    else:  # pq: ADC table scan over the code columns alone — neither
+        # the float column nor any per-candidate vector math is
+        # touched until the rescore; each candidate costs PQ_M
+        # element_at lookups + adds against the query's precomputed
+        # tables (the ann_pq probe inside the cell layout)
+        books = meta["pq_books"]
+        qtab = F.broadcast(
+            qprobe.selectExpr(
+                "q_vec_id",
+                "probe_cells",
+                *[
+                    f"{_d2_array_expr(books[m], _pq_slice(m, ne_sql('q_embedding')))}"
+                    f" AS qt{m}"
+                    for m in range(PQ_M)
+                ],
+            )
+        )
+        adc = " + ".join(
+            f"element_at(qt{m}, code{m} + 1)" for m in range(PQ_M)
+        )
+        cond = F.expr("array_contains(probe_cells, cell)")
+        if exclude_self:
+            cond = cond & (F.col("vec_id") != F.col("q_vec_id"))
+        pairs = (
+            data.select(
+                "vec_id", "cell", *[f"code{m}" for m in range(PQ_M)]
+            )
+            .join(qtab, cond)
+            .selectExpr("q_vec_id", "vec_id", f"{adc} AS ad2")
+        )
+        wadc = W.partitionBy("q_vec_id").orderBy(
+            F.col("ad2").asc(), F.col("vec_id")
+        )
+        cand = (
+            pairs.withColumn("rn", F.row_number().over(wadc))
+            .filter(F.col("rn") <= topk * overfetch)
+            .select("q_vec_id", "vec_id")
+        )
     exact = cand.join(
         data.select("vec_id", "embedding"), "vec_id"
     ).join(

@@ -554,3 +554,36 @@ def test_cli_redact_pii_requires_curate_mode(spark, sf_smoke, tmp_path, capsys):
     )
     assert rc == 2
     assert "requires --mode curate" in capsys.readouterr().err
+
+
+def test_cli_index_build_pq(spark, sf_smoke, tmp_path, capsys):
+    """--quantize pq builds the IVF-PQ layout end-to-end through the
+    CLI (codes + codebooks in metadata) and stats --recall probes it."""
+    import json
+
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    idx = str(tmp_path / "pq")
+    assert (
+        main(
+            [
+                "index", "build", "--root", idx,
+                "--sf-dir", sf_smoke, "--quantize", "pq",
+            ]
+        )
+        == 0
+    )
+    meta = SnapshotTable(idx).meta_for(1)
+    assert meta["quantized"] == "pq" and len(meta["pq_books"]) == 4
+    capsys.readouterr()
+    assert (
+        main(
+            [
+                "index", "stats", "--root", idx,
+                "--recall", "3", "--topk", "3",
+            ]
+        )
+        == 0
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= stats["recall"]["recall_at_k"] <= 1.0

@@ -112,7 +112,7 @@ def test_quantized_index_rescore_recovers_exact_ranking(
     froot, qroot = str(tmp_path / "f"), str(tmp_path / "q")
     build_ivf_index(spark, sf_smoke, froot)
     out = build_ivf_index(spark, sf_smoke, qroot, quantize=True)
-    assert out["quantized"] is True
+    assert out["quantized"] == "sq8"  # legacy True normalizes
 
     qdata = SnapshotTable(qroot).read(spark, 1)
     assert dict(qdata.dtypes)["qv"] == "array<tinyint>"
@@ -378,3 +378,72 @@ def test_index_recall_floor_monotone_and_exact_at_full_probe(
     assert recalls[1] >= RECALL_FLOOR_1PROBE
     assert recalls[1] <= recalls[2] <= recalls[out["k"]]
     assert recalls[out["k"]] == 1.0
+
+
+def test_pq_index_adc_rescore_and_frozen_codebook_append(
+    spark, sf_smoke, tmp_path
+):
+    """IVF-PQ: codes + codebooks publish with the index; with
+    overfetch covering the probed cells, the exact rescore reproduces
+    the float index's answer exactly (the ADC shortlist only prunes,
+    never scores); and appended vectors encode under the FROZEN
+    codebooks exactly as a from-scratch encode would."""
+    from etl_wikipedia_updates_spark.vector_index import (
+        _pq_encode,
+        append_to_ivf_index,
+    )
+    from etl_wikipedia_updates_spark.plans.clustering import PQ_KS, PQ_M
+
+    froot, proot = str(tmp_path / "f"), str(tmp_path / "p")
+    build_ivf_index(spark, sf_smoke, froot)
+    out = build_ivf_index(spark, sf_smoke, proot, quantize="pq")
+    assert out["quantized"] == "pq"
+
+    table = SnapshotTable(proot)
+    meta = table.meta_for(1)
+    assert len(meta["pq_books"]) == PQ_M
+    assert all(len(b) == PQ_KS for b in meta["pq_books"])
+    pdata = table.read(spark, 1)
+    dt = dict(pdata.dtypes)
+    assert all(f"code{m}" in dt for m in range(PQ_M))
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb)
+    want = [
+        r.asDict() for r in query_ivf_index(spark, froot, q, topk=3).collect()
+    ]
+    got = [
+        r.asDict()
+        for r in query_ivf_index(
+            spark, proot, q, topk=3, overfetch=10_000
+        ).collect()
+    ]
+    assert got == want
+    # default overfetch: well-formed per-query top-k (quality under a
+    # tight shortlist is the recall tests' domain — PQ on random unit
+    # vectors legitimately misses under a 12-candidate shortlist)
+    fast = query_ivf_index(spark, proot, q, topk=3).collect()
+    per_q = {}
+    for r in fast:
+        per_q.setdefault(r["q_vec_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for rows in per_q.values():
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert len({r["vec_id"] for r in rows}) == 3
+
+    # frozen-codebook append parity
+    new = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out2 = append_to_ivf_index(spark, proot, new)
+    assert out2["appended_rows"] == 20
+    data2 = SnapshotTable(proot).read(spark, out2["version"])
+    appended = {
+        r["vec_id"]: tuple(r[f"code{m}"] for m in range(PQ_M))
+        for r in data2.filter(F.col("vec_id") >= 1_000_000).collect()
+    }
+    scratch = {
+        r["vec_id"]: tuple(r[f"code{m}"] for m in range(PQ_M))
+        for r in _pq_encode(new, meta["pq_books"]).collect()
+    }
+    assert appended == scratch
