@@ -397,3 +397,70 @@ def test_charlm_fallback_join_path_matches_dense(spark, tmp_path, monkeypatch):
     # switch is decided per build
     fallback = C.charlm_score(spark, sf).collect()
     assert [r.asDict() for r in dense] == [r.asDict() for r in fallback]
+
+
+def test_pii_regex_three_way_fuzz(spark):
+    """Seeded fuzz over an adversarial alphabet (dots, @-runs, partial
+    IPs/phones, quotes, backslashes, newlines) plus injected true/near
+    PII fragments: Spark (Java regex), DuckDB (RE2) and Python (re)
+    must agree on every match count AND the full redacted string —
+    the common-subset discipline, checked on inputs no fixture
+    curates. 0 mismatches over 400 docs in the exploratory run; 120
+    here for suite cost."""
+    import random
+    import re
+
+    import duckdb
+
+    random.seed(42)
+    alphabet = list("abcXYZ019 .@+-_%\\'\"\n\t()/:;,!?") + ["..", "@@", "++"]
+    frags = [
+        "user@host.com", "1.2.3.4", "+49 1234567", "a@b", "@x.co",
+        "10.0.0.256", "+1-", "...", "a.b@c.d.e.ff", "255.255.255.255x",
+        " +123456789012345 ", "e@e.e", "x@-.com", "1.2.3.4.5", "+0 000000",
+    ]
+    texts = []
+    for _ in range(120):
+        parts = [random.choice(alphabet) for _ in range(random.randint(0, 12))]
+        for _ in range(random.randint(0, 3)):
+            parts.insert(random.randint(0, len(parts)), random.choice(frags))
+        texts.append("".join(parts))
+
+    tags = [(C.PII_EMAIL, "<EMAIL>"), (C.PII_IPV4, "<IP>"), (C.PII_PHONE, "<PHONE>")]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    red = F.col("text")
+    for pat, tag in tags:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(tag))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[
+                F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))).alias(n)
+                for n, (p, _) in zip(("e", "i", "p"), tags)
+            ],
+            red.alias("r"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = tuple(len(re.findall(p, t)) for p, _ in tags)
+        pr = t
+        for pat, tag in tags:
+            pr = re.sub(pat, tag, pr)
+        drow = con.execute(
+            "select len(regexp_extract_all(?,?)), len(regexp_extract_all(?,?)),"
+            " len(regexp_extract_all(?,?)),"
+            " regexp_replace(regexp_replace(regexp_replace(?,?,'<EMAIL>','g'),"
+            "?,'<IP>','g'),?,'<PHONE>','g')",
+            [t, C.PII_EMAIL, t, C.PII_IPV4, t, C.PII_PHONE,
+             t, C.PII_EMAIL, C.PII_IPV4, C.PII_PHONE],
+        ).fetchone()
+        s = got[i]
+        assert (s["e"], s["i"], s["p"]) == want == drow[:3], repr(t)
+        assert s["r"] == pr == drow[3], repr(t)
+    con.close()
