@@ -28,6 +28,9 @@ perplexity-filter, or shard-planning stage), re-expressed the way a
 - ``distinct_kmv``: deterministic bottom-k (KMV) distinct-cardinality
   sketch over hashed shingles — approximate in accuracy, exact in
   value, so the sketch itself is oracle-hash-certifiable.
+- ``zipf_fit``: per-source Zipf-law exponent via closed-form OLS on
+  the log-log rank/frequency curve — corpus forensics (natural text
+  ~1, synthetic/boilerplate flattens toward 0).
 
 Determinism conventions: membership rules are the shared universal
 hash (``ubucket_col`` / ``sql_ubucket`` — identical integer sequences
@@ -767,6 +770,114 @@ FROM j ORDER BY source
 """
 
 
+# --- zipf_fit: per-source Zipf-law exponent ------------------------------------
+# A natural-language source follows freq(rank) ~ rank^-alpha with
+# alpha ~ 1 (Zipf); machine-generated/boilerplate text flattens toward
+# alpha ~ 0 and template spam steepens it — the fitted exponent plus
+# its r^2 is a corpus-forensics signal (and the lorem fixture reads
+# alpha ~ 0.15, near-uniform, exactly as synthetic text should).
+# Closed-form OLS of ln(count) on ln(rank) over each source's FREQUENT
+# terms: all five moment sums are exact scaled-long dec_sums of
+# 6dp-det-rounded logs, so the slope/r2 arithmetic runs on bit-equal
+# inputs cross-engine; the only libm (ln) happens once per frequent
+# term and is pinned by the rounding.
+ZIPF_MIN_COUNT = 5  # frequent-term floor: bounds the ranked set at
+# corpus_chars/MIN regardless of corpus size (the per-source rank
+# window never sees the long tail)
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_terms, alpha, r2): the fitted Zipf exponent per
+    source with its goodness of fit.
+
+    Scale shape: one token explode feeds a map-side-combined
+    (source, term) count; the c >= MIN filter bounds the per-source
+    rank window's input to the frequent vocabulary; the OLS moments
+    are one more |sources|-key agg. Degenerate strata (a single
+    frequent term — zero rank variance) emit NULL alpha/r2 on both
+    engines (NULLIF), never a divide-by-zero artifact."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+    )
+    cnt = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= ZIPF_MIN_COUNT)
+    )
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), "term")
+    lg = cnt.withColumn("rk", F.row_number().over(w)).select(
+        "source",
+        det_round(F.log(F.col("rk").cast("double")), 6).alias("lx"),
+        det_round(F.log(F.col("c").cast("double")), 6).alias("ly"),
+    )
+    s = lg.groupBy("source").agg(
+        F.count("*").alias("n"),
+        dec_sum(F.col("lx"), scale=6).alias("sx"),
+        dec_sum(F.col("ly"), scale=6).alias("sy"),
+        dec_sum(F.col("lx") * F.col("lx"), scale=6).alias("sxx"),
+        dec_sum(F.col("ly") * F.col("ly"), scale=6).alias("syy"),
+        dec_sum(F.col("lx") * F.col("ly"), scale=6).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    nz = lambda c: F.when(c != 0, c)  # noqa: E731 — NULLIF twin
+    return (
+        s.select(
+            "source",
+            F.col("n").cast("bigint").alias("n_terms"),
+            det_round(-(num / nz(den_x)), 4).alias("alpha"),
+            det_round((num * num) / nz(den_x * den_y), 4).alias("r2"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term),
+freq AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
+  FROM cnt WHERE c >= {ZIPF_MIN_COUNT}
+),
+lg AS (
+  SELECT source,
+         {sql_det_round('ln(CAST(rk AS DOUBLE))', 6)} AS lx,
+         {sql_det_round('ln(CAST(c AS DOUBLE))', 6)} AS ly
+  FROM freq
+),
+s AS (
+  SELECT source, COUNT(*) AS n,
+    {sql_dec_sum('lx', 6)} AS sx,
+    {sql_dec_sum('ly', 6)} AS sy,
+    {sql_dec_sum('lx * lx', 6)} AS sxx,
+    {sql_dec_sum('ly * ly', 6)} AS syy,
+    {sql_dec_sum('lx * ly', 6)} AS sxy
+  FROM lg GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+  {sql_det_round(
+      '-((CAST(n AS DOUBLE) * sxy - sx * sy)'
+      ' / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0))', 4)} AS alpha,
+  {sql_det_round(
+      '((CAST(n AS DOUBLE) * sxy - sx * sy)'
+      ' * (CAST(n AS DOUBLE) * sxy - sx * sy))'
+      ' / NULLIF((CAST(n AS DOUBLE) * sxx - sx * sx)'
+      ' * (CAST(n AS DOUBLE) * syy - sy * sy), 0)', 4)} AS r2
+FROM s ORDER BY source
+"""
+
+
 CORPUS_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "temperature_mix",
@@ -792,6 +903,12 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         pii_scrub,
         PII_SCRUB_SQL,
         "PII detection + redaction audit (email/IPv4/phone)",
+    ),
+    DeclaredQuery(
+        "zipf_fit",
+        zipf_fit,
+        ZIPF_FIT_SQL,
+        "per-source Zipf exponent via closed-form OLS on log-log ranks",
     ),
     DeclaredQuery(
         "distinct_kmv",

@@ -464,3 +464,71 @@ def test_pii_regex_three_way_fuzz(spark):
         assert (s["e"], s["i"], s["p"]) == want == drow[:3], repr(t)
         assert s["r"] == pr == drow[3], repr(t)
     con.close()
+
+
+# --- zipf_fit ---------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_python_ols(spark, tmp_path):
+    """Replay the whole fit in Python (tokenize, count, threshold,
+    rank, rounded logs, OLS) on a corpus with a KNOWN Zipf-ish source
+    (term i repeated ~N/i times -> alpha near 1) and a uniform source
+    (alpha near 0); also a degenerate single-frequent-term source must
+    emit NULL alpha/r2, never a divide-by-zero artifact."""
+    rows = []
+    # zipfy: word i appears floor(120/i) times
+    words = []
+    for i in range(1, 13):
+        words += [f"z{i}"] * (120 // i)
+    rows.append((1, " ".join(words), "en", "zipfy", len(" ".join(words))))
+    # uniform: 10 words x 12 times each
+    uni = " ".join(f"u{i % 10}" for i in range(120))
+    rows.append((2, uni, "en", "uniform", len(uni)))
+    # degenerate: one frequent term only
+    rows.append((3, "only " * 9 + "rare", "en", "degen", 50))
+    sf = _write_docs(tmp_path, rows)
+    from etl_wikipedia_updates_spark.plans.corpus import (
+        ZIPF_MIN_COUNT,
+        zipf_fit,
+    )
+
+    got = {r["source"]: r.asDict() for r in zipf_fit(spark, sf).collect()}
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def ref(texts):
+        cnt = Counter()
+        for t in texts:
+            cnt.update(t.lower().split(" "))
+        freq = sorted(
+            ((c, t) for t, c in cnt.items() if c >= ZIPF_MIN_COUNT),
+            key=lambda x: (-x[0], x[1]),
+        )
+        pts = [
+            (r6(math.log(rk + 1)), r6(math.log(c)))
+            for rk, (c, _) in enumerate(freq)
+        ]
+        n = len(pts)
+        S = lambda f: sum(math.floor(f(p) * 1e6 + 0.5) for p in pts) / 1e6
+        sx, sy = S(lambda p: p[0]), S(lambda p: p[1])
+        sxx, syy = S(lambda p: p[0] * p[0]), S(lambda p: p[1] * p[1])
+        sxy = S(lambda p: p[0] * p[1])
+        den_x, den_y = n * sxx - sx * sx, n * syy - sy * sy
+        num = n * sxy - sx * sy
+        if den_x == 0 or den_x * den_y == 0:
+            return n, None, None
+        return (
+            n,
+            math.floor(-(num / den_x) * 1e4 + 0.5) / 1e4,
+            math.floor((num * num) / (den_x * den_y) * 1e4 + 0.5) / 1e4,
+        )
+
+    for src, texts in [("zipfy", [rows[0][1]]), ("uniform", [rows[1][1]])]:
+        n, alpha, r2 = ref(texts)
+        g = got[src]
+        assert (g["n_terms"], g["alpha"], g["r2"]) == (n, alpha, r2), src
+    assert got["zipfy"]["alpha"] > 0.8 and got["zipfy"]["r2"] > 0.9
+    assert abs(got["uniform"]["alpha"]) < 0.05
+    assert got["degen"]["n_terms"] == 1
+    assert got["degen"]["alpha"] is None and got["degen"]["r2"] is None

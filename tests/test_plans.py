@@ -164,6 +164,10 @@ CASES = [
     # streamed codes (BNLJ, the q25 shape); ranked windows per query
     ("ann_pq", ["BroadcastNestedLoopJoin", "row_number"],
      ["SortMergeJoin", "BatchEvalPython"]),
+    # zipf_fit (r10): one token explode, map-side partials; the rank
+    # window's input is bounded by the frequent-term filter
+    ("zipf_fit", ["Generate", "partial_", "Window"],
+     ["Join", "BatchEvalPython"]),
 ]
 
 

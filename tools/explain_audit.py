@@ -81,6 +81,7 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "row_number"],
         ["SortMergeJoin", "BatchEvalPython"],
     ),
+    "zipf_fit": (["Generate", "partial_"], ["Join", "BatchEvalPython"]),
 }
 
 
