@@ -94,9 +94,17 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (budget + filter), same trade as source_mix: a cheap partial-agg
     pass beats shuffling a skewed source key.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    return _temperature_mix(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
     )
+
+
+def _temperature_mix(docs: DataFrame) -> DataFrame:
+    """The temperature audit over a (doc_id, source, n_chars) frame —
+    split out (like northstar._source_mix) for property tests over
+    arbitrary corpora."""
     budgets = docs.groupBy("source").agg(
         F.count("*").alias("docs_in"),
         F.sum("n_chars").alias("chars_in"),

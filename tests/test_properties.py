@@ -659,3 +659,61 @@ def test_span_removal_matches_python_reference(spark, corpus):
     # the minimum doc_id can never lose tokens (it owns every span it
     # shares downward)
     assert want[min(corpus)][1] == set()
+
+
+temp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id
+        st.sampled_from(["a", "b", "c"]),  # source
+        st.integers(min_value=0, max_value=500),  # n_chars (0 exercises
+        # the zero-char-stratum floor guard)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=temp_rows)
+@SLOW
+def test_temperature_mix_matches_python_reference(spark, rows):
+    """temperature_mix's sqrt-threshold + LCG membership and audit
+    arithmetic must equal a from-scratch Python computation on ANY
+    corpus — Python's math.sqrt and the JVM's are both IEEE-correctly
+    rounded, so even the FP half of the rule replays exactly."""
+    import math
+
+    import etl_wikipedia_updates_spark.plans.corpus as CP
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int"
+    )
+    got = {r["source"]: r.asDict() for r in CP._temperature_mix(df).collect()}
+
+    budgets: dict[str, list[int]] = {}
+    for d, s_, c in rows:
+        budgets.setdefault(s_, [0, 0])
+        budgets[s_][0] += 1
+        budgets[s_][1] += c
+    positive = [v[1] for v in budgets.values() if v[1] > 0]
+    min_chars = min(positive) if positive else None
+    P = 2_147_483_647
+    for s_, (docs_in, chars_in) in budgets.items():
+        if chars_in > 0 and min_chars is not None:
+            ppm = math.floor(
+                math.sqrt(min_chars / float(chars_in)) * CP.TEMP_BUCKETS
+            )
+        else:
+            ppm = 0
+        kept = [
+            (d, c)
+            for d, src, c in rows
+            if src == s_
+            and ((d % P) * CP.TEMP_A + CP.TEMP_B) % P % CP.TEMP_BUCKETS < ppm
+        ]
+        r = got[s_]
+        assert (r["docs_in"], r["chars_in"]) == (docs_in, chars_in), s_
+        assert r["rate_ppm"] == ppm, s_
+        assert r["docs_kept"] == len(kept), s_
+        assert r["chars_kept"] == sum(c for _, c in kept), s_
+        assert r["kept_checksum"] == sum(d for d, _ in kept), s_
