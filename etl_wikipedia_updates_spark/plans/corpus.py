@@ -886,6 +886,108 @@ FROM s ORDER BY source
 """
 
 
+# --- length_hist: log2-bucketed document-length histogram ---------------------
+# The dataset-card length distribution: bucket b holds docs with
+# n_chars in [2^b, 2^(b+1)); bucket -1 holds empty docs. Log buckets
+# are the standard card axis (lengths span orders of magnitude).
+
+
+def length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, bucket, n_docs, n_chars_total): the per-source doc
+    length histogram on log2 buckets. Pure map-side bucket math + one
+    (source, bucket)-key agg; the bucket expression is exact integer
+    arithmetic (shiftright loop unrolled as 63-bit msb via
+    bit_length-equivalent), identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.coalesce("n_chars", F.lit(0)).alias("n")
+    )
+    # exact msb: bucket = (binary digit count of n) - 1 for n > 0 —
+    # length(bin(n)) on BOTH engines, an integer string op with no
+    # libm anywhere (floor(ln(n)/ln(2)) is off-by-one near powers of
+    # two from rounding).
+    bucket = F.when(
+        F.col("n") > 0,
+        (F.length(F.bin("n")) - 1).cast("int"),
+    ).otherwise(F.lit(-1))
+    return (
+        docs.select("source", bucket.alias("bucket"), "n")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_chars_total"),
+        )
+        .transform(total_order, "source", "bucket")
+    )
+
+
+LENGTH_HIST_SQL = """
+WITH d AS (
+  SELECT source, COALESCE(n_chars, 0) AS n FROM documents
+),
+b AS (
+  SELECT source, n,
+    CASE WHEN n > 0 THEN CAST(length(bin(n)) - 1 AS INTEGER)
+         ELSE -1 END AS bucket
+  FROM d
+)
+SELECT source, bucket, COUNT(*) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS n_chars_total
+FROM b GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
+# --- embedding_stats: the vector dataset card ---------------------------------
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vectors, dim, mean_norm, min_norm, max_norm): the
+    per-label vector audit — catches the classic embedding-table
+    defects (mixed dimensionality, unnormalized batches, zero vectors)
+    before any index build. One map-side projection (the norm is the
+    functions.arrays fold — identical sequence on both engines) + one
+    |labels|-key agg; norms cross the oracle hash through the standard
+    dec_sum/det_round pins, min/max are order-free."""
+    from etl_wikipedia_updates_spark.functions.arrays import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.max("dim").cast("int").alias("dim"),
+            det_round(dec_sum(F.col("nrm"), scale=6) / F.count("*"), 4).alias(
+                "mean_norm"
+            ),
+            det_round(F.min("nrm"), 4).alias("min_norm"),
+            det_round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .transform(total_order, "label")
+    )
+
+
+def _embedding_stats_sql() -> str:
+    from etl_wikipedia_updates_spark.functions.arrays import sql_l2_norm
+
+    return f"""
+WITH e AS (
+  SELECT label, len(embedding) AS dim,
+         {sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+  CAST(MAX(dim) AS INTEGER) AS dim,
+  {sql_det_round(f"{sql_dec_sum('nrm', 6)} / COUNT(*)", 4)} AS mean_norm,
+  {sql_det_round('MIN(nrm)', 4)} AS min_norm,
+  {sql_det_round('MAX(nrm)', 4)} AS max_norm
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+EMBEDDING_STATS_SQL = _embedding_stats_sql()
+
+
 CORPUS_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "temperature_mix",
@@ -911,6 +1013,18 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         pii_scrub,
         PII_SCRUB_SQL,
         "PII detection + redaction audit (email/IPv4/phone)",
+    ),
+    DeclaredQuery(
+        "length_hist",
+        length_hist,
+        LENGTH_HIST_SQL,
+        "log2-bucketed doc-length histogram (dataset card)",
+    ),
+    DeclaredQuery(
+        "embedding_stats",
+        embedding_stats,
+        EMBEDDING_STATS_SQL,
+        "per-label vector norm/dim audit (vector dataset card)",
     ),
     DeclaredQuery(
         "zipf_fit",

@@ -2,7 +2,7 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (74 as of round 10). The external correctness gate records the
+entries (76 as of round 10). The external correctness gate records the
 first 50 entries per round, so the surplus sits past the cutoff each
 round; the rotation policy keeps every official row at most one round
 stale:
@@ -34,10 +34,10 @@ stale:
   corpus_stats): a never-certified entry outranks a guard whose
   r9-official row is one round old and whose oracle is re-proven
   locally every run by tests/test_queries_oracle.py. With the window
-  saturated, the LAST four new entries of the round (distinct_kmv,
-  ann_pq, corpus_release_temp, zipf_fit) sit at positions 51-54 — no
-  official row this round, oracle-tested locally, heading the r11
-  rotation.
+  saturated, the LAST six new entries of the round (distinct_kmv,
+  ann_pq, corpus_release_temp, zipf_fit, length_hist,
+  embedding_stats) sit at positions 51-56 — no official row this
+  round, oracle-tested locally, heading the r11 rotation.
 
 All entries are benched by bench.py regardless of position, and the
 oracle-backed entries are oracle-tested every run in
@@ -99,17 +99,20 @@ DECLARATION_ORDER: list[str] = [
     "shard_manifest",
     "semantic_dedup",
     "pii_scrub",
-    # --- positions 51-54: distinct_kmv, ann_pq, corpus_release_temp
-    # and zipf_fit are ALSO new this round, but the window is saturated
-    # (11 three-round-stale recertifications + 29 contract rows + 3
-    # changed + 7 new fill all 50); they take the first slots past the
-    # cutoff, are oracle-tested every run locally like every entry,
-    # and HEAD the round-11 rotation ---
+    # --- positions 51-56: distinct_kmv, ann_pq, corpus_release_temp,
+    # zipf_fit, length_hist and embedding_stats are ALSO new this
+    # round, but the window is saturated (11 three-round-stale
+    # recertifications + 29 contract rows + 3 changed + 7 new fill all
+    # 50); they take the first slots past the cutoff, are oracle-tested
+    # every run locally like every entry, and HEAD the round-11
+    # rotation ---
     "distinct_kmv",
     "ann_pq",
     "corpus_release_temp",
     "zipf_fit",
-    # --- positions 55-74: yield their slots this round (all with
+    "length_hist",
+    "embedding_stats",
+    # --- positions 57-76: yield their slots this round (all with
     # r9-official green rows; span_dedup/token_stats/corpus_stats
     # are UNCHANGED-in-behavior consumers of r10-edited shared
     # modules, oracle-green locally — see docstring).
