@@ -686,27 +686,34 @@ def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit — a vocabulary-scale distinct a 100 TB run would skip,
     publishing the estimate alone (that is the sketch's point). All
     estimator math is 64-bit integer (k, HASH_P, kth min), so the
-    published estimate is bit-identical cross-engine."""
+    published estimate is bit-identical cross-engine.
+
+    The two branches share only the MAP-SIDE scan+explode+hash
+    projection — Catalyst duplicates it per branch and each re-run is
+    stateless and fully recoverable from lineage. The r10 version
+    instead localCheckpoint()ed a shared distinct frame, which stored
+    vocabulary-scale blocks on executor-local disk with lineage
+    truncated: one lost executor (preemption, OOM) on a real cluster
+    made the blocks unrecoverable and failed the job. Re-running a
+    projection beats unrecoverable state; the exact branch fuses its
+    distinct into the aggregation (partial dedup map-side via
+    count(DISTINCT tid)), so neither branch materializes anything."""
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         .filter(F.col("text").isNotNull())
         .select("source", F.explode(T.shingles_col()).alias("term"))
         .select("source", T.term_hash_col("term").alias("tid"))
     )
-    # The distinct (source, tid) frame is the shared input of BOTH the
-    # exact audit and the sketch — a plain diamond re-executes the
-    # explode+hash+distinct once per branch (Catalyst duplicates
-    # shared subtrees; AQE does not reuse those exchanges — measured
-    # 5.1s at sf0.1). localCheckpoint(eager=False) materializes it on
-    # first use and both branches read the cached RDD: the same
-    # shared-CTE materialization the DuckDB oracle gets for free
-    # (same trade as connected_components' iteration checkpoints;
-    # blocks free when the plan-cache entry is dropped). 2.1s after.
-    tids = docs.distinct().localCheckpoint(eager=False)
-    exact = tids.groupBy("source").agg(
-        F.count("*").alias("exact_distinct")
+    # Exact audit: count(DISTINCT tid) plans as a two-level aggregate
+    # — partial dedup on (source, tid) map-side, final count per
+    # source — one shuffle of the partially-deduped vocabulary, no
+    # intermediate frame.
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("tid").alias("exact_distinct")
     )
-    surv = tids.filter(F.col("tid") < KMV_PRUNE)
+    # Sketch: prune BEFORE the distinct, so this branch shuffles ~1/8
+    # of the vocabulary; the per-source window ranks only survivors.
+    surv = docs.filter(F.col("tid") < KMV_PRUNE).distinct()
     w = W.partitionBy("source").orderBy("tid")
     agg = (
         surv.withColumn("rk", F.row_number().over(w))
@@ -1037,11 +1044,8 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         distinct_kmv,
         DISTINCT_KMV_SQL,
         "deterministic bottom-k (KMV) distinct-cardinality sketch + audit",
-        # eager: the builder localCheckpoints the shared distinct-tids
-        # frame; a cached plan would keep serving the SAME materialized
-        # blocks, hiding the query's real cost from the bench (the
-        # bench gc()s between runs precisely so eager checkpoint
-        # blocks are released and re-paid)
-        eager=True,
+        # fully lazy since r11: no checkpoint, no persist — the two
+        # branches share only a map-side projection, so there is
+        # nothing to materialize at build time
     ),
 ]

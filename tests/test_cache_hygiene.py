@@ -39,14 +39,13 @@ EAGER_BUILDERS = [
     "dedup_clusters",
     "dedup_corpus",
     # r10 eager additions: shared/per-subspace k-means fits, the CC
-    # probe under the temperature release, the charlm bigram fit, and
-    # distinct_kmv (eager for bench honesty; its localCheckpoint is
-    # RDD-level storage, not a CacheManager entry)
+    # probe under the temperature release, and the charlm bigram fit
+    # (distinct_kmv left this list in r11: its localCheckpoint is
+    # gone, the query is fully lazy now)
     "semantic_dedup",
     "ann_pq",
     "corpus_release_temp",
     "charlm_score",
-    "distinct_kmv",
 ]
 
 

@@ -149,15 +149,17 @@ CASES = [
         ["partial_"],
         ["Generate", "Join", "BatchEvalPython", "ArrowEvalPython"],
     ),
-    # distinct_kmv (r10): the shared distinct-tids frame is
-    # localCheckpointed so the exact audit and the sketch read ONE
-    # materialization (Scan ExistingRDD) instead of re-running the
-    # explode per branch; the only window is per-source over pruned
-    # survivors
+    # distinct_kmv (r11 replan): the exact audit fuses its distinct
+    # into a two-level count(DISTINCT tid) aggregate; the sketch
+    # branch prunes map-side before its distinct. The branches share
+    # only the stateless scan+explode+hash projection — no
+    # lineage-truncated RDD (Scan ExistingRDD forbidden: that was the
+    # r10 localCheckpoint's cluster-reliability hazard); the only
+    # window is per-source over pruned survivors
     (
         "distinct_kmv",
-        ["Scan ExistingRDD", "partial_"],
-        ["BatchEvalPython", "Generate"],
+        ["Generate", "partial_"],
+        ["BatchEvalPython", "Scan ExistingRDD"],
     ),
     # ann_pq (r10): encoding is a map-side projection over inlined
     # codebook literals; the 5-query table frame broadcasts onto the

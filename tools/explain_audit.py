@@ -74,8 +74,8 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "semantic_dedup": (["partial_"], ["BatchEvalPython"]),
     "pii_scrub": (["partial_"], ["Generate", "Join", "BatchEvalPython"]),
     "distinct_kmv": (
-        ["Scan ExistingRDD", "partial_"],
-        ["BatchEvalPython", "Generate"],
+        ["Generate", "partial_"],
+        ["BatchEvalPython", "Scan ExistingRDD"],
     ),
     "ann_pq": (
         ["BroadcastNestedLoopJoin", "row_number"],
