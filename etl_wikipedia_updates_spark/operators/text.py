@@ -125,24 +125,25 @@ def sql_term_hash(expr: str = "term") -> str:
     )
 
 
-def term_dictionary(term_rows: DataFrame, ids: str = "dense") -> DataFrame:
+def term_dictionary(term_rows: DataFrame, ids: str = "hash") -> DataFrame:
     """(term, tid) ids for any exploded (.., term) rows — the
     shingle/token-agnostic core of token_dictionary.
 
-    ``ids='dense'`` (default): dense 1-based ids by sorted term order.
-    The single-partition row_number window is the deliberate
-    oracle-parity choice, valid ONLY for bounded vocabularies (fixture
-    corpora, per-language profile tables).
-
-    ``ids='hash'``: stateless ``xxhash64(term)`` ids — a pure map-side
-    expression, no global sort, no single-partition window. THE 100 TB
-    path: a web corpus's vocabulary is billions of distinct terms, and
+    ``ids='hash'`` (default): stateless ``xxhash64(term)`` ids — a
+    pure map-side expression, no global sort, no single-partition
+    window. THE 100 TB path, and therefore the default a new caller
+    gets: a web corpus's vocabulary is billions of distinct terms, and
     a dense-rank window would funnel all of them through one task.
     Ids are sparse 64-bit values instead of dense ranks; every
     downstream set/join/grouping result is identical modulo the id
     VALUES (pinned by test_token_dictionary_hash_ids_equivalent), with
     hash collisions possible-but-negligible (~n^2/2^65) and absent at
-    every test tier."""
+    every test tier.
+
+    ``ids='dense'``: dense 1-based ids by sorted term order. The
+    single-partition row_number window is the opt-in oracle-parity
+    mode, valid ONLY for bounded vocabularies (fixture corpora,
+    per-language profile tables)."""
     terms = term_rows.select("term").distinct()
     if ids == "hash":
         return terms.select("term", F.xxhash64("term").alias("tid"))
@@ -163,15 +164,16 @@ def doc_tokens_with_pos(docs: DataFrame) -> DataFrame:
 def token_dictionary(docs: DataFrame, ids: str | None = None) -> DataFrame:
     """(term, tid) for a documents frame's whitespace-token vocabulary.
 
-    ``ids`` selects the id scheme (see term_dictionary): ``'dense'``
-    for oracle-parity dense ranks, ``'hash'`` for the stateless
-    shuffle-free xxhash64 scale path. Default comes from the
-    ``SPARK_GRAFT_DICT_IDS`` env var (``dense`` if unset), so a
-    deployment flips the whole engine to hash ids with one setting
-    and no code change.
+    ``ids`` selects the id scheme (see term_dictionary): ``'hash'``
+    for the stateless shuffle-free xxhash64 scale path (the default
+    since r11 — a new caller gets the 100 TB shape), ``'dense'`` for
+    opt-in oracle-parity dense ranks. Default comes from the
+    ``SPARK_GRAFT_DICT_IDS`` env var (``hash`` if unset), so a
+    deployment needing dense ids flips the whole engine with one
+    setting and no code change.
     """
     if ids is None:
-        ids = os.environ.get("SPARK_GRAFT_DICT_IDS", "dense")
+        ids = os.environ.get("SPARK_GRAFT_DICT_IDS", "hash")
     return term_dictionary(doc_tokens(docs, distinct=True), ids=ids)
 
 

@@ -37,7 +37,7 @@ def test_hash_params_are_stable():
 
 def test_token_dictionary_dense_sorted(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
-    d = T.token_dictionary(docs).orderBy("tid").collect()
+    d = T.token_dictionary(docs, ids="dense").orderBy("tid").collect()
     assert [r.tid for r in d] == list(range(1, len(d) + 1))
     terms = [r.term for r in d]
     assert terms == sorted(terms)
@@ -97,11 +97,18 @@ def test_token_dictionary_hash_plan_is_shuffle_free_of_windows(
     assert "rangepartitioning" not in plan
 
 
-def test_token_dictionary_env_selects_hash(spark, sf_smoke, monkeypatch):
-    monkeypatch.setenv("SPARK_GRAFT_DICT_IDS", "hash")
+def test_token_dictionary_default_is_hash(spark, sf_smoke):
+    """The default a new caller gets is the 100 TB path (r11 flip)."""
     docs = load_table(spark, sf_smoke, "documents")
     plan = _formatted(T.token_dictionary(docs), spark)
     assert "xxhash64" in plan and "Window" not in plan
+
+
+def test_token_dictionary_env_selects_dense(spark, sf_smoke, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_DICT_IDS", "dense")
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _formatted(T.token_dictionary(docs), spark)
+    assert "row_number" in plan and "xxhash64" not in plan
     import pytest
 
     with pytest.raises(ValueError, match="ids mode"):
