@@ -308,10 +308,20 @@ _PQ_FIT_CACHE: dict[tuple[str, str, int], list[list[float]]] = {}
 # shingles_col/Catalyst no-CSE-into-lambdas pitfall, O(dim^2) per row).
 def ne_sql(col: str = "embedding") -> str:
     """The unit-normalize expression over an arbitrary array column
-    (vector_index's PQ storage normalizes q_embedding through this)."""
+    (vector_index's PQ storage normalizes q_embedding through this).
+
+    The norm is floored at 1e-300 (greatest): a zero vector would
+    otherwise divide 0/0 into NaN subvectors, and NaN ordering inside
+    the struct-min / window ranks is a Spark-vs-DuckDB divergence
+    hazard. With the floor a zero vector normalizes to the zero vector
+    (0/1e-300 == 0 exactly) — deterministic, identical cross-engine,
+    and a bit-level no-op for every nonzero vector (any representable
+    nonzero norm exceeds the floor). The DuckDB twin in _ann_pq_sql
+    applies the same floor."""
     e = f"transform({col}, x -> CAST(x AS DOUBLE))"
     return (
-        "element_at(transform(array(named_struct('t', {e}, 'n', {n})), "
+        "element_at(transform(array(named_struct('t', {e}, "
+        "'n', greatest({n}, 1e-300D))), "
         "s -> transform(s.t, x -> x / s.n)), 1)"
     ).format(e=e, n=_NRM_SQL.format(e=e))
 
@@ -451,10 +461,11 @@ def _ann_pq_sql(iters: int) -> str:
 
     # unit-normalize exactly as Spark's _NE_SQL: per element
     # CAST-to-double divided by the full-vector norm (identical IEEE
-    # op sequence -> identical doubles)
+    # op sequence -> identical doubles), with the same 1e-300
+    # zero-norm floor (see ne_sql)
     ne = (
         "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
-        f"{sql_l2_norm('embedding')})"
+        f"greatest({sql_l2_norm('embedding')}, 1e-300))"
     )
     parts = [f"en AS (SELECT vec_id, {ne} AS ne FROM embeddings)"]
     for m in range(PQ_M):

@@ -354,8 +354,21 @@ def _charlm_score_dense(
                 F.zip_with(
                     F.slice(r, F.lit(1), F.size(r) - 1),
                     F.slice(r, F.lit(2), F.size(r) - 1),
+                    # An out-of-charset char ranks 0 (instr miss). The
+                    # raw index would then be <= 0, where element_at
+                    # ERRORS on 0 but silently WRAPS on negatives —
+                    # mis-scoring with no signal. Route any rank-0 to
+                    # index 0 so a model/corpus desync (stale
+                    # _memo_model after a data rewrite) fails loudly
+                    # instead: element_at(_, 0) throws on both ANSI
+                    # settings. Unreachable while model and corpus are
+                    # in sync (the memo keys on app+sf_dir).
                     lambda a, b: F.element_at(
-                        tbl, ((a - 1) * n + b).cast("int")
+                        tbl,
+                        F.when(
+                            (a >= 1) & (b >= 1),
+                            ((a - 1) * n + b).cast("int"),
+                        ).otherwise(F.lit(0)),
                     ),
                 ),
                 F.lit(0).cast("long"),

@@ -41,6 +41,7 @@ from etl_wikipedia_updates_spark.plans.clustering import (
     KMEANS_K,
     PQ_KS,
     PQ_M,
+    PQ_SUB,
     _d2_array_expr,
     _pq_slice,
     ne_sql,
@@ -148,6 +149,20 @@ def build_ivf_index(
             "vec_id", "embedding", "cell", f"{_SQ8_ABSMAX} AS absmax"
         ).selectExpr("vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv")
     elif quantize == "pq":
+        # The PQ layout slices subvectors at fixed PQ_SUB offsets; a
+        # table whose dim != PQ_M*PQ_SUB would silently fit codebooks
+        # over a truncated prefix (empty slices for higher subspaces)
+        # and degrade recall with no error. Fail loudly instead. One
+        # row's dim suffices: embedding_stats is the audit that
+        # catches MIXED dims before a build.
+        dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+        if dim != PQ_M * PQ_SUB:
+            raise ValueError(
+                f"quantize='pq' requires dim == PQ_M*PQ_SUB "
+                f"({PQ_M}*{PQ_SUB}={PQ_M * PQ_SUB}); embeddings table "
+                f"has dim {dim} — use quantize='sq8' (dim-agnostic) or "
+                "retune PQ_M/PQ_SUB"
+            )
         pq_books = _pq_fit_books(emb)
         assigned = _pq_encode(assigned, pq_books)
     table = SnapshotTable(out_root)

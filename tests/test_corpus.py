@@ -532,3 +532,31 @@ def test_zipf_fit_matches_python_ols(spark, tmp_path):
     assert abs(got["uniform"]["alpha"]) < 0.05
     assert got["degen"]["n_terms"] == 1
     assert got["degen"]["alpha"] is None and got["degen"]["r2"] is None
+
+
+def test_charlm_dense_out_of_charset_fails_loudly(spark, tmp_path):
+    """A char absent from the model charset must ERROR, not wrap:
+    instr() ranks it 0, and the raw element_at index would then be
+    <= 0 — Spark errors on 0 but silently wraps on negatives,
+    mis-scoring with no signal on a stale model/corpus desync (r10
+    ADVICE). The guard routes any rank-0 to index 0, which throws."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "abz", "src0")], "doc_id long, text string, source string"
+    )
+    # model charset {a, b} only; 'z' is out-of-charset
+    chars = [ord("a"), ord("b")]
+    table = [100, 200, 300, 400]  # 2x2 scaled-logp grid
+    with pytest.raises(Exception, match="INVALID_INDEX_OF_ZERO|index 0"):
+        C._charlm_score_dense(docs, chars, table).collect()
+    # in-charset scores fine under the same guard
+    ok = C._charlm_score_dense(
+        spark.createDataFrame(
+            [(1, "abab", "src0")],
+            "doc_id long, text string, source string",
+        ),
+        chars,
+        table,
+    ).collect()
+    assert len(ok) == 1 and ok[0]["bits"] is not None

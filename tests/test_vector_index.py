@@ -447,3 +447,45 @@ def test_pq_index_adc_rescore_and_frozen_codebook_append(
         for r in _pq_encode(new, meta["pq_books"]).collect()
     }
     assert appended == scratch
+
+
+def test_pq_build_rejects_wrong_dimension(spark, tmp_path):
+    """quantize='pq' slices subvectors at fixed PQ_SUB offsets; a
+    table whose dim != PQ_M*PQ_SUB must fail loudly at build time, not
+    silently fit codebooks over a truncated prefix (r10 ADVICE)."""
+    import pytest
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rows = [(i, [float(i + j) for j in range(8)], 0) for i in range(30)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    with pytest.raises(ValueError, match="dim 8"):
+        build_ivf_index(
+            spark, sf, str(tmp_path / "idx"), k=2, quantize="pq"
+        )
+    # sq8 stays dim-agnostic: same table builds fine
+    out = build_ivf_index(
+        spark, sf, str(tmp_path / "idx2"), k=2, quantize="sq8"
+    )
+    assert out["version"] >= 1
+
+
+def test_unit_normalize_zero_vector_yields_zeros_not_nan(spark):
+    """ne_sql floors the norm at 1e-300: a zero vector normalizes to
+    the zero vector instead of NaN subvectors (whose ordering inside
+    struct-min/window ranks is a cross-engine divergence hazard — r10
+    ADVICE), and any nonzero vector is bit-level unaffected."""
+    import math
+
+    from etl_wikipedia_updates_spark.plans.clustering import ne_sql
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [3.0, 0.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    ).selectExpr("vec_id", f"{ne_sql()} AS ne")
+    rows = {r["vec_id"]: r["ne"] for r in df.collect()}
+    assert rows[0] == [0.0, 0.0, 0.0]
+    assert not any(math.isnan(x) for x in rows[0])
+    assert rows[1] == [0.6, 0.0, 0.8]
