@@ -90,6 +90,26 @@ def cmd_release(args) -> int:
     return 0
 
 
+def cmd_shard(args) -> int:
+    import json
+
+    from etl_wikipedia_updates_spark.release import (
+        verify_sharded,
+        write_sharded,
+    )
+
+    spark = _spark()
+    if args.verify:
+        out = verify_sharded(spark, args.out)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
+    out = write_sharded(
+        spark, args.sf_dir, args.out, keep_last=args.keep_last
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_index(args) -> int:
     import json
 
@@ -467,6 +487,23 @@ def main(argv: list[str] | None = None) -> int:
         "(exit 1 on mismatch) instead of publishing",
     )
 
+    shd = sub.add_parser(
+        "shard",
+        help="write the corpus as N fixed output shards (one file per "
+        "shard, manifest in version metadata) or verify a written "
+        "version against its manifest",
+    )
+    shd.add_argument("--out", required=True, help="SnapshotTable root dir")
+    shd.add_argument("--sf-dir", default=sf_default)
+    shd.add_argument("--keep-last", type=int, default=2)
+    shd.add_argument(
+        "--verify",
+        action="store_true",
+        help="recompute the per-shard manifest from the produced files "
+        "and compare to the published manifest (exit 1 on mismatch) "
+        "instead of writing",
+    )
+
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"
     )
@@ -585,6 +622,7 @@ def main(argv: list[str] | None = None) -> int:
         "run": cmd_run,
         "sql": cmd_sql,
         "release": cmd_release,
+        "shard": cmd_shard,
         "index": cmd_index,
         "dedup-ingest": cmd_dedup_ingest,
         "maintain": cmd_maintain,

@@ -472,30 +472,23 @@ SHARD_A = 1_664_525  # Numerical Recipes LCG — public constants,
 SHARD_B = 1_013_904_223  # a third stream uncorrelated with split/mix
 
 
-def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every doc to one of N_SHARDS output shards by the
-    universal hash and emit the per-shard manifest: doc/char budgets,
-    id checksum, source spread, and balance shares.
+def shard_assign_col():
+    """The writer's repartition key: stateless per-row integer math —
+    any cluster size reproduces the same doc -> shard assignment."""
+    return ubucket_col(SHARD_A, SHARD_B, N_SHARDS)
 
-    Scale shape: assignment is stateless per-row integer math (the
-    writer's repartition key — any cluster size reproduces it); the
-    manifest is one N_SHARDS-key agg with map-side partials plus a
-    broadcast single-row total for the share columns. The actual
-    sharded WRITE is df.repartition(N_SHARDS, shard).write — this
-    query is the plan/audit for it (operators.layout owns file
-    layout). doc_share/char_share expose skew directly: a hot shard
-    shows up as share >> 1/N before any file is written.
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
+
+def manifest_of(docs: DataFrame) -> DataFrame:
+    """Per-shard manifest over a (doc_id, source, n_chars, shard)
+    frame — shared verbatim by the planning query (shard_manifest) and
+    the post-write verifier (release.verify_sharded recomputes THIS
+    aggregation from the files the writer produced), so the plan and
+    the audit can never diverge."""
     totals = docs.agg(
         F.count("*").alias("total_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
-    shards = docs.groupBy(
-        ubucket_col(SHARD_A, SHARD_B, N_SHARDS).alias("shard")
-    ).agg(
+    shards = docs.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
         F.sum("doc_id").alias("id_checksum"),
@@ -521,6 +514,28 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_share"),
         )
         .transform(total_order, "shard")
+    )
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc to one of N_SHARDS output shards by the
+    universal hash and emit the per-shard manifest: doc/char budgets,
+    id checksum, source spread, and balance shares.
+
+    Scale shape: assignment is stateless per-row integer math (the
+    writer's repartition key — any cluster size reproduces it); the
+    manifest is one N_SHARDS-key agg with map-side partials plus a
+    broadcast single-row total for the share columns. The actual
+    sharded WRITE is release.write_sharded — it repartitions on this
+    same assignment, lands one file per shard, and verify_sharded
+    recomputes this manifest from the produced files.
+    doc_share/char_share expose skew directly: a hot shard shows up as
+    share >> 1/N before any file is written.
+    """
+    return manifest_of(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars", shard_assign_col().alias("shard")
+        )
     )
 
 

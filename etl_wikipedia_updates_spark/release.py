@@ -170,3 +170,116 @@ def verify_release(
         "recomputed": recomputed,
         "mismatches": mismatches,
     }
+
+
+def write_sharded(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    keep_last: int = 2,
+) -> dict:
+    """Materialize the corpus as N_SHARDS fixed output shards — the
+    write that ``plans.corpus.shard_manifest`` PLANS.
+
+    The data repartitions on the manifest's own assignment column
+    (``shard_assign_col`` — stateless per-row integer math, so any
+    cluster size reproduces the identical doc -> shard mapping) and
+    lands hive-partitioned by shard inside an immutable SnapshotTable
+    version: each shard is wholly owned by one task after the hash
+    repartition, so every ``shard=K/`` dir holds exactly ONE data
+    file — the fixed-file-count layout a dataloader indexes by. The
+    manifest rides along as the version's metadata, so the plan and
+    the data publish atomically; ``verify_sharded`` recomputes the
+    manifest FROM the produced files and compares.
+
+    Returns {"version": N, "manifest": [manifest rows as dicts]}.
+    """
+    from etl_wikipedia_updates_spark.plans.corpus import (
+        N_SHARDS,
+        shard_assign_col,
+        shard_manifest,
+    )
+
+    manifest = [r.asDict() for r in shard_manifest(spark, sf_dir).collect()]
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", shard_assign_col()
+    )
+    table = SnapshotTable(out_root)
+    version = table.publish(
+        docs.repartition(N_SHARDS, F.col("shard")),
+        meta={"sf_dir": sf_dir, "n_shards": N_SHARDS, "manifest": manifest},
+        partition_by=["shard"],
+    )
+    table.vacuum(keep_last=keep_last)
+    return {"version": version, "manifest": manifest}
+
+
+def verify_sharded(
+    spark: SparkSession, out_root: str, version: int | None = None
+) -> dict:
+    """Integrity check of a sharded write: recompute the per-shard
+    manifest FROM THE MATERIALIZED FILES (the same ``manifest_of``
+    aggregation the plan used — doc/char counts, id checksums, source
+    spread, balance shares) and compare it shard-by-shard against the
+    manifest the version was published with; also assert the physical
+    layout (exactly one data file per shard dir). Any mismatch means
+    on-disk corruption, tampering, or a writer bug — ruled out before
+    a dataloader consumes shards it didn't produce itself.
+
+    Returns {"version", "ok", "expected", "recomputed",
+    "mismatches": [...]}."""
+    import os
+
+    from etl_wikipedia_updates_spark.plans.corpus import manifest_of
+
+    table = SnapshotTable(out_root)
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published sharded write under {out_root}")
+    meta = table.meta_for(v)
+    expected = meta.get("manifest") or []
+    data = table.read(spark, v)
+    recomputed = [
+        r.asDict()
+        for r in manifest_of(
+            data.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.col("shard").cast("int").alias("shard"),
+            )
+        ).collect()
+    ]
+    exp = {int(r["shard"]): r for r in expected}
+    got = {int(r["shard"]): r for r in recomputed}
+    mismatches = []
+    for k in sorted(set(exp) | set(got)):
+        if k not in exp:
+            mismatches.append({"shard": k, "error": "not in manifest"})
+        elif k not in got:
+            mismatches.append({"shard": k, "error": "not in data"})
+        elif exp[k] != got[k]:
+            mismatches.append(
+                {"shard": k, "expected": exp[k], "recomputed": got[k]}
+            )
+    # physical layout: one data file per shard dir
+    vdir = table.version_path(v)
+    for entry in sorted(os.listdir(vdir)):
+        if not entry.startswith("shard="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(vdir, entry))
+            if f.endswith(".parquet")
+        ]
+        if len(files) != 1:
+            mismatches.append(
+                {"shard": entry, "error": f"{len(files)} files, expected 1"}
+            )
+    return {
+        "version": v,
+        "ok": not mismatches,
+        "expected": expected,
+        "recomputed": recomputed,
+        "mismatches": mismatches,
+    }

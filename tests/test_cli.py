@@ -3,6 +3,8 @@ getOrCreate, so no second JVM is started)."""
 
 from __future__ import annotations
 
+import os
+
 from etl_wikipedia_updates_spark.__main__ import main
 from etl_wikipedia_updates_spark.registry import REGISTRY
 
@@ -587,3 +589,29 @@ def test_cli_index_build_pq(spark, sf_smoke, tmp_path, capsys):
     )
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= stats["recall"]["recall_at_k"] <= 1.0
+
+
+def test_cli_shard_write_and_verify(spark, sf_smoke, tmp_path, capsys):
+    """`shard` writes the fixed-shard layout with its manifest in the
+    version metadata; `shard --verify` recomputes from files (exit 0),
+    and a tampered version exits 1."""
+    import json
+    import shutil
+
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    root = str(tmp_path / "shards")
+    assert main(["shard", "--out", root, "--sf-dir", sf_smoke]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["manifest"]
+    assert SnapshotTable(root).meta_for(1)["manifest"] == out["manifest"]
+
+    assert main(["shard", "--out", root, "--verify"]) == 0
+    capsys.readouterr()
+
+    vdir = SnapshotTable(root).version_path(1)
+    victim = sorted(
+        d for d in os.listdir(vdir) if d.startswith("shard=")
+    )[0]
+    shutil.rmtree(os.path.join(vdir, victim))
+    assert main(["shard", "--out", root, "--verify"]) == 1

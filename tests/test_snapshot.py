@@ -361,3 +361,55 @@ def test_write_release_temperature_mix(spark, sf_smoke, tmp_path):
         r["n_docs"] for r in corpus_release(spark, sf_smoke).collect()
     )
     assert n_temp >= n_budget
+
+
+def test_write_sharded_manifest_matches_files_and_detects_tamper(
+    spark, sf_smoke, tmp_path
+):
+    """The sharded writer lands one file per shard dir, publishes the
+    shard_manifest as version metadata, and verify_sharded recomputes
+    the manifest FROM the produced files: fresh write verifies ok;
+    removing a shard's file is detected (r10 verdict: 'the audit
+    exists; the writer it audits doesn't')."""
+    import glob
+    import shutil
+
+    from etl_wikipedia_updates_spark.plans.corpus import N_SHARDS
+    from etl_wikipedia_updates_spark.release import (
+        verify_sharded,
+        write_sharded,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    root = str(tmp_path / "shards")
+    out = write_sharded(spark, sf_smoke, root)
+    assert out["version"] == 1
+    assert len(out["manifest"]) <= N_SHARDS
+
+    res = verify_sharded(spark, root)
+    assert res["ok"], res["mismatches"]
+    assert res["recomputed"] == out["manifest"]
+
+    # layout: every shard dir holds exactly one data file, and the
+    # written rows cover the whole corpus
+    t = SnapshotTable(root)
+    vdir = t.version_path(out["version"])
+    shard_dirs = [d for d in os.listdir(vdir) if d.startswith("shard=")]
+    assert len(shard_dirs) == len(out["manifest"])
+    for d in shard_dirs:
+        files = glob.glob(os.path.join(vdir, d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert t.read(spark).count() == n_docs
+    assert sum(r["n_docs"] for r in out["manifest"]) == n_docs
+
+    # tamper: delete one shard's file -> that shard flagged
+    victim = sorted(shard_dirs)[0]
+    shutil.rmtree(os.path.join(vdir, victim))
+    res2 = verify_sharded(spark, root)
+    assert not res2["ok"]
+    assert any(
+        m.get("error") == "not in data"
+        and m["shard"] == int(victim.split("=")[1])
+        for m in res2["mismatches"]
+    ), res2["mismatches"]
