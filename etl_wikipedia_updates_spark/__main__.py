@@ -209,6 +209,13 @@ def cmd_dedup_ingest(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if getattr(args, "temperature_mix", False) and args.mode != "curate":
+        print(
+            "--temperature-mix is a curation stage: it requires --mode "
+            f"curate (got --mode {args.mode})",
+            file=sys.stderr,
+        )
+        return 2
     schema = load_table(spark, args.sf_dir, table).schema
     stream = read_replay_stream(spark, args.replay, schema)
     if args.mode in ("decontam", "curate"):
@@ -238,6 +245,21 @@ def cmd_dedup_ingest(args) -> int:
             if args.mode == "decontam"
             else ingest_with_full_curation
         )
+        extra = {}
+        if args.redact_pii:
+            extra["redact_pii"] = True
+        if getattr(args, "temperature_mix", False):
+            from etl_wikipedia_updates_spark.plans.northstar import (
+                static_temp_rates,
+            )
+
+            # stream-static model: rates fit once from the declared
+            # static table; the stream only applies the thresholds
+            extra["temp_rates"] = static_temp_rates(
+                load_table(spark, args.sf_dir, "documents").select(
+                    "source", "n_chars"
+                )
+            )
         q = start_b(
             stream,
             bench,
@@ -245,7 +267,7 @@ def cmd_dedup_ingest(args) -> int:
             args.checkpoint or args.sink + "_ckpt",
             compact_every=args.compact_every,
             exclude_self=args.bench is None,
-            **({"redact_pii": True} if args.redact_pii else {}),
+            **extra,
         )
     else:
         start = {
@@ -576,6 +598,13 @@ def main(argv: list[str] | None = None) -> int:
         "--redact-pii", action="store_true",
         help="curate: redact email/IPv4/phone matches (the pii_scrub "
         "expression) as stage 0, before the quality gate",
+    )
+    ded.add_argument(
+        "--temperature-mix", action="store_true",
+        help="curate: temperature-mix the sink (alpha=0.5, the "
+        "temperature_mix rule) against rates fit ONCE from the static "
+        "sf-dir documents table (stream-static: the stream applies "
+        "precomputed per-source thresholds, it never fits on itself)",
     )
     ded.add_argument("--timeout", type=int, default=600)
     ded.add_argument(

@@ -2331,6 +2331,46 @@ def sql_temp_rate_ppm(chars: str, floor: str) -> str:
     )
 
 
+def temp_rates(budgets: DataFrame) -> DataFrame:
+    """(source, chars_q, rate_ppm) from a per-source budgets frame —
+    THE temperature model, shared verbatim by release_members
+    (mix_alpha=TEMP_ALPHA), the batch temperature_mix rule, and the
+    stream-static ingest stage, so no consumer can diverge. The floor
+    is the min over strata that HAVE characters (a zero-char stratum
+    would otherwise zero every ppm threshold and silently empty the
+    whole output)."""
+    floor_b = budgets.filter(F.col("chars_q") > 0).agg(
+        F.min("chars_q").alias("min_chars")
+    )
+    return budgets.crossJoin(F.broadcast(floor_b)).withColumn(
+        "rate_ppm", temp_rate_ppm("chars_q", "min_chars")
+    )
+
+
+def static_temp_rates(docs: DataFrame) -> DataFrame:
+    """(source, rate_ppm) fit from a STATIC (source, n_chars) frame —
+    the stream-static temperature model for ingest-time mixing. The
+    budgets MUST come from a declared static corpus (a prior release
+    snapshot, the fixture table) rather than the unbounded stream
+    itself: per-row membership is stateless integer math against
+    these precomputed thresholds, so every micro-batch applies the
+    identical rule no matter how the stream is chopped."""
+    return temp_rates(
+        docs.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
+    ).select("source", "rate_ppm")
+
+
+def temp_membership(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Filter ``docs`` to temperature members against a precomputed
+    (source, rate_ppm) frame; returns docs' own columns. The rates
+    side is |sources| rows — always broadcast."""
+    return (
+        docs.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(temp_keep_cond())
+        .select(*docs.columns)
+    )
+
+
 def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: per-source audit of a deterministic downsample to
     the smallest source's character budget."""
@@ -2976,18 +3016,10 @@ def release_members(
             mix_keep_cond("chars_q", "min_chars")
         )
     elif mix_alpha == TEMP_ALPHA:
-        # min over strata that HAVE characters — temperature_mix's
-        # guard, mirrored here: a zero-char surviving stratum would
-        # otherwise zero every ppm threshold and silently empty the
-        # whole release.
-        floor_b = (
-            budgets.filter(F.col("chars_q") > 0)
-            .agg(F.min("chars_q").alias("min_chars"))
-        )
-        rates = budgets.crossJoin(F.broadcast(floor_b)).withColumn(
-            "rate_ppm", temp_rate_ppm("chars_q", "min_chars")
-        )
-        mixed = kept.join(F.broadcast(rates), "source").filter(
+        # the shared temperature model (zero-char-stratum guard
+        # included) — the same temp_rates the ingest-time stage fits
+        # from a static frame, so release and stream cannot diverge
+        mixed = kept.join(F.broadcast(temp_rates(budgets)), "source").filter(
             temp_keep_cond()
         )
     else:

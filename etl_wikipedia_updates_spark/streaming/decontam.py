@@ -263,6 +263,7 @@ def full_curation_ingest_batch(
     compact_every: int | None = None,
     exclude_self: bool = True,
     redact_pii: bool = False,
+    temp_rates: DataFrame | None = None,
 ) -> None:
     """One micro-batch of the COMPLETE per-doc curation pipeline — the
     ingest-time twin of corpus_release's per-doc stages in one pass:
@@ -270,16 +271,27 @@ def full_curation_ingest_batch(
     plans.corpus.pii_redact expression the pii_scrub audit certifies),
     (1) the Gopher-style repetition quality gate (stateless),
     (2) the benchmark shingle veto (stateless, quarantined),
-    (3) near-dup dedup against the accumulating bucket store.
+    (3) near-dup dedup against the accumulating bucket store,
+    (4) optional temperature mixing (``temp_rates``: a STATIC
+    (source, rate_ppm) frame — plans.northstar.static_temp_rates over
+    a declared corpus or prior snapshot, NEVER the unbounded stream;
+    membership is the shared temp_keep_cond integer rule, applied to
+    the sink append only, so mix-dropped docs still shadow their later
+    near-dups exactly as the release pipeline's dedup-before-mix
+    order does).
     Redaction runs FIRST so every downstream signal (quality ratios,
     shingles, near-dup signatures) sees the text a release would ship.
     Stage order is the cheap-to-expensive rule: quality needs no
     state, decontam joins a tiny broadcast, and only the survivors of
-    both pay the signature aggregation + store join. Mixing/splitting
-    stay release-time (corpus-global budgets). The quarantine and
-    bucket stores both fold on the ``compact_every`` cadence."""
+    both pay the signature aggregation + store join. Corpus-global
+    budget FITTING stays release-time/static — the stream only
+    APPLIES precomputed thresholds. The quarantine and bucket stores
+    both fold on the ``compact_every`` cadence."""
     from etl_wikipedia_updates_spark.plans.corpus import pii_redact
-    from etl_wikipedia_updates_spark.plans.northstar import quality_keep
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        quality_keep,
+        temp_membership,
+    )
     from etl_wikipedia_updates_spark.streaming.neardup import (
         dedup_ingest_batch,
     )
@@ -287,6 +299,11 @@ def full_curation_ingest_batch(
     spark = batch_df.sparkSession
     if redact_pii:
         batch_df = pii_redact(batch_df)
+    sink_transform = (
+        None
+        if temp_rates is None
+        else (lambda df: temp_membership(df, temp_rates))
+    )
     # kept and clean are each consumed by MULTIPLE downstream actions
     # (verdicts, the quarantine write, dedup's band aggregation AND
     # its survivors append); without the persists every action
@@ -305,7 +322,8 @@ def full_curation_ingest_batch(
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_contam_store(spark, sink_path, below=batch_id)
         dedup_ingest_batch(
-            clean, sink_path, batch_id, compact_every=compact_every
+            clean, sink_path, batch_id, compact_every=compact_every,
+            sink_transform=sink_transform,
         )
     finally:
         clean.unpersist()
@@ -322,11 +340,15 @@ def ingest_with_full_curation(
     compact_every: int | None = None,
     exclude_self: bool = True,
     redact_pii: bool = False,
+    temp_rates: DataFrame | None = None,
 ) -> StreamingQuery:
     """Streamed documents -> (optionally PII-redacted,) quality-gated,
-    decontaminated, near-dup-deduped sink: the one-command
-    crawl-curation ingest. Persisted-bench (released on stream
-    termination) and exclude_self notes as in ingest_with_decontam."""
+    decontaminated, near-dup-deduped, (optionally temperature-mixed)
+    sink: the one-command crawl-curation ingest. ``temp_rates`` is the
+    stream-static temperature model (see full_curation_ingest_batch) —
+    fit it with plans.northstar.static_temp_rates over a DECLARED
+    static frame. Persisted-bench (released on stream termination) and
+    exclude_self notes as in ingest_with_decontam."""
     bench_sh = bench_shingles(bench_docs).persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -335,6 +357,7 @@ def ingest_with_full_curation(
             compact_every=compact_every,
             exclude_self=exclude_self,
             redact_pii=redact_pii,
+            temp_rates=temp_rates,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -352,15 +375,21 @@ def batch_full_curation_keep(
     bench_docs: DataFrame,
     exclude_self: bool = True,
     redact_pii: bool = False,
+    temp_rates: DataFrame | None = None,
 ) -> DataFrame:
     """The BATCH statement of the full pipeline: optional PII
     redaction, quality gate, then benchmark veto, then the
-    no-smaller-id-shares-a-bucket rule over the survivors. Equals the
-    streamed sink when the corpus replays in doc_id order (the dedup
-    stage's usual arrival-order contract; redaction and the first two
-    gates are stateless and order-free)."""
+    no-smaller-id-shares-a-bucket rule over the survivors, then the
+    optional temperature-membership filter against the same static
+    (source, rate_ppm) frame the stream applies. Equals the streamed
+    sink when the corpus replays in doc_id order (the dedup stage's
+    usual arrival-order contract; redaction, the first two gates, and
+    temperature membership are stateless and order-free)."""
     from etl_wikipedia_updates_spark.plans.corpus import pii_redact
-    from etl_wikipedia_updates_spark.plans.northstar import quality_keep
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        quality_keep,
+        temp_membership,
+    )
     from etl_wikipedia_updates_spark.streaming.neardup import (
         batch_neardup_keep,
     )
@@ -368,6 +397,9 @@ def batch_full_curation_keep(
     if redact_pii:
         docs = pii_redact(docs)
     kept = quality_keep(docs)
-    return batch_neardup_keep(
+    out = batch_neardup_keep(
         batch_decontam_keep(kept, bench_docs, exclude_self=exclude_self)
     )
+    if temp_rates is not None:
+        out = temp_membership(out, temp_rates)
+    return out

@@ -355,6 +355,7 @@ def _ingest_dedup_batch(
     band_fn,
     id_col: str,
     compact_every: int | None = None,
+    sink_transform=None,
 ) -> None:
     """One micro-batch of dedup ingest (foreachBatch body), shared by
     the document (MinHash) and embedding (sign-bucket) variants.
@@ -368,7 +369,14 @@ def _ingest_dedup_batch(
     version (strictly below this batch id, so a retry of THIS batch
     still excludes its own buckets); re-running the compaction on a
     batch retry publishes an identical extra version — idempotent in
-    content."""
+    content.
+
+    ``sink_transform`` (a DataFrame -> DataFrame callable, e.g. the
+    temperature-membership filter) applies to the SINK append only —
+    the bucket store still records every survivor's bands, mirroring
+    the release pipeline where dedup canonicalization runs BEFORE
+    mixing: a mix-dropped doc must still shadow its later near-dups,
+    or a duplicate of it would sneak into the sink."""
     spark = batch_df.sparkSession
     # Persisted across the two actions below: the survivors write
     # evaluates band (through drops) and the store write evaluates it
@@ -381,6 +389,8 @@ def _ingest_dedup_batch(
         survivors = batch_df.join(
             drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
         )
+        if sink_transform is not None:
+            survivors = sink_transform(survivors)
         append_batch(survivors, sink_path, batch_id)
         append_batch(
             band.select("doc_id", "lang", "band", "band_key"),
@@ -398,11 +408,13 @@ def dedup_ingest_batch(
     sink_path: str,
     batch_id: int,
     compact_every: int | None = None,
+    sink_transform=None,
 ) -> None:
     """Document (MinHash/LSH) dedup ingest micro-batch."""
     _ingest_dedup_batch(
         batch_df, sink_path, batch_id, doc_band_rows, "doc_id",
         compact_every=compact_every,
+        sink_transform=sink_transform,
     )
 
 

@@ -1622,3 +1622,74 @@ def test_streaming_curation_with_pii_redaction(spark, tmp_path):
     # without the flag the raw texts flow through untouched
     raw = batch_full_curation_keep(docs, bench).filter(F.col("doc_id") == 5001)
     assert "alice@example.com" in raw.first()["text"]
+
+
+def test_streaming_temperature_mix_equals_batch(spark, tmp_path):
+    """Temperature mixing at ingest (r10 verdict item): the curation
+    stream applies a STREAM-STATIC (source, rate_ppm) model — fit once
+    from the declared static corpus, never from the unbounded stream —
+    and the doc_id-order replay must equal the composed batch
+    statement. The mix filters the SINK only: mix-dropped docs still
+    enter the bucket store, so the dedup-before-mix order of the
+    release pipeline is preserved (a near-dup of a mix-dropped doc
+    cannot sneak into the sink)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+        static_temp_rates,
+        temp_membership,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_full_curation_keep,
+        ingest_with_full_curation,
+    )
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        bucket_store_path,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    rates = static_temp_rates(docs.select("source", "n_chars"))
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_full_curation(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        compact_every=2,
+        temp_rates=rates,
+    )
+    q.awaitTermination(300)
+
+    expected = batch_full_curation_keep(docs, bench, temp_rates=rates)
+    got = read_sink(spark, sink)
+    assert _checksum_docs(got) == _checksum_docs(expected)
+
+    # the mix composes as a pure membership filter on the un-mixed
+    # output (the shared temp_keep_cond rule — same expression the
+    # release's temperature law uses), and it strictly downsamples
+    unmixed = batch_full_curation_keep(docs, bench)
+    assert _checksum_docs(expected) == _checksum_docs(
+        temp_membership(unmixed, rates)
+    )
+    n_mixed, n_unmixed = expected.count(), unmixed.count()
+    assert 0 < n_mixed < n_unmixed
+
+    # dedup shadowing: every un-mixed survivor's bands are in the
+    # bucket store, INCLUDING the mix-dropped ones
+    store_ids = {
+        r["doc_id"]
+        for r in read_sink(spark, bucket_store_path(sink))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    dropped = {
+        r["doc_id"]
+        for r in unmixed.join(
+            expected.select("doc_id"), "doc_id", "left_anti"
+        ).collect()
+    }
+    assert dropped and dropped <= store_ids
