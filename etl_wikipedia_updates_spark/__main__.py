@@ -145,7 +145,8 @@ def cmd_index(args) -> int:
                 .limit(args.recall)
             )
             out["recall"] = index_recall(
-                spark, args.root, q, topk=args.topk, n_probes=args.n_probes
+                spark, args.root, q, topk=args.topk,
+                n_probes=args.n_probes, overfetch=args.overfetch,
             )
         print(json.dumps(out))
         return 0
@@ -171,7 +172,8 @@ def cmd_index(args) -> int:
         F.col("embedding").alias("q_embedding"),
     )
     query_ivf_index(
-        spark, args.root, q, topk=args.topk, n_probes=args.n_probes
+        spark, args.root, q, topk=args.topk, n_probes=args.n_probes,
+        overfetch=args.overfetch,
     ).show(
         args.topk * max(1, len(args.vec_ids)), truncate=False
     )
@@ -558,6 +560,12 @@ def main(argv: list[str] | None = None) -> int:
         help="stats: measure recall@topk of the probe vs brute force "
         "using the index's N smallest vec_ids as queries (runs Spark "
         "jobs; 0 = skip, footer-only stats)",
+    )
+    idx.add_argument(
+        "--overfetch", type=int, default=4,
+        help="quantized index: rescore topk*overfetch approximate-scan "
+        "candidates against the exact floats (the recall dial for "
+        "sq8/pq storage; the stats --recall readout records it)",
     )
 
     ded = sub.add_parser(

@@ -336,6 +336,7 @@ def probe_selectivity(index_root: str, version: int | None = None) -> dict:
         "version": v,
         "n_rows": n,
         "k": k,
+        "quantized": _norm_quantize(meta.get("quantized")),
         "nonempty_cells": sum(1 for c in counts.values() if c),
         "max_cell_rows": max_cell,
         "max_cell_share": round(max_share, 6),
@@ -354,13 +355,19 @@ def index_recall(
     version: int | None = None,
     n_probes: int = 1,
     exclude_self: bool = True,
+    overfetch: int = 4,
 ) -> dict:
     """Measured recall@k of the index probe vs brute-force cosine over
     the SAME published version's vectors — the accuracy half of the
     probe_selectivity telemetry (selectivity says what a probe READS;
     recall says what it FINDS). A cell-probed query is exact only when
     every true neighbor shares the query's probed cells, so recall < 1
-    is expected and n_probes is the knob that buys it back.
+    is expected and n_probes is the knob that buys it back. On a
+    QUANTIZED index (sq8/pq) the approximate scan adds its own rank
+    error on top of the cell miss; ``overfetch`` is that mode's dial —
+    the exact rescore sees topk*overfetch candidates, so raising it
+    converges the quantized probe to the float probe within the same
+    probed cells (pinned per storage mode in test_vector_index).
 
     queries: (q_vec_id, q_embedding). Cost: one probe run + one
     brute-force run over |queries| x |index| pairs — a MEASUREMENT
@@ -379,6 +386,7 @@ def index_recall(
         version=v,
         n_probes=n_probes,
         exclude_self=exclude_self,
+        overfetch=overfetch,
     )
     exact = S.cosine_topk(
         table.read(spark, v).select("vec_id", "embedding"),
@@ -410,6 +418,8 @@ def index_recall(
         "version": v,
         "topk": topk,
         "n_probes": n_probes,
+        "overfetch": overfetch,
+        "quantized": _norm_quantize(table.meta_for(v).get("quantized")),
         "n_queries": len(per_query),
         "recall_at_k": mean,
         "per_query": per_query,

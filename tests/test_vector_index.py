@@ -489,3 +489,61 @@ def test_unit_normalize_zero_vector_yields_zeros_not_nan(spark):
     assert rows[0] == [0.0, 0.0, 0.0]
     assert not any(math.isnan(x) for x in rows[0])
     assert rows[1] == [0.6, 0.0, 0.8]
+
+
+# Declared per-storage-mode recall floors at the DEFAULT overfetch (4),
+# 1 probe, topk=5 on the sf0.001 fixture (random unit vectors — the
+# quantizers' worst case). Measured: float 0.875 (the 1-probe cell-miss
+# ceiling), sq8 0.875 (int8 rank error immaterial at 64 dims), pq 0.55
+# (4x16 codebooks lose rank resolution; overfetch is the dial — 0.875
+# at overfetch 16, i.e. the full float ceiling restored). Floors leave
+# margin for fixture regeneration, not for regressions.
+RECALL_FLOOR_SQ8 = 0.7
+RECALL_FLOOR_PQ_DEFAULT = 0.4
+PQ_RESTORE_OVERFETCH = 16
+
+
+def test_quantized_index_recall_floors_and_overfetch_dial(
+    spark, sf_smoke, tmp_path
+):
+    """Per-mode recall audit (r10 verdict item 7): sq8 holds the float
+    floor at the default overfetch; pq holds its own declared floor
+    and the overfetch dial restores the float ceiling; recall is
+    monotone in overfetch on a quantized index; and the readout names
+    its mode + dial so `index stats --recall` consumers see which
+    storage mode the number describes."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = _queries(emb, n=8)
+
+    froot = str(tmp_path / "f")
+    build_ivf_index(spark, sf_smoke, froot)
+    r_float = index_recall(spark, froot, q, topk=5)
+    assert r_float["quantized"] is False
+    assert r_float["recall_at_k"] >= RECALL_FLOOR_1PROBE
+
+    sroot = str(tmp_path / "s")
+    build_ivf_index(spark, sf_smoke, sroot, quantize="sq8")
+    r_sq8 = index_recall(spark, sroot, q, topk=5)
+    assert r_sq8["quantized"] == "sq8"
+    assert r_sq8["recall_at_k"] >= RECALL_FLOOR_SQ8
+
+    proot = str(tmp_path / "p")
+    build_ivf_index(spark, sf_smoke, proot, quantize="pq")
+    r_pq = {
+        ovf: index_recall(spark, proot, q, topk=5, overfetch=ovf)
+        for ovf in (1, 4, PQ_RESTORE_OVERFETCH)
+    }
+    assert all(r["quantized"] == "pq" for r in r_pq.values())
+    assert all(r["overfetch"] == ovf for ovf, r in r_pq.items())
+    assert r_pq[4]["recall_at_k"] >= RECALL_FLOOR_PQ_DEFAULT
+    # monotone in the dial, and the declared restore point reaches the
+    # float probe's own recall (same probed cells, exact rescore)
+    assert (
+        r_pq[1]["recall_at_k"]
+        <= r_pq[4]["recall_at_k"]
+        <= r_pq[PQ_RESTORE_OVERFETCH]["recall_at_k"]
+    )
+    assert (
+        r_pq[PQ_RESTORE_OVERFETCH]["recall_at_k"]
+        >= r_float["recall_at_k"]
+    )
