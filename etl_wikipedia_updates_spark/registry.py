@@ -2,42 +2,34 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (76 as of round 10). The external correctness gate records the
+entries (76 since round 10; round 11 adds none — a consolidation
+round per the r10 verdict). The external correctness gate records the
 first 50 entries per round, so the surplus sits past the cutoff each
-round; the rotation policy keeps every official row at most one round
-stale:
+round; the rotation policy keeps every official row as fresh as the
+window allows:
 
-- Entries whose newest official row is OLDEST go FIRST. Round 10: the
-  13 that fell past round 8's cutoff (text_quality through ann_ivf)
-  whose newest official rows date to r7 — two rounds stale because
-  round 9 shipped no rotation at all (11 of them head the window; the
-  two rows-only approx entries yielded, see below).
+- Entries with NO official row ever go FIRST. Round 11: the six that
+  landed past round 10's cutoff (distinct_kmv, ann_pq,
+  corpus_release_temp, zipf_fit, length_hist, embedding_stats)
+  certify at the head, as the r10 plan promised.
+- Entries whose newest official row is OLDEST come next: q12_approx
+  and percentiles_approx (rows-only by design) last certified in r7.
 - The contract rows Q1-Q28 + wiki and every entry CHANGED this round
   stay inside the first 50 (a changed query needs a fresh row; its
-  old row certifies code that no longer exists). Round 10 changed
-  text_quality (NULL-text parity fix, landed with its head slot) and
-  bm25_rank (sort+limit top-k replan); corpus_release, dedup_corpus
-  and dedup_clusters run through the r10-changed
-  operators.dedup.connected_components (convergence-guard fix), and
-  wiki_pipeline through the r10-pinned timestamp parse — all inside.
-- NEW entries have no official row at all, so they must sit inside
-  the first 50 (round 10: span_removal, per-doc duplicated-span
-  excision; ann_lsh_multiprobe, the recall-audit-motivated
-  multi-probe LSH variant; the plans.corpus additions —
-  temperature_mix, charlm_score, shard_manifest, pii_scrub; and
-  semantic_dedup, SemDeDup over the shared learned k-means cells).
-- The entries that yield their slots are UNCHANGED-this-round entries
-  certified green in the immediately-preceding round (the
-  r9-official-green extensions in the tail). The corpus additions'
-  arrival displaced the three in-window guards an earlier r10
-  session held for shared-module edits (span_dedup, token_stats,
-  corpus_stats): a never-certified entry outranks a guard whose
-  r9-official row is one round old and whose oracle is re-proven
-  locally every run by tests/test_queries_oracle.py. With the window
-  saturated, the LAST six new entries of the round (distinct_kmv,
-  ann_pq, corpus_release_temp, zipf_fit, length_hist,
-  embedding_stats) sit at positions 51-56 — no official row this
-  round, oracle-tested locally, heading the r11 rotation.
+  old row certifies code that no longer exists). Round 11 changed
+  distinct_kmv (localCheckpoint removed — in the head anyway),
+  charlm_score (out-of-charset guard), shard_manifest (manifest_of
+  refactor), ann_pq + corpus_release_temp + corpus_release +
+  dedup_corpus (ne_sql zero-norm floor / release_members temperature
+  refactor).
+- The remaining slots re-certify the 18 entries whose newest official
+  rows are r9, FIFO in tail order: span_dedup through ann_sq8 fit
+  this round (positions 42-50); grouped_agg_udf through
+  stratified_sample head the round-12 rotation at 51-59.
+- The entries that yield are UNCHANGED-this-round entries certified
+  green in the immediately-preceding round (the r10-official
+  extensions at the tail) — every one still oracle-proven locally on
+  each pytest run by tests/test_queries_oracle.py.
 
 All entries are benched by bench.py regardless of position, and the
 oracle-backed entries are oracle-tested every run in
@@ -58,13 +50,64 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-10 rotation head: the entries past round 8's cutoff
-    # (newest official rows r7, two rounds stale after the r9 no-op)
-    # regain certification first — 11 of the 13 here; q12_approx and
-    # percentiles_approx (rows-only by design, unchanged) yield their
-    # slots to the new oracle-backed semantic_dedup and pii_scrub, see
-    # the tail comment. text_quality leads: its deferred NULL-text
-    # parity fix lands at this slot ---
+    # --- round-11 rotation head: the six entries that have NEVER had
+    # an official row (r10 positions 51-56) certify first, exactly as
+    # the r10 plan promised. distinct_kmv leads: its r11 replan
+    # (localCheckpoint removed, fused countDistinct audit) lands with
+    # its first-ever official row ---
+    "distinct_kmv",
+    "ann_pq",
+    "corpus_release_temp",
+    "zipf_fit",
+    "length_hist",
+    "embedding_stats",
+    # --- the two rows-only approximate entries: their newest official
+    # rows date to r7 (they yielded their r10 slots to never-certified
+    # oracle-backed entries); with no new entries this round there is
+    # room to refresh the stalest rows in the registry ---
+    "q12_approx",
+    "percentiles_approx",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- CHANGED in round 11, so their r10 rows certify code that no
+    # longer exists: charlm_score (out-of-charset loud-fail guard in
+    # the dense scorer), shard_manifest (refactored onto the shared
+    # manifest_of aggregation the new write_sharded verifier uses),
+    # corpus_release and dedup_corpus (both run through the
+    # release_members temperature refactor / shared plan modules).
+    # ann_pq (ne_sql zero-norm floor) and corpus_release_temp (same
+    # release_members refactor) also changed — they sit in the head ---
+    "charlm_score",
+    "shard_manifest",
+    "corpus_release",
+    "dedup_corpus",
+    # --- positions 42-50: the 18 entries whose newest official rows
+    # are r9 re-certify FIFO in the order they have waited in the
+    # tail; the first nine fit this round's window ---
+    "span_dedup",
+    "token_stats",
+    "corpus_stats",
+    "rep_filter",
+    "minhash_lsh",
+    "lang_id",
+    "quantize_embeddings",
+    "lang_id_chargram",
+    "ann_sq8",
+    # --- positions 51-76: past the cutoff this round. First the nine
+    # remaining r9-official entries (they HEAD the round-12 rotation,
+    # same FIFO), then the r10-certified, unchanged-this-round
+    # extensions — every one oracle-tested locally on every pytest
+    # run by tests/test_queries_oracle.py ---
+    "grouped_agg_udf",
+    "kmeans_clusters",
+    "ann_kmeans",
+    "simhash_pairs",
+    "source_mix",
+    "tfidf_topterms",
+    "seq_pack",
+    "sample_hash",
+    "stratified_sample",
     "text_quality",
     "dedup_clusters",
     "contamination",
@@ -76,71 +119,12 @@ DECLARATION_ORDER: list[str] = [
     "multimodal_bytes",
     "ann_lsh",
     "ann_ivf",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- CHANGED in round 10, so their old official rows certify code
-    # that no longer exists: bm25_rank (TakeOrderedAndProject top-k
-    # replan); corpus_release / dedup_corpus (both run the
-    # convergence-guard-fixed connected_components) ---
     "bm25_rank",
-    "corpus_release",
-    "dedup_corpus",
-    # --- NEW in round 10 (never certified — must sit inside the gate
-    # window): per-doc duplicated-span excision, the multi-probe
-    # LSH variant the r10 recall audit motivated, the plans.corpus
-    # additions (temperature mixing / char-LM quality scoring / shard
-    # planning / PII scrub), and semantic_dedup (SemDeDup over the
-    # shared learned k-means cells) ---
     "span_removal",
     "ann_lsh_multiprobe",
     "temperature_mix",
-    "charlm_score",
-    "shard_manifest",
     "semantic_dedup",
     "pii_scrub",
-    # --- positions 51-56: distinct_kmv, ann_pq, corpus_release_temp,
-    # zipf_fit, length_hist and embedding_stats are ALSO new this
-    # round, but the window is saturated (11 three-round-stale
-    # recertifications + 29 contract rows + 3 changed + 7 new fill all
-    # 50); they take the first slots past the cutoff, are oracle-tested
-    # every run locally like every entry, and HEAD the round-11
-    # rotation ---
-    "distinct_kmv",
-    "ann_pq",
-    "corpus_release_temp",
-    "zipf_fit",
-    "length_hist",
-    "embedding_stats",
-    # --- positions 57-76: yield their slots this round (all with
-    # r9-official green rows; span_dedup/token_stats/corpus_stats
-    # are UNCHANGED-in-behavior consumers of r10-edited shared
-    # modules, oracle-green locally — see docstring).
-    # q12_approx and percentiles_approx sit here despite their r7-stale
-    # official rows: both are rows-only by design (no oracle hash),
-    # unchanged since r7, and their slots buy semantic_dedup and
-    # pii_scrub — never-certified oracle-backed entries — first
-    # official rows; the weakest checks yield to the strongest ---
-    "q12_approx",
-    "percentiles_approx",
-    "span_dedup",
-    "token_stats",
-    "corpus_stats",
-    "rep_filter",
-    "minhash_lsh",
-    "lang_id",
-    "quantize_embeddings",
-    "lang_id_chargram",
-    "ann_sq8",
-    "grouped_agg_udf",
-    "kmeans_clusters",
-    "ann_kmeans",
-    "simhash_pairs",
-    "source_mix",
-    "tfidf_topterms",
-    "seq_pack",
-    "sample_hash",
-    "stratified_sample",
 ]
 
 _declared = QueryRegistry()
