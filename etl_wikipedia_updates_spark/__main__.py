@@ -85,6 +85,7 @@ def cmd_release(args) -> int:
         keep_last=args.keep_last,
         remove_spans=args.remove_spans,
         mix_alpha=0.5 if args.temperature_mix else None,
+        redact_pii=args.redact_pii,
     )
     print(json.dumps(out))
     return 0
@@ -502,6 +503,13 @@ def main(argv: list[str] | None = None) -> int:
         help="mix with the temperature law (alpha=0.5: small sources "
         "upweighted, rate = sqrt(min_chars/chars)) instead of "
         "equalizing every source to the smallest character budget",
+    )
+    rel.add_argument(
+        "--redact-pii", action="store_true",
+        help="redact email/IPv4/phone matches (the pii_scrub "
+        "expression) from the released text as the final shipping "
+        "transform; n_chars keeps accounting the original text, so "
+        "--verify still matches the published card",
     )
     rel.add_argument(
         "--verify",

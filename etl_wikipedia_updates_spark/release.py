@@ -36,6 +36,7 @@ def release_corpus(
     members: DataFrame | None = None,
     remove_spans: bool = False,
     mix_alpha: float | None = None,
+    redact_pii: bool = False,
 ) -> DataFrame:
     """The released corpus as a DataFrame: every surviving document's
     full row plus its ``split``. The join key is the unique doc_id, so
@@ -50,7 +51,21 @@ def release_corpus(
     from every doc but the canonical minimum-id owner — Lee et al.
     2021's span-level dedup as a release stage. The audit card still
     accounts n_chars of the ORIGINAL text (membership and mixing were
-    decided on it); span accounting lives in the span_removal query."""
+    decided on it); span accounting lives in the span_removal query.
+
+    ``redact_pii=True`` applies the SAME ``plans.corpus``
+    email/IPv4/phone replacement the pii_scrub audit certifies (and
+    the ingest path's --redact-pii applies) to the released text, as
+    the LAST stage: membership, mixing, and the span extents were all
+    decided and audited on the stored corpus, so redaction is a
+    shipping transform over the final text, not an input to any
+    earlier decision (the ingest pipeline, by contrast, redacts FIRST
+    — there the redacted text IS the stored corpus). n_chars keeps
+    accounting the original text, same contract as remove_spans, so
+    verify_release's recomputed audit card still matches the published
+    card."""
+    from etl_wikipedia_updates_spark.plans.corpus import pii_redacted_col
+
     docs = load_table(spark, sf_dir, "documents")
     if members is None:
         members = release_members(spark, sf_dir, mix_alpha=mix_alpha)
@@ -61,6 +76,8 @@ def release_corpus(
             .withColumn("text", F.col("text_clean"))
             .drop("text_clean")
         )
+    if redact_pii:
+        released = released.withColumn("text", pii_redacted_col("text"))
     return released
 
 
@@ -71,6 +88,7 @@ def write_release(
     keep_last: int = 2,
     remove_spans: bool = False,
     mix_alpha: float | None = None,
+    redact_pii: bool = False,
 ) -> dict:
     """Publish one release version: data partitioned by split, audit
     card in the version metadata, old versions vacuumed to a horizon.
@@ -89,13 +107,15 @@ def write_release(
         audit = [r.asDict() for r in release_audit(members).collect()]
         version = table.publish(
             release_corpus(
-                spark, sf_dir, members=members, remove_spans=remove_spans
+                spark, sf_dir, members=members, remove_spans=remove_spans,
+                redact_pii=redact_pii,
             ),
             meta={
                 "sf_dir": sf_dir,
                 "audit": audit,
                 "remove_spans": remove_spans,
                 "mix_alpha": mix_alpha,
+                "redact_pii": redact_pii,
             },
             partition_by=["split"],
         )
