@@ -104,8 +104,15 @@ def cmd_shard(args) -> int:
         out = verify_sharded(spark, args.out)
         print(json.dumps(out))
         return 0 if out["ok"] else 1
+    docs = None
+    if args.from_release:
+        from etl_wikipedia_updates_spark.streaming.snapshot import (
+            SnapshotTable,
+        )
+
+        docs = SnapshotTable(args.from_release).read(spark)
     out = write_sharded(
-        spark, args.sf_dir, args.out, keep_last=args.keep_last
+        spark, args.sf_dir, args.out, keep_last=args.keep_last, docs=docs
     )
     print(json.dumps(out))
     return 0
@@ -528,6 +535,12 @@ def main(argv: list[str] | None = None) -> int:
     shd.add_argument("--out", required=True, help="SnapshotTable root dir")
     shd.add_argument("--sf-dir", default=sf_default)
     shd.add_argument("--keep-last", type=int, default=2)
+    shd.add_argument(
+        "--from-release", metavar="RELEASE_ROOT",
+        help="shard the current version of a published release "
+        "(the curated corpus a training run loads) instead of the "
+        "raw sf-dir documents table",
+    )
     shd.add_argument(
         "--verify",
         action="store_true",

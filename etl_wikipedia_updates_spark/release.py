@@ -197,6 +197,7 @@ def write_sharded(
     sf_dir: str,
     out_root: str,
     keep_last: int = 2,
+    docs: DataFrame | None = None,
 ) -> dict:
     """Materialize the corpus as N_SHARDS fixed output shards — the
     write that ``plans.corpus.shard_manifest`` PLANS.
@@ -212,18 +213,31 @@ def write_sharded(
     the data publish atomically; ``verify_sharded`` recomputes the
     manifest FROM the produced files and compares.
 
+    ``docs`` overrides the frame to shard (any frame with doc_id /
+    source / n_chars — a release version is the natural caller:
+    ``write_sharded(spark, sf_dir, root, docs=SnapshotTable(rel)
+    .read(spark))`` shards the curated corpus a training run actually
+    loads, rather than the raw table). The manifest is computed from
+    the SAME frame via the shared manifest_of aggregation, so plan and
+    data stay in lockstep whatever the input.
+
     Returns {"version": N, "manifest": [manifest rows as dicts]}.
     """
     from etl_wikipedia_updates_spark.plans.corpus import (
         N_SHARDS,
+        manifest_of,
         shard_assign_col,
-        shard_manifest,
     )
 
-    manifest = [r.asDict() for r in shard_manifest(spark, sf_dir).collect()]
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "shard", shard_assign_col()
-    )
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("shard", shard_assign_col())
+    manifest = [
+        r.asDict()
+        for r in manifest_of(
+            docs.select("doc_id", "source", "n_chars", "shard")
+        ).collect()
+    ]
     table = SnapshotTable(out_root)
     version = table.publish(
         docs.repartition(N_SHARDS, F.col("shard")),

@@ -518,3 +518,34 @@ def test_write_release_with_pii_redaction(spark, tmp_path):
 
     res = verify_release(spark, str(tmp_path / "rel_red"))
     assert res["ok"], res["mismatches"]
+
+
+def test_shard_release_composition(spark, sf_smoke, tmp_path):
+    """The release -> shard composition a training run consumes: shard
+    the PUBLISHED release (docs override), manifest totals equal the
+    release's audit card totals, per-shard membership is exactly the
+    release's member set, and verify_sharded holds on the result."""
+    from etl_wikipedia_updates_spark.release import (
+        verify_sharded,
+        write_release,
+        write_sharded,
+    )
+
+    rel = str(tmp_path / "rel")
+    out_rel = write_release(spark, sf_smoke, rel)
+    released = SnapshotTable(rel).read(spark)
+
+    shards = str(tmp_path / "shards")
+    out_sh = write_sharded(spark, sf_smoke, shards, docs=released)
+    res = verify_sharded(spark, shards)
+    assert res["ok"], res["mismatches"]
+
+    audit_docs = sum(r["n_docs"] for r in out_rel["audit"])
+    manifest_docs = sum(r["n_docs"] for r in out_sh["manifest"])
+    assert manifest_docs == audit_docs
+    sharded_ids = {
+        r["doc_id"]
+        for r in SnapshotTable(shards).read(spark).select("doc_id").collect()
+    }
+    released_ids = {r["doc_id"] for r in released.select("doc_id").collect()}
+    assert sharded_ids == released_ids
