@@ -112,7 +112,8 @@ def cmd_shard(args) -> int:
 
         docs = SnapshotTable(args.from_release).read(spark)
     out = write_sharded(
-        spark, args.sf_dir, args.out, keep_last=args.keep_last, docs=docs
+        spark, args.sf_dir, args.out, keep_last=args.keep_last, docs=docs,
+        n_shards=args.n_shards,
     )
     print(json.dumps(out))
     return 0
@@ -540,6 +541,12 @@ def main(argv: list[str] | None = None) -> int:
         help="shard the current version of a published release "
         "(the curated corpus a training run loads) instead of the "
         "raw sf-dir documents table",
+    )
+    shd.add_argument(
+        "--n-shards", type=int, default=None,
+        help="shard count (default 16) — one file per shard, so this "
+        "is write parallelism AND the file-size divisor; a 100 TB "
+        "release raises it so files stay ~10 GB",
     )
     shd.add_argument(
         "--verify",

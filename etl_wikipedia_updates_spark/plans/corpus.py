@@ -472,10 +472,14 @@ SHARD_A = 1_664_525  # Numerical Recipes LCG — public constants,
 SHARD_B = 1_013_904_223  # a third stream uncorrelated with split/mix
 
 
-def shard_assign_col():
+def shard_assign_col(n_shards: int = N_SHARDS):
     """The writer's repartition key: stateless per-row integer math —
-    any cluster size reproduces the same doc -> shard assignment."""
-    return ubucket_col(SHARD_A, SHARD_B, N_SHARDS)
+    any cluster size reproduces the same doc -> shard assignment.
+    ``n_shards`` is THE scale dial: the one-file-per-shard layout
+    means shard count == write parallelism == file size divisor, so a
+    100 TB release raises it (e.g. 10k shards of ~10 GB) while the
+    registered shard_manifest query pins N_SHARDS=16 for the oracle."""
+    return ubucket_col(SHARD_A, SHARD_B, n_shards)
 
 
 def manifest_of(docs: DataFrame) -> DataFrame:

@@ -198,6 +198,7 @@ def write_sharded(
     out_root: str,
     keep_last: int = 2,
     docs: DataFrame | None = None,
+    n_shards: int | None = None,
 ) -> dict:
     """Materialize the corpus as N_SHARDS fixed output shards — the
     write that ``plans.corpus.shard_manifest`` PLANS.
@@ -221,6 +222,12 @@ def write_sharded(
     the SAME frame via the shared manifest_of aggregation, so plan and
     data stay in lockstep whatever the input.
 
+    ``n_shards`` (default plans.corpus.N_SHARDS) is THE scale dial:
+    one file per shard means shard count == write parallelism == file
+    size divisor — the 16-shard default fits the fixture tiers, a
+    100 TB release raises it to e.g. 10k shards of ~10 GB so the
+    write uses the whole cluster and each file stays splittable.
+
     Returns {"version": N, "manifest": [manifest rows as dicts]}.
     """
     from etl_wikipedia_updates_spark.plans.corpus import (
@@ -229,9 +236,11 @@ def write_sharded(
         shard_assign_col,
     )
 
+    if n_shards is None:
+        n_shards = N_SHARDS
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    docs = docs.withColumn("shard", shard_assign_col())
+    docs = docs.withColumn("shard", shard_assign_col(n_shards))
     manifest = [
         r.asDict()
         for r in manifest_of(
@@ -240,8 +249,8 @@ def write_sharded(
     ]
     table = SnapshotTable(out_root)
     version = table.publish(
-        docs.repartition(N_SHARDS, F.col("shard")),
-        meta={"sf_dir": sf_dir, "n_shards": N_SHARDS, "manifest": manifest},
+        docs.repartition(n_shards, F.col("shard")),
+        meta={"sf_dir": sf_dir, "n_shards": n_shards, "manifest": manifest},
         partition_by=["shard"],
     )
     table.vacuum(keep_last=keep_last)
