@@ -717,3 +717,61 @@ def test_temperature_mix_matches_python_reference(spark, rows):
         assert r["docs_kept"] == len(kept), s_
         assert r["chars_kept"] == sum(c for _, c in kept), s_
         assert r["kept_checksum"] == sum(d for d, _ in kept), s_
+
+
+@given(rows=temp_rows)
+@SLOW
+def test_shard_manifest_matches_python_reference(spark, rows):
+    """manifest_of + shard_assign_col (the write_sharded planner AND
+    verifier aggregation) must equal a from-scratch Python replay on
+    ANY corpus: per-shard doc/char/checksum/source totals, shares that
+    are exact det-rounded ratios, and every doc assigned by the pure
+    integer LCG. Also pins the conservation laws a verifier depends
+    on: per-shard totals sum to the corpus totals."""
+    import math
+
+    import etl_wikipedia_updates_spark.plans.corpus as CP
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int"
+    ).select("doc_id", "source", "n_chars", CP.shard_assign_col().alias("shard"))
+    got = {r["shard"]: r.asDict() for r in CP.manifest_of(df).collect()}
+
+    P = 2_147_483_647
+    want: dict[int, dict] = {}
+    for d, s_, c in rows:
+        sh = ((d % P) * CP.SHARD_A + CP.SHARD_B) % P % CP.N_SHARDS
+        w = want.setdefault(
+            sh, {"n_docs": 0, "n_chars_total": 0, "id_checksum": 0,
+                 "sources": set()},
+        )
+        w["n_docs"] += 1
+        w["n_chars_total"] += c
+        w["id_checksum"] += d
+        w["sources"].add(s_)
+    total_docs = len(rows)
+    total_chars = sum(c for _, _, c in rows)
+
+    assert set(got) == set(want)
+    for sh, w in want.items():
+        g = got[sh]
+        assert g["n_docs"] == w["n_docs"], sh
+        assert g["n_chars_total"] == w["n_chars_total"], sh
+        assert g["id_checksum"] == w["id_checksum"], sh
+        assert g["n_sources"] == len(w["sources"]), sh
+        assert g["doc_share"] == round(
+            math.floor(w["n_docs"] / total_docs * 1e6 + 0.5) / 1e6, 6
+        ), sh
+        if total_chars > 0:
+            assert g["char_share"] == round(
+                math.floor(
+                    w["n_chars_total"] / total_chars * 1e6 + 0.5
+                ) / 1e6,
+                6,
+            ), sh
+    # conservation: the verifier's totals are the corpus totals
+    assert sum(g["n_docs"] for g in got.values()) == total_docs
+    assert sum(g["n_chars_total"] for g in got.values()) == total_chars
+    assert sum(g["id_checksum"] for g in got.values()) == sum(
+        d for d, _, _ in rows
+    )
