@@ -296,6 +296,14 @@ def verify_sharded(
     exp = {int(r["shard"]): r for r in expected}
     got = {int(r["shard"]): r for r in recomputed}
     mismatches = []
+    # every stored shard value must lie under the published bound — a
+    # foreign or corrupted shard dir shows up as an impossible id
+    n_shards = int(meta.get("n_shards", 0))
+    for k in sorted(got):
+        if n_shards and not 0 <= k < n_shards:
+            mismatches.append(
+                {"shard": k, "error": f"out of range for n_shards={n_shards}"}
+            )
     for k in sorted(set(exp) | set(got)):
         if k not in exp:
             mismatches.append({"shard": k, "error": "not in manifest"})
