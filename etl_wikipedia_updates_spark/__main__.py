@@ -105,15 +105,19 @@ def cmd_shard(args) -> int:
         print(json.dumps(out))
         return 0 if out["ok"] else 1
     docs = None
+    source_desc = None
     if args.from_release:
         from etl_wikipedia_updates_spark.streaming.snapshot import (
             SnapshotTable,
         )
 
-        docs = SnapshotTable(args.from_release).read(spark)
+        rel = SnapshotTable(args.from_release)
+        v = rel.current_version()
+        docs = rel.read(spark, v)
+        source_desc = f"release {args.from_release} v{v}"
     out = write_sharded(
         spark, args.sf_dir, args.out, keep_last=args.keep_last, docs=docs,
-        n_shards=args.n_shards,
+        n_shards=args.n_shards, source_desc=source_desc,
     )
     print(json.dumps(out))
     return 0

@@ -7,13 +7,14 @@ operators are the north-star extension of that surface for LLM-corpus
 work: token stats, language-ID, quality scores, fingerprints.
 
 Cross-engine determinism: operators that need a token->integer mapping
-use ``token_dictionary`` (dense ids from a global sort) so the DuckDB
-oracle can reproduce results bit-for-bit. At 100 TB the dense path's
-global sort is replaced by ``ids='hash'`` (or the
-``SPARK_GRAFT_DICT_IDS=hash`` env default) — stateless
-``xxhash64(term)`` ids, a pure map-side expression with no shuffle —
-at the cost of oracle parity, not correctness (equivalence pinned in
-tests).
+use ``token_dictionary``, which DEFAULTS (since r11) to ``ids='hash'``
+— stateless ``xxhash64(term)`` ids, a pure map-side expression with no
+shuffle, the 100 TB shape a new caller should get. The dense path
+(``ids='dense'`` or ``SPARK_GRAFT_DICT_IDS=dense``) is the opt-in
+oracle-parity mode: dense 1-based ids from a global sort the DuckDB
+oracle can reproduce bit-for-bit, valid only for bounded vocabularies.
+Downstream set/join/grouping results are identical under either scheme
+modulo the id values (equivalence pinned in tests).
 """
 
 from __future__ import annotations

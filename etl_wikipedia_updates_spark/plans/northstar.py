@@ -2354,21 +2354,53 @@ def static_temp_rates(docs: DataFrame) -> DataFrame:
     snapshot, the fixture table) rather than the unbounded stream
     itself: per-row membership is stateless integer math against
     these precomputed thresholds, so every micro-batch applies the
-    identical rule no matter how the stream is chopped."""
-    return temp_rates(
+    identical rule no matter how the stream is chopped.
+
+    The fit is MATERIALIZED here — the |sources| result rows are
+    collected once and rebuilt as a local DataFrame — so the returned
+    frame carries no lineage back to the static corpus. Returning the
+    lazy plan instead would re-execute the full static-table
+    scan+aggregation inside EVERY foreachBatch broadcast (at 100 TB, a
+    whole prior-snapshot scan per micro-batch) while claiming to be
+    'fit once'."""
+    fitted = temp_rates(
         docs.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
     ).select("source", "rate_ppm")
+    rows = fitted.collect()
+    return docs.sparkSession.createDataFrame(
+        rows, "source string, rate_ppm long"
+    )
 
 
 def temp_membership(docs: DataFrame, rates: DataFrame) -> DataFrame:
     """Filter ``docs`` to temperature members against a precomputed
     (source, rate_ppm) frame; returns docs' own columns. The rates
-    side is |sources| rows — always broadcast."""
-    return (
-        docs.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
-        .filter(temp_keep_cond())
-        .select(*docs.columns)
+    side is |sources| rows — always broadcast.
+
+    A doc whose source is ABSENT from the static model fails loudly
+    (raise_error) instead of joining to nothing: with an inner join a
+    new crawl source arriving mid-stream would silently vanish from
+    the sink — 100% loss for that source with no signal — violating
+    the engine's apply-or-fail-loudly rule for curation controls. The
+    deployment response is to refit the static model to cover the new
+    source, not to guess a rate for it."""
+    joined = docs.join(
+        F.broadcast(rates.select("source", "rate_ppm")), "source", "left"
+    ).withColumn(
+        "rate_ppm",
+        F.when(F.col("rate_ppm").isNotNull(), F.col("rate_ppm")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "temp_membership: source absent from the static "
+                        "temperature model: "
+                    ),
+                    F.col("source"),
+                )
+            ).cast("long")
+        ),
     )
+    return joined.filter(temp_keep_cond()).select(*docs.columns)
 
 
 def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

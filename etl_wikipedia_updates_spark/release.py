@@ -199,6 +199,7 @@ def write_sharded(
     keep_last: int = 2,
     docs: DataFrame | None = None,
     n_shards: int | None = None,
+    source_desc: str | None = None,
 ) -> dict:
     """Materialize the corpus as N_SHARDS fixed output shards — the
     write that ``plans.corpus.shard_manifest`` PLANS.
@@ -240,6 +241,13 @@ def write_sharded(
         n_shards = N_SHARDS
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
+        if source_desc is None:
+            source_desc = f"{sf_dir}/documents"
+    elif source_desc is None:
+        # a docs override without a declared provenance is recorded as
+        # such — better an honest unknown than meta pointing at the
+        # raw table the shards did NOT come from
+        source_desc = "caller-supplied frame (no provenance declared)"
     docs = docs.withColumn("shard", shard_assign_col(n_shards))
     manifest = [
         r.asDict()
@@ -250,7 +258,12 @@ def write_sharded(
     table = SnapshotTable(out_root)
     version = table.publish(
         docs.repartition(n_shards, F.col("shard")),
-        meta={"sf_dir": sf_dir, "n_shards": n_shards, "manifest": manifest},
+        meta={
+            "sf_dir": sf_dir,
+            "source": source_desc,
+            "n_shards": n_shards,
+            "manifest": manifest,
+        },
         partition_by=["shard"],
     )
     table.vacuum(keep_last=keep_last)

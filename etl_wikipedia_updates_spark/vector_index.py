@@ -139,6 +139,22 @@ def build_ivf_index(
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
+    if quantize == "pq":
+        # The PQ layout slices subvectors at fixed PQ_SUB offsets; a
+        # table whose dim != PQ_M*PQ_SUB would silently fit codebooks
+        # over a truncated prefix (empty slices for higher subspaces)
+        # and degrade recall with no error. Fail loudly BEFORE the
+        # expensive IVF k-means fit. One row's dim suffices:
+        # embedding_stats is the audit that catches MIXED dims.
+        row = emb.select(F.size("embedding").alias("d")).first()
+        dim = None if row is None else row["d"]
+        if dim != PQ_M * PQ_SUB:
+            raise ValueError(
+                f"quantize='pq' requires dim == PQ_M*PQ_SUB "
+                f"({PQ_M}*{PQ_SUB}={PQ_M * PQ_SUB}); embeddings table "
+                f"has dim {dim} (None = empty table) — use "
+                "quantize='sq8' (dim-agnostic) or retune PQ_M/PQ_SUB"
+            )
     cents = C.kmeans_fit(emb, k, iters)
     assigned = C.assignment(emb, cents).select(
         "vec_id", "embedding", F.col("cid").cast("int").alias("cell")
@@ -149,20 +165,7 @@ def build_ivf_index(
             "vec_id", "embedding", "cell", f"{_SQ8_ABSMAX} AS absmax"
         ).selectExpr("vec_id", "embedding", "cell", "absmax", f"{_SQ8_QV} AS qv")
     elif quantize == "pq":
-        # The PQ layout slices subvectors at fixed PQ_SUB offsets; a
-        # table whose dim != PQ_M*PQ_SUB would silently fit codebooks
-        # over a truncated prefix (empty slices for higher subspaces)
-        # and degrade recall with no error. Fail loudly instead. One
-        # row's dim suffices: embedding_stats is the audit that
-        # catches MIXED dims before a build.
-        dim = emb.select(F.size("embedding").alias("d")).first()["d"]
-        if dim != PQ_M * PQ_SUB:
-            raise ValueError(
-                f"quantize='pq' requires dim == PQ_M*PQ_SUB "
-                f"({PQ_M}*{PQ_SUB}={PQ_M * PQ_SUB}); embeddings table "
-                f"has dim {dim} — use quantize='sq8' (dim-agnostic) or "
-                "retune PQ_M/PQ_SUB"
-            )
+        # dim checked before the fit, above
         pq_books = _pq_fit_books(emb)
         assigned = _pq_encode(assigned, pq_books)
     table = SnapshotTable(out_root)

@@ -1693,3 +1693,44 @@ def test_streaming_temperature_mix_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert dropped and dropped <= store_ids
+
+
+def test_temp_membership_unseen_source_fails_loudly(spark):
+    """A doc whose source is absent from the static temperature model
+    must ERROR, not silently vanish (review finding): an inner join
+    would lose 100% of a new crawl source with no signal."""
+    import pytest
+
+    from etl_wikipedia_updates_spark.plans.northstar import temp_membership
+
+    docs = spark.createDataFrame(
+        [(1, "known", 10), (2, "brand_new", 10)],
+        "doc_id long, source string, n_chars long",
+    )
+    rates = spark.createDataFrame(
+        [("known", 1_000_000)], "source string, rate_ppm long"
+    )
+    with pytest.raises(Exception, match="absent from the static"):
+        temp_membership(docs, rates).collect()
+    # covered sources pass through untouched
+    ok = temp_membership(docs.filter(F.col("source") == "known"), rates)
+    assert [r["doc_id"] for r in ok.collect()] == [1]
+
+
+def test_static_temp_rates_is_materialized(spark):
+    """The stream-static fit must carry NO lineage back to the static
+    corpus (review finding): a lazy plan would re-run the full static
+    scan+aggregation inside every foreachBatch broadcast."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        static_temp_rates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 400)],
+        "doc_id long, source string, n_chars long",
+    )
+    rates = static_temp_rates(docs.select("source", "n_chars"))
+    plan = rates._jdf.queryExecution().analyzed().toString()
+    assert "Aggregate" not in plan, plan  # local rows, not the fit plan
+    got = {r["source"]: r["rate_ppm"] for r in rates.collect()}
+    assert got == {"a": 1_000_000, "b": 500_000}
