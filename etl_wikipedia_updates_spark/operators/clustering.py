@@ -132,6 +132,37 @@ def assign_cids(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return emb.selectExpr("embedding", f"{_best_expr(centroids)}.cid AS cid")
 
 
+def assignment_matrix_col(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """(all emb columns + cid) with the k x dim centroid matrix carried
+    as a COLUMN through a 1-row broadcast instead of inlined literals.
+
+    Same IEEE op sequence as ``assignment`` (cast, subtract, square,
+    left fold from 0.0; struct-min ties to lowest cid) — bit-identical
+    cids — but the matrix literal appears ONCE in the plan, in the
+    broadcast LocalRelation, instead of once per consumer of the
+    assignment expression. For multi-consumer DAGs (semantic_dedup
+    reads the assigned frame from three branches) the literal form
+    re-inlines k*dim doubles into every branch and the optimizer/
+    codegen chew the blown-up tree each time: at k=8, dim=64 that
+    fixed overhead measured ~0.25s per execution at sf0.1 (SCALE.md
+    r12). The broadcast is a BroadcastNestedLoopJoin against one row —
+    map-side at any corpus size, no shuffle of the big side."""
+    spark = emb.sparkSession
+    one = F.broadcast(
+        spark.range(1).select(F.expr(_matrix_sql(centroids)).alias("__cmat"))
+    )
+    best = (
+        "array_min(transform(__cmat, (c, i) -> named_struct('d2', "
+        "aggregate(zip_with(embedding, c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v), 'cid', CAST(i AS INT))))"
+    )
+    cols = emb.columns
+    return emb.join(one).selectExpr(*cols, f"{best}.cid AS cid")
+
+
 def init_centroids(emb: DataFrame, k: int) -> list[list[float]]:
     """The k vectors with the smallest vec_id, in vec_id order."""
     rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()

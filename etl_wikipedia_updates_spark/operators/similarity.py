@@ -269,24 +269,32 @@ def cosine_topk_multiprobe(
     )
 
 
-def cosine_near_pairs(
-    emb: DataFrame, threshold: float, cell_col: str = "label"
-) -> DataFrame:
-    """(vec_id, vec_id2, cos_sim) pairs above threshold, blocked by cell.
+def prenormed_cells(emb: DataFrame, cell_col: str) -> DataFrame:
+    """(vec_id, cell, e, nrm): the double-cast embedding and its L2
+    norm, one pass per vector, with the blocking key renamed to
+    ``cell``. Public so a multi-consumer plan (semantic_dedup) can
+    persist ONE prenormed frame and fan pair-left/pair-right/audit
+    branches out of it instead of recomputing the cast+norm per
+    branch."""
+    return _with_double_and_norm(emb, "e", "nrm").select(
+        "vec_id", F.col(cell_col).alias("cell"), "e", "nrm"
+    )
 
-    The pair space is per-cell (equi-join on the cell key + id
-    inequality), so the quadratic term is bounded by the largest cell,
-    not the corpus. Skewed cells would be salted/sub-clustered at scale.
-    """
-    normed = _with_double_and_norm(emb, "e", "nrm")
+
+def near_pairs_of_prenormed(normed: DataFrame, threshold: float) -> DataFrame:
+    """(cell, vec_id, vec_id2, sim) pairs above threshold from a
+    prenormed_cells frame. The pair space is per-cell (equi-join on
+    the cell key + id inequality), so the quadratic term is bounded by
+    the largest cell, not the corpus. Skewed cells would be
+    salted/sub-clustered at scale."""
     left = normed.select(
-        F.col(cell_col).alias("cell"),
-        F.col("vec_id").alias("vec_id"),
+        "cell",
+        "vec_id",
         F.col("e").alias("e1"),
         F.col("nrm").alias("n1"),
     )
     right = normed.select(
-        F.col(cell_col).alias("cell"),
+        "cell",
         F.col("vec_id").alias("vec_id2"),
         F.col("e").alias("e2"),
         F.col("nrm").alias("n2"),
@@ -295,9 +303,16 @@ def cosine_near_pairs(
     return (
         left.join(right, ["cell"])
         .filter(F.col("vec_id") < F.col("vec_id2"))
-        .select("vec_id", "vec_id2", sim.alias("sim"))
+        .select("cell", "vec_id", "vec_id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
-        .select(
-            "vec_id", "vec_id2", det_round(F.col("sim"), 4).alias("cos_sim")
-        )
     )
+
+
+def cosine_near_pairs(
+    emb: DataFrame, threshold: float, cell_col: str = "label"
+) -> DataFrame:
+    """(vec_id, vec_id2, cos_sim) pairs above threshold, blocked by
+    cell (see near_pairs_of_prenormed for the scale argument)."""
+    return near_pairs_of_prenormed(
+        prenormed_cells(emb, cell_col), threshold
+    ).select("vec_id", "vec_id2", det_round(F.col("sim"), 4).alias("cos_sim"))

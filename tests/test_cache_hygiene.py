@@ -31,7 +31,11 @@ SF = "/root/testdata/sf0.001"
 
 # The only queries allowed to leave cached data behind after execution,
 # and only until the next clearCache().
-DECLARED_LAZY_PERSISTS: set[str] = set()
+# - semantic_dedup (r12): the prenormed+assigned frame feeds three
+#   branches (pair left/right, per-cell totals); persisting it is the
+#   materialize-shared-subplan the oracle's CTE gets for free. Plain
+#   persist — lineage intact, reclaimed by clearCache().
+DECLARED_LAZY_PERSISTS: set[str] = {"semantic_dedup"}
 
 EAGER_BUILDERS = [
     "kmeans_clusters",
@@ -59,9 +63,14 @@ def test_eager_builders_release_their_persists(spark, name):
     before = _n_cached(spark)
     REGISTRY.queries[name].builder(spark, SF)  # build only — jobs may run
     gc.collect()
-    assert _n_cached(spark) == before, (
+    # a DECLARED lazy persist registers with the cache manager at build
+    # time (materialization still waits for execution) — allowed here,
+    # checked for materialization + reclaim in the lazy test below
+    allowed = 1 if name in DECLARED_LAZY_PERSISTS else 0
+    assert _n_cached(spark) - before <= allowed, (
         f"{name} builder leaked persisted data during its eager phase"
     )
+    spark.catalog.clearCache()
 
 
 def test_lazy_queries_leave_cache_clean_after_execution(spark):
