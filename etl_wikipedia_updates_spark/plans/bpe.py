@@ -53,7 +53,11 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
 )
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
-from etl_wikipedia_updates_spark.plans.northstar import _memo_model
+from etl_wikipedia_updates_spark.plans.northstar import (
+    _memo_model,
+    _seq_pack,
+    seq_pack_sql_from,
+)
 from etl_wikipedia_updates_spark.tables import load_table, spread
 
 BPE_MERGES = 32  # merge-table size; the oracle unrolls one CTE block per merge
@@ -117,22 +121,24 @@ def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
 _EMPTY_STR_ARRAY = "cast(array() as array<string>)"
 
 
-def _chars_col(col: str) -> Column:
-    """Code-point array of a word column. sequence(1, 0) would count
-    DOWN, so the empty word is guarded explicitly; Spark length/substr
-    and DuckDB len/[] both index code points, so the twins agree on
-    any charset."""
+def _chars_col(col: str | Column) -> Column:
+    """Code-point array of a word column (name or Column — a Column
+    lets the encode run inside a lambda over tokens_col()).
+    sequence(1, 0) would count DOWN, so the empty word is guarded
+    explicitly; Spark length/substr and DuckDB len/[] both index code
+    points, so the twins agree on any charset."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.when(
-        F.length(col) == 0, F.expr(_EMPTY_STR_ARRAY)
+        F.length(c) == 0, F.expr(_EMPTY_STR_ARRAY)
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.length(col)),
-            lambda i: F.col(col).substr(i, F.lit(1)),
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: c.substr(i, F.lit(1)),
         )
     )
 
 
-def encode_col(col: str, merges: list[tuple[str, str]]) -> Column:
+def encode_col(col: str | Column, merges: list[tuple[str, str]]) -> Column:
     """Subword-token array for word column ``col``: fold the merge
     table (bound as a VALUE literal via F.lit/F.struct — never inlined
     into SQL text, the charlm string-escape lesson) over the char
@@ -234,8 +240,11 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(n_merges: int) -> str:
-    """The oracle: identical fit + encode unrolled as chained CTEs.
+def _fit_cte_parts(n_merges: int) -> list[str]:
+    """The fit+encode CTE chain shared by both oracles (bpe_token_stats
+    and seq_pack_subword): identical fit + encode unrolled as chained
+    CTEs, ending in enc(w, nsub) — every distinct corpus word's subword
+    count under the learned table.
 
     v0 holds every distinct corpus word as a char array, carrying the
     fit weight (corpus frequency) only for top-V words; each iteration
@@ -260,7 +269,8 @@ def _bpe_sql(n_merges: int) -> str:
         "ELSE list_concat(acc, x) END)"
     )
     parts = [
-        "tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w "
+        "tok AS (SELECT doc_id, source, "
+        "unnest(string_split(lower(text), ' ')) AS w "
         "FROM documents WHERE text IS NOT NULL)",
         "wc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w)",
         "wtot AS (SELECT w, SUM(c) AS c FROM wc GROUP BY w)",
@@ -291,6 +301,13 @@ def _bpe_sql(n_merges: int) -> str:
     parts.append(
         f"enc AS (SELECT w, len(toks) AS nsub FROM v{n_merges})"
     )
+    return parts
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """The bpe_token_stats oracle: the shared fit chain + the
+    per-source fertility aggregation."""
+    parts = _fit_cte_parts(n_merges)
     fert = sql_det_round(
         "CAST(SUM(wc.c * e.nsub) AS DOUBLE) / CAST(SUM(wc.c) AS DOUBLE)", 4
     )
@@ -319,6 +336,67 @@ ORDER BY wc.source
 
 BPE_TOKEN_STATS_SQL = _bpe_sql(BPE_MERGES)
 
+
+# --- seq_pack_subword: the packing audit in dataloader tokens -----------------
+
+
+def subword_count_col(merges: list[tuple[str, str]]) -> Column:
+    """Per-doc subword count: fold the merge table over every
+    whitespace token of tokens_col(), entirely map-side. Encoding per
+    OCCURRENCE (not per distinct word) is deliberate: the alternative
+    — a distinct-word dictionary joined back onto exploded tokens and
+    re-aggregated per doc — encodes each word once but pays an
+    explode plus a corpus-keyed shuffle; the fold is pure CPU on rows
+    the scan already holds, the cheaper side of the trade at any
+    corpus size (the module-docstring argument, now per doc)."""
+    return F.aggregate(
+        T.tokens_col(),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.size(encode_col(w, merges)),
+    )
+
+
+def seq_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seq_pack re-denominated in BPE subwords — the packing audit in
+    the tokens a dataloader actually consumes. A whitespace-token
+    SEQ_LEN mis-sizes packing by the fertility factor (~1.1-1.5x on
+    natural text): n_seqs, split fractions, and fill all shift when
+    the stream is measured in subwords. Same corpus-fit merge table as
+    bpe_token_stats (one shared memoized fit per sf_dir), same
+    two-phase distributed prefix-sum as seq_pack (_seq_pack is shared
+    code, so the packing math can never diverge between
+    denominations)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    merges = _memo_model(
+        spark,
+        sf_dir,
+        "bpe_merges",
+        lambda: _fit_from_corpus(spread(docs)),
+    )
+    return _seq_pack(
+        docs.select(
+            "doc_id", "source", subword_count_col(merges).alias("n_tok")
+        )
+    )
+
+
+def _seq_pack_subword_sql(n_merges: int) -> str:
+    """Oracle: the shared fit chain computes enc(w, nsub); per-doc
+    n_tok sums nsub over the doc's token multiset; then the SHARED
+    seq_pack window chain (plans.northstar.seq_pack_sql_from) runs
+    unchanged over the subword-denominated base."""
+    prelude = ",\n".join(_fit_cte_parts(n_merges)) + ",\n"
+    base = (
+        "SELECT t.doc_id, t.source, CAST(SUM(e.nsub) AS BIGINT) AS n_tok "
+        "FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id, t.source"
+    )
+    return seq_pack_sql_from(base, prelude)
+
+
+SEQ_PACK_SUBWORD_SQL = _seq_pack_subword_sql(BPE_MERGES)
+
 BPE_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "bpe_token_stats",
@@ -326,5 +404,12 @@ BPE_QUERIES: list[DeclaredQuery] = [
         BPE_TOKEN_STATS_SQL,
         "subword (BPE) tokenization: per-source fertility audit",
         eager=True,  # the top-V collect + merge fit run at build time
+    ),
+    DeclaredQuery(
+        "seq_pack_subword",
+        seq_pack_subword,
+        SEQ_PACK_SUBWORD_SQL,
+        "sequence-packing audit denominated in BPE subword tokens",
+        eager=True,  # shares the memoized BPE fit (collect at build)
     ),
 ]

@@ -2639,12 +2639,14 @@ def _seq_pack(docs: DataFrame) -> DataFrame:
     )
 
 
-SEQ_PACK_SQL = f"""
-WITH base AS (
-  SELECT doc_id, source,
-         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
-  FROM documents WHERE text IS NOT NULL
-),
+def seq_pack_sql_from(base_sql: str, prelude: str = "") -> str:
+    """The seq_pack window-chain oracle over ANY (doc_id, source,
+    n_tok) base query — shared with plans.bpe.seq_pack_subword, which
+    prepends its BPE-fit CTE chain via ``prelude`` and swaps the base
+    for subword counts. Keeping one copy of the window chain means the
+    whitespace and subword audits can never diverge in packing math."""
+    return f"""
+WITH {prelude}base AS ({base_sql}),
 per AS (
   SELECT source, n_tok,
          SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -2665,6 +2667,15 @@ SELECT source, COUNT(*) AS n_docs,
        {sql_det_round(f"CAST(SUM(n_tok) AS DOUBLE) / (floor(CAST(MAX(cum) + {SEQ_LEN - 1} AS DOUBLE) / {SEQ_LEN}) * {SEQ_LEN})", 4)} AS fill_frac
 FROM marked GROUP BY source ORDER BY source
 """
+
+
+SEQ_PACK_SQL = seq_pack_sql_from(
+    """
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+"""
+)
 
 
 # --- span_dedup: substring-level duplicated-span audit ------------------------

@@ -2,34 +2,35 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (76 since round 10; round 11 adds none — a consolidation
-round per the r10 verdict). The external correctness gate records the
-first 50 entries per round, so the surplus sits past the cutoff each
-round; the rotation policy keeps every official row as fresh as the
-window allows:
+entries (79 since round 13: round 12 built bpe_token_stats and
+incremental_dedup but never registered them; round 13 registers both
+and adds seq_pack_subword, the fertility wiring).
+The external correctness gate records the first 50 entries per round,
+so the surplus sits past the cutoff each round; the rotation policy
+keeps every official row as fresh as the window allows:
 
-- Entries with NO official row ever go FIRST. Round 11: the six that
-  landed past round 10's cutoff (distinct_kmv, ann_pq,
-  corpus_release_temp, zipf_fit, length_hist, embedding_stats)
-  certify at the head, as the r10 plan promised.
-- Entries whose newest official row is OLDEST come next: q12_approx
-  and percentiles_approx (rows-only by design) last certified in r7.
-- The contract rows Q1-Q28 + wiki and every entry CHANGED this round
-  stay inside the first 50 (a changed query needs a fresh row; its
-  old row certifies code that no longer exists). Round 11 changed
-  distinct_kmv (localCheckpoint removed — in the head anyway),
-  charlm_score (out-of-charset guard), shard_manifest (manifest_of
-  refactor), ann_pq + corpus_release_temp + corpus_release +
-  dedup_corpus (ne_sql zero-norm floor / release_members temperature
-  refactor).
-- The remaining slots re-certify the 18 entries whose newest official
-  rows are r9, FIFO in tail order: span_dedup through ann_sq8 fit
-  this round (positions 42-50); grouped_agg_udf through
-  stratified_sample head the round-12 rotation at 51-59.
-- The entries that yield are UNCHANGED-this-round entries certified
-  green in the immediately-preceding round (the r10-official
-  extensions at the tail) — every one still oracle-proven locally on
-  each pytest run by tests/test_queries_oracle.py.
+- Entries with NO official row ever go FIRST. Round 13: the two
+  round-12 modules certify at the head with their first-ever rows
+  (bpe_token_stats, incremental_dedup), followed by any operator NEW
+  this round.
+- Entries whose newest official row is OLDEST come next: the nine
+  entries stuck at r9-official since round 9 (grouped_agg_udf through
+  tfidf_topterms below) — the rotation round 12 promised but never
+  executed.
+- Every entry CHANGED in round 12 must re-certify (its old row
+  certifies code that no longer exists): semantic_dedup (centroid
+  broadcast-column replan) and cosine_neardup (shared prenormed
+  frame) were rebuilt in r12 but sat past the cutoff — they are
+  inside the window now.
+- The contract rows Q1-Q28 + wiki stay inside the gate window, as
+  every round.
+- The remaining slots refresh the OLDEST of the r10-official
+  extensions, FIFO in tail order: text_quality through
+  multimodal_bytes fit this round; ann_lsh through pii_scrub head the
+  round-14 refresh queue.
+- The entries that yield are the ones certified green in round 12 —
+  every one still oracle-proven locally on each pytest run by
+  tests/test_queries_oracle.py.
 
 All entries are benched by bench.py regardless of position, and the
 oracle-backed entries are oracle-tested every run in
@@ -42,49 +43,80 @@ re-certifies this round.
 from __future__ import annotations
 
 from etl_wikipedia_updates_spark.plans.base import QueryRegistry
+from etl_wikipedia_updates_spark.plans.bpe import BPE_QUERIES
 from etl_wikipedia_updates_spark.plans.clustering import CLUSTERING_QUERIES
 from etl_wikipedia_updates_spark.plans.corpus import CORPUS_QUERIES
 from etl_wikipedia_updates_spark.plans.events import EVENTS_QUERIES
+from etl_wikipedia_updates_spark.plans.incremental import INCREMENTAL_QUERIES
 from etl_wikipedia_updates_spark.plans.northstar import NORTHSTAR_QUERIES
 from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-11 rotation head: the six entries that have NEVER had
-    # an official row (r10 positions 51-56) certify first, exactly as
-    # the r10 plan promised. distinct_kmv leads: its r11 replan
-    # (localCheckpoint removed, fused countDistinct audit) lands with
-    # its first-ever official row ---
+    # --- round-13 rotation head: never-certified entries first. The
+    # two round-12 modules finally registered (the r12 verdict's #1)
+    # get their first-ever official rows ---
+    "bpe_token_stats",
+    "incremental_dedup",
+    # new in round 13: the fertility wiring the r12 verdict asked for
+    # (#4) — seq_pack re-denominated in BPE subwords
+    "seq_pack_subword",
+    # --- the nine entries whose newest official rows are r9 — three
+    # rounds stale, the refresh round 12 promised ("grouped_agg_udf
+    # through stratified_sample head the round-12 rotation") and never
+    # executed; FIFO in the order they have waited ---
+    "grouped_agg_udf",
+    "kmeans_clusters",
+    "ann_kmeans",
+    "sample_hash",
+    "seq_pack",
+    "simhash_pairs",
+    "source_mix",
+    "stratified_sample",
+    "tfidf_topterms",
+    # --- CHANGED in round 12 (semantic_dedup centroid-matrix replan,
+    # cosine_neardup shared prenormed frame) — their r10 rows certify
+    # code that no longer exists ---
+    "semantic_dedup",
+    "cosine_neardup",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- remaining slots to 50: the oldest r10-official extensions,
+    # FIFO in tail order ---
+    "text_quality",
+    "dedup_clusters",
+    "contamination",
+    "percentiles",
+    "grouped_zscore",
+    "doc_fingerprint",
+    "text_normalize",
+    # --- positions 51-79: past the cutoff this round. First the
+    # remaining r10-official extensions (they head the round-14
+    # refresh queue, same FIFO — multimodal_bytes yielded its slot to
+    # the new seq_pack_subword), then the r12-certified entries —
+    # every one oracle-tested locally on every pytest run by
+    # tests/test_queries_oracle.py ---
+    "multimodal_bytes",
+    "ann_lsh",
+    "ann_ivf",
+    "bm25_rank",
+    "span_removal",
+    "ann_lsh_multiprobe",
+    "temperature_mix",
+    "pii_scrub",
     "distinct_kmv",
     "ann_pq",
     "corpus_release_temp",
     "zipf_fit",
     "length_hist",
     "embedding_stats",
-    # --- the two rows-only approximate entries: their newest official
-    # rows date to r7 (they yielded their r10 slots to never-certified
-    # oracle-backed entries); with no new entries this round there is
-    # room to refresh the stalest rows in the registry ---
     "q12_approx",
     "percentiles_approx",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- CHANGED in round 11, so their r10 rows certify code that no
-    # longer exists: charlm_score (out-of-charset loud-fail guard in
-    # the dense scorer), shard_manifest (refactored onto the shared
-    # manifest_of aggregation the new write_sharded verifier uses),
-    # corpus_release and dedup_corpus (both run through the
-    # release_members temperature refactor / shared plan modules).
-    # ann_pq (ne_sql zero-norm floor) and corpus_release_temp (same
-    # release_members refactor) also changed — they sit in the head ---
     "charlm_score",
     "shard_manifest",
     "corpus_release",
     "dedup_corpus",
-    # --- positions 42-50: the 18 entries whose newest official rows
-    # are r9 re-certify FIFO in the order they have waited in the
-    # tail; the first nine fit this round's window ---
     "span_dedup",
     "token_stats",
     "corpus_stats",
@@ -94,37 +126,6 @@ DECLARATION_ORDER: list[str] = [
     "quantize_embeddings",
     "lang_id_chargram",
     "ann_sq8",
-    # --- positions 51-76: past the cutoff this round. First the nine
-    # remaining r9-official entries (they HEAD the round-12 rotation,
-    # same FIFO), then the r10-certified, unchanged-this-round
-    # extensions — every one oracle-tested locally on every pytest
-    # run by tests/test_queries_oracle.py ---
-    "grouped_agg_udf",
-    "kmeans_clusters",
-    "ann_kmeans",
-    "simhash_pairs",
-    "source_mix",
-    "tfidf_topterms",
-    "seq_pack",
-    "sample_hash",
-    "stratified_sample",
-    "text_quality",
-    "dedup_clusters",
-    "contamination",
-    "percentiles",
-    "grouped_zscore",
-    "doc_fingerprint",
-    "text_normalize",
-    "cosine_neardup",
-    "multimodal_bytes",
-    "ann_lsh",
-    "ann_ivf",
-    "bm25_rank",
-    "span_removal",
-    "ann_lsh_multiprobe",
-    "temperature_mix",
-    "semantic_dedup",
-    "pii_scrub",
 ]
 
 _declared = QueryRegistry()
@@ -134,6 +135,8 @@ _declared.extend(NORTHSTAR_QUERIES)
 _declared.extend(CLUSTERING_QUERIES)
 _declared.extend(CORPUS_QUERIES)
 _declared.extend(WIKI_QUERIES)
+_declared.extend(BPE_QUERIES)
+_declared.extend(INCREMENTAL_QUERIES)
 
 _missing = set(_declared.queries) - set(DECLARATION_ORDER)
 _extra = set(DECLARATION_ORDER) - set(_declared.queries)

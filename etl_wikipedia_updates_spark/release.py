@@ -239,6 +239,7 @@ def write_sharded(
 
     if n_shards is None:
         n_shards = N_SHARDS
+    from_sf_dir = docs is None
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
         if source_desc is None:
@@ -259,7 +260,11 @@ def write_sharded(
     version = table.publish(
         docs.repartition(n_shards, F.col("shard")),
         meta={
-            "sf_dir": sf_dir,
+            # sf_dir identifies the raw table ONLY when the frame came
+            # from it; under a docs override it is just the session
+            # default and recording it as provenance would mislead —
+            # "source" carries the declared provenance either way
+            "sf_dir": sf_dir if from_sf_dir else None,
             "source": source_desc,
             "n_shards": n_shards,
             "manifest": manifest,
@@ -279,8 +284,11 @@ def verify_sharded(
     spread, balance shares) and compare it shard-by-shard against the
     manifest the version was published with; also assert the physical
     layout (exactly one data file per shard dir). Any mismatch means
-    on-disk corruption, tampering, or a writer bug — ruled out before
-    a dataloader consumes shards it didn't produce itself.
+    accidental on-disk corruption or a writer bug — caught before a
+    dataloader consumes shards it didn't produce itself. This is an
+    integrity check, not an adversarial seal: the manifest lives
+    beside the data and the checksums are unkeyed, so an attacker who
+    can rewrite shards can rewrite the manifest to match.
 
     Returns {"version", "ok", "expected", "recomputed",
     "mismatches": [...]}."""

@@ -1,0 +1,255 @@
+"""bpe_token_stats (plans/bpe.py): the merge fit, the fold encode, and
+the three-way pin the module docstring promises (pure-Python replay ==
+Spark fold expression == oracle CTE) on a controlled fixture — the
+sf0.01 oracle hash (tests/test_queries_oracle.py) certifies the full
+operator; these tests pin the PARTS on inputs where the expected
+answer is hand-derivable, plus the empty-word/no-pairs edges the
+_chars_col guard claims to handle."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from etl_wikipedia_updates_spark.plans import bpe as B
+
+
+# --- bpe_fit: the greedy merge loop -------------------------------------------
+
+
+def test_bpe_fit_known_merges():
+    """Hand-derived merge sequence. freqs: aaab x5, ab x3.
+    Iter 1: (a,a)=10 beats (a,b)=8 -> merge (a,a); aaab -> [aa,a,b].
+    Iter 2: (a,b)=5+3 beats (aa,a)=5 -> merge (a,b); aaab -> [aa,ab].
+    Iter 3: only (aa,ab)=5 remains."""
+    merges = B.bpe_fit([("aaab", 5), ("ab", 3)], 3)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+
+
+def test_bpe_fit_tie_breaks_lexicographically():
+    """Equal counts resolve to the lexicographically smallest (a, b):
+    'ba' and 'ab' each appear once -> (a,b) and (b,a) both count 1."""
+    merges = B.bpe_fit([("ab", 1), ("ba", 1)], 1)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_fit_stops_early_when_no_pairs():
+    """Single-char and empty words produce no adjacent pairs: the fit
+    stops before exhausting its merge budget instead of looping."""
+    assert B.bpe_fit([("a", 9), ("", 4), ("b", 1)], 32) == []
+    # and a vocab that COLLAPSES to single tokens stops mid-budget
+    merges = B.bpe_fit([("ab", 5)], 32)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_fit_weighting_uses_frequency():
+    """The pair count is frequency-weighted, not type-weighted: one
+    high-freq word outvotes many distinct low-freq words."""
+    merges = B.bpe_fit([("xy", 10), ("ab", 1), ("ac", 1), ("ad", 1)], 1)
+    assert merges == [("x", "y")]
+
+
+# --- encode: Python replay vs the Spark fold expression -----------------------
+
+_WORDS = [
+    "aaab",
+    "ab",
+    "ba",
+    "abab",
+    "aabb",
+    "",  # empty word: the _chars_col sequence(1, 0) guard
+    "a",  # single char: no pairs
+    "zzz",  # chars outside every merge rule
+    "é€中",  # non-ASCII code points
+    "aaaa",  # overlapping-pair chain: left-to-right fold order matters
+]
+
+
+def test_encode_col_matches_python_replay(spark):
+    """The Spark fold expression and the pure-Python replay are the
+    same function, on every edge word including empty/unicode."""
+    merges = B.bpe_fit([("aaab", 5), ("ab", 3), ("abab", 2)], 4)
+    assert merges  # the fixture must actually learn rules
+    df = spark.createDataFrame([(w,) for w in _WORDS], ["w"])
+    got = {
+        r["w"]: r["toks"]
+        for r in df.select(
+            "w", B.encode_col("w", merges).alias("toks")
+        ).collect()
+    }
+    for w in _WORDS:
+        assert got[w] == B.bpe_encode(w, merges), (w, merges)
+
+
+def test_encode_col_no_merges_is_char_split(spark):
+    """With an empty merge table the encode is the raw char array."""
+    df = spark.createDataFrame([(w,) for w in _WORDS], ["w"])
+    got = {
+        r["w"]: r["toks"]
+        for r in df.select("w", B.encode_col("w", []).alias("toks")).collect()
+    }
+    for w in _WORDS:
+        assert got[w] == list(w), w
+
+
+def _fold_rule(toks, a, b):
+    out = []
+    for x in toks:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def test_single_pass_per_rule_is_complete():
+    """The docstring's completeness claim: after one left-to-right
+    pass of a rule, a second pass of the SAME rule changes nothing
+    (a||b can never re-form the (a,b) adjacency with its neighbors)."""
+    merges = B.bpe_fit([("aaaa", 3), ("aabb", 2), ("abab", 1)], 6)
+    assert merges
+    for w in _WORDS:
+        toks = list(w)
+        for a, b in merges:
+            toks = _fold_rule(toks, a, b)
+            assert _fold_rule(toks, a, b) == toks, (w, (a, b), toks)
+        assert toks == B.bpe_encode(w, merges), w
+
+
+# --- the operator on a controlled corpus: Spark == oracle == Python -----------
+
+
+def _py_token_stats(rows, merges):
+    """Literal third implementation of the per-source audit."""
+    out: dict[str, dict[str, float]] = {}
+    for _doc_id, text, _lang, source, _n in rows:
+        if text is None:
+            continue
+        st = out.setdefault(
+            source, {"n_docs": 0, "n_words": 0, "n_subwords": 0, "n_chars": 0}
+        )
+        st["n_docs"] += 1
+        for w in text.lower().split(" "):
+            st["n_words"] += 1
+            st["n_chars"] += len(w)
+            st["n_subwords"] += len(B.bpe_encode(w, merges))
+    return {
+        s: {
+            "n_docs": st["n_docs"],
+            "n_words": st["n_words"],
+            "n_subwords": st["n_subwords"],
+            "fertility": round(st["n_subwords"] / st["n_words"], 4),
+            "chars_per_subword": round(st["n_chars"] / st["n_subwords"], 4),
+        }
+        for s, st in out.items()
+    }
+
+
+def _write_docs(tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(str(tmp_path) + "/documents.parquet")
+    return str(tmp_path)
+
+
+def test_bpe_token_stats_three_way(spark, tmp_path):
+    """Spark plan == DuckDB oracle == pure-Python on a corpus with a
+    planted high-freq pattern (so the fit learns real merges), a NULL
+    text, a double space (empty word), and unicode."""
+    rows = [
+        (0, "the cat sat on the mat", "en", "s0", 22),
+        (1, "the cats sat there the mat the", "en", "s0", 30),
+        (2, "thematic theory there then the", "en", "s1", 30),
+        (3, "a  b", "en", "s1", 4),  # double space -> empty word token
+        (4, None, "en", "s1", 0),  # filtered by text IS NOT NULL
+        (5, "é€中 the é€中", "en", "s1", 11),
+    ]
+    sf = _write_docs(tmp_path, rows)
+
+    spark_rows = {
+        r["source"]: r.asDict()
+        for r in B.bpe_token_stats(spark, sf).collect()
+    }
+
+    # the Python replay must use the SAME merges the Spark fit learned
+    # (memoized per sf_dir — read it back through the same memo)
+    from etl_wikipedia_updates_spark.plans.northstar import _memo_model
+
+    merges = _memo_model(spark, sf, "bpe_merges", lambda: None)
+    assert merges, "fit must have been memoized by the operator run"
+    want = _py_token_stats(rows, merges)
+    assert set(spark_rows) == set(want)
+    for s, w in want.items():
+        g = spark_rows[s]
+        for k, v in w.items():
+            assert g[k] == pytest.approx(v, abs=0), (s, k, g[k], v)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    oracle = con.execute(B.BPE_TOKEN_STATS_SQL).fetchall()
+    o_rows = {
+        r[0]: dict(
+            zip(
+                [
+                    "n_docs",
+                    "n_words",
+                    "n_subwords",
+                    "fertility",
+                    "chars_per_subword",
+                ],
+                r[1:],
+            )
+        )
+        for r in oracle
+    }
+    assert set(o_rows) == set(want)
+    for s, w in want.items():
+        for k, v in w.items():
+            assert o_rows[s][k] == pytest.approx(v, abs=0), (s, k)
+
+
+def test_seq_pack_subword_consistent_with_token_stats(spark, sf_smoke):
+    """The two consumers of the shared fit must agree: the packing
+    audit's per-source total_tokens IS bpe_token_stats' n_subwords
+    (same merges, same corpus, different aggregation paths), n_docs
+    match, and subword n_seqs >= whitespace n_seqs (fertility >= 1
+    means the stream only lengthens under subword denomination)."""
+    from etl_wikipedia_updates_spark.plans.northstar import seq_pack
+
+    stats = {r["source"]: r for r in B.bpe_token_stats(spark, sf_smoke).collect()}
+    sub = {r["source"]: r for r in B.seq_pack_subword(spark, sf_smoke).collect()}
+    ws = {r["source"]: r for r in seq_pack(spark, sf_smoke).collect()}
+    assert set(stats) == set(sub) == set(ws)
+    for s in stats:
+        assert sub[s]["total_tokens"] == stats[s]["n_subwords"], s
+        assert sub[s]["n_docs"] == stats[s]["n_docs"] == ws[s]["n_docs"], s
+        assert sub[s]["n_seqs"] >= ws[s]["n_seqs"], s
+        assert sub[s]["total_tokens"] >= ws[s]["total_tokens"], s
+
+
+def test_bpe_fit_corpus_bound(spark, tmp_path):
+    """The fit collect is bounded by BPE_TOP_V even when the corpus
+    has more distinct words: fertility still computes over ALL words
+    (the encode runs on every (source, word), not just the fit set)."""
+    import random
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcdef") for _ in range(6)) for _ in range(50)
+    ]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(8)), "en", "s0", 55)
+        for i in range(30)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = B.bpe_token_stats(spark, sf).collect()
+    (row,) = out
+    assert row["n_words"] == 30 * 8
+    assert row["n_subwords"] >= row["n_words"]  # subwords never fewer
+    assert row["fertility"] >= 1.0

@@ -15,8 +15,10 @@ Two classes of persist() in the engine:
   the documented session-level knob bench.py uses between queries.
   Since the posting-list pair rework (r5) removed the last two
   (minhash signatures / simhash fingerprints each have a single
-  consumer now), the allow-list is EMPTY: no registered query may
-  leave anything in the cache after running.
+  consumer now), the allow-list held only declared exceptions —
+  currently exactly one: semantic_dedup's shared prenormed+assigned
+  frame (r12 replan), listed in DECLARED_LAZY_PERSISTS below. Every
+  other registered query must leave the cache empty after running.
 """
 
 from __future__ import annotations
@@ -50,6 +52,12 @@ EAGER_BUILDERS = [
     "ann_pq",
     "corpus_release_temp",
     "charlm_score",
+    # r13 registrations: all run bounded collects at build time (the
+    # shared BPE top-V fit, the incremental snapshot-threshold 1-row
+    # agg)
+    "bpe_token_stats",
+    "incremental_dedup",
+    "seq_pack_subword",
 ]
 
 

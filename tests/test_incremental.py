@@ -85,9 +85,12 @@ def test_incremental_equals_from_scratch_on_release_plus_recrawl(spark):
     release = [r for r in initial if r[0] in v1_kept]
 
     thr = 100
+    # 101 reuses the alpha/alpha2 near-dup pair: v1 above just PROVED
+    # it band-collides under the fixed MinHash params (the beta/beta2
+    # pair does not — Jaccard ~7/9 but zero shared bands at 4x4).
     recrawl = [
         (100, "en", "s0", _T["alpha"]),  # exact dup of prior 0
-        (101, "en", "s2", _T["beta2"]),  # near-dup of prior 2
+        (101, "en", "s2", _T["alpha2"]),  # near-dup of prior 0
         (102, "en", "s2", _T["eps"]),  # fresh
         (103, "en", "s2", _T["eps"]),  # within-snapshot dup of 102
         (104, "en", "s0", _T["gamma"]),  # exact dup of prior 3
@@ -103,8 +106,9 @@ def test_incremental_equals_from_scratch_on_release_plus_recrawl(spark):
     inc_kept = v1_kept | inc_kept_new
 
     assert inc_kept == _from_scratch_kept(union)
-    # and the expected fates, spelled out: 100/101/104 collide with the
-    # prior corpus, 103 collides with the smaller kept 102
+    # and the expected fates, spelled out: 100 (exact) and 101
+    # (near-dup) collide with prior 0, 104 with prior 3; 103 collides
+    # with the smaller kept 102
     assert inc_kept_new == {102}
 
 

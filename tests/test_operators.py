@@ -109,8 +109,12 @@ def test_token_dictionary_env_selects_dense(spark, sf_smoke, monkeypatch):
     docs = load_table(spark, sf_smoke, "documents")
     plan = _formatted(T.token_dictionary(docs), spark)
     assert "row_number" in plan and "xxhash64" not in plan
+
+
+def test_token_dictionary_rejects_unknown_ids_mode(spark, sf_smoke):
     import pytest
 
+    docs = load_table(spark, sf_smoke, "documents")
     with pytest.raises(ValueError, match="ids mode"):
         T.token_dictionary(docs, ids="bogus")
 
