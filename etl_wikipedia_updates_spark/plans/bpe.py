@@ -27,19 +27,36 @@ Determinism and the fit-small pattern (charlm_score's shape):
 - ENCODING applies the learned rules in merge-rank order, each rule
   once — on fit-corpus words this is exactly the sequence of fit
   states, so the oracle can replay it as BPE_MERGES chained CTEs;
-  Spark instead folds over the merge-table literal in ONE expression
-  (rank order preserved), which is the same function.
+  Spark applies the same rank-ordered rules as a chain of literal
+  string replaces over a separator encoding (doc_nsub_col), which is
+  the same function (equivalence argument in its docstring, pinned by
+  tests against encode_col — the definitional array fold — and the
+  pure-Python replay).
 
-Scale shape: the corpus is scanned once into (source, word, count) —
-one shuffle with map-side partials, keyed on (source, word), so skewed
-WORDS don't skew partitions. Encoding runs on the aggregated
-word-count frame, not per occurrence: cost is |distinct (source,
-word)| x |merges| x word-length, map-side, embarrassingly parallel. (A
-distinct-word dictionary + join-back would encode each word once
-instead of once per source it appears in, at the price of an extra
-corpus-keyed shuffle; with |sources| small the map-side duplication is
-the cheaper side of that trade at any corpus size.) The final audit is
-a |sources|-key aggregation.
+Scale shape (r14 — the third plan, after measurement falsified the
+first two): subword COUNTS come from doc_nsub_col, a whole-document
+separator-string encode — one regexp_replace wrap + |merges| literal
+replace() calls per document, O(|merges| x chars) flat map-side string
+scans, no explode, no join, no token shuffle. History, all measured at
+sf0.1 (SCALE.md r14):
+- r13 per-occurrence nested fold: 32.46s vs DuckDB 0.35s (92.8x) —
+  O(|merges| x len^2) Catalyst array rebuilds per token occurrence;
+  the falsified "fold is cheaper at any corpus size" claim.
+- distinct-word dictionary join (the oracle's own plan, built and
+  measured this round): ~1.0-1.2s — the encode itself collapses to
+  |vocab| rows, but the plan pays a corpus-keyed shuffle of every
+  exploded token plus 3 extra stage barriers.
+- whole-text replace chain (shipped): no shuffle at all before the
+  final per-source/per-doc aggregate; cost linear in corpus bytes x
+  |merges|, embarrassingly parallel at any corpus size. The trade is
+  |merges|: at BPE_MERGES=32 the map-side chain wins outright; a
+  real 50k-rule tokenizer would flip the trade back to the
+  dictionary join (each occurrence of a Zipf-head word re-pays the
+  chain that the dictionary amortizes) — that crossover is a
+  documented constant, not a scaling cliff.
+The per-source audit is then a |sources|-key aggregation with
+map-side partials; the packing audit feeds per-doc counts straight
+into the shared _seq_pack prefix sum.
 """
 
 from __future__ import annotations
@@ -54,9 +71,14 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.plans.northstar import (
+    MIX_A,
+    MIX_B,
+    MIX_BUCKETS,
     _memo_model,
     _seq_pack,
+    _source_mix,
     seq_pack_sql_from,
+    sql_ubucket,
 )
 from etl_wikipedia_updates_spark.tables import load_table, spread
 
@@ -139,11 +161,15 @@ def _chars_col(col: str | Column) -> Column:
 
 
 def encode_col(col: str | Column, merges: list[tuple[str, str]]) -> Column:
-    """Subword-token array for word column ``col``: fold the merge
-    table (bound as a VALUE literal via F.lit/F.struct — never inlined
-    into SQL text, the charlm string-escape lesson) over the char
-    array; each rule is the inner left-to-right fold. One expression,
-    one pass per rule — no explode, no join, no shuffle."""
+    """Subword-token ARRAY for word column ``col`` — the DEFINITIONAL
+    encode: fold the merge table (bound as a VALUE literal via
+    F.lit/F.struct — never inlined into SQL text, the charlm
+    string-escape lesson) over the char array; each rule is the inner
+    left-to-right fold. This is the spec anchor the tests pin
+    doc_nsub_col (the shipped fast count) and the pure-Python replay
+    against; it is NOT on any query's hot path — its per-element
+    slice+concat rebuilds are O(len^2) per rule, the r13 verdict's
+    measured 3.3x/92.8x root cause."""
     chars = _chars_col(col)
     if not merges:
         return chars
@@ -172,6 +198,65 @@ def encode_col(col: str | Column, merges: list[tuple[str, str]]) -> Column:
     )
 
 
+def doc_nsub_col(
+    merges: list[tuple[str, str]], text_col: str = "text"
+) -> Column:
+    """Per-DOCUMENT subword count — sum over the doc's whitespace
+    tokens of ``F.size(encode_col(token, merges))`` — computed over
+    the WHOLE text in one separator-string pass: O(|merges| x chars)
+    flat JVM string scans per doc, entirely map-side, no explode, no
+    join, no shuffle. This is the r14 replan of the r13 fold
+    (falsified at 92.8x the oracle: O(|merges| x len^2) Catalyst
+    array rebuilds PER OCCURRENCE) and measured faster than the
+    distinct-word dictionary join too (the join pays a corpus-keyed
+    shuffle of every exploded token; this plan pays none — SCALE.md
+    r14 has the three-plan pairs).
+
+    Encoding scheme: wrap every code point of lower(text) in single
+    spaces (one regexp_replace): token-internal char boundaries become
+    DOUBLE spaces, word edges single spaces, and each ORIGINAL space
+    char becomes an isolated space-token whose region is 5+ spaces
+    wide. Each merge rule (a, b) is then ONE literal replace:
+
+        " a  b "  ->  " ab "
+
+    consuming one space from each flanking boundary and restoring it,
+    so the invariant (every current token is a contiguous char run
+    wrapped by exactly 2 spaces of boundary) holds after every rule.
+    Why this IS the per-word fold, on every word at once:
+
+    - replace() scans left-to-right, continuing AFTER each match
+      (non-overlapping) — exactly the fold's greedy single pass; two
+      adjacent matches never collide because the internal double
+      boundary contributes one space to each.
+    - a merged token can never re-match the SAME rule: as a whole
+      token, a||b would have to equal a or b with an empty
+      complement — impossible for non-empty a, b (the fold's own
+      completeness argument).
+    - no rule can match ACROSS a word boundary: merge-rule tokens are
+      space-free (learned from space-split words), and between two
+      words the pattern would need to bridge a 5-space region (2
+      boundary + the space-token's own char + 2 boundary) that the
+      2-space pattern interior cannot span. Double spaces in text
+      (empty words) contribute 0 subwords automatically — each space
+      is its own token region.
+
+    Count: with T current tokens (subwords + S space-tokens, where S
+    = original space count), the string holds the text's chars plus
+    exactly 2T wrap spaces, so
+        n_subwords = T - S = (len(s) - len(text)) / 2 - S.
+    Pinned against the fold encode by
+    tests/test_bpe.py::test_doc_nsub_col_matches_encode_col."""
+    txt = F.lower(F.col(text_col))
+    s = F.regexp_replace(txt, r"(?s)(.)", " $1 ")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    nspaces = F.length(txt) - F.length(F.replace(txt, F.lit(" "), F.lit("")))
+    return (
+        ((F.length(s) - F.length(txt)) / F.lit(2)) - nspaces
+    ).cast("bigint")
+
+
 def _fit_from_corpus(docs: DataFrame) -> list[tuple[str, str]]:
     """One count job down to the bounded top-V (word, freq) table,
     then the pure-Python merge loop."""
@@ -190,7 +275,14 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source subword accounting under the corpus-fit BPE table:
     document/word/subword totals, fertility (subwords per whitespace
     word — the factor whitespace-denominated budgets are off by), and
-    chars per subword (compression)."""
+    chars per subword (compression).
+
+    Plan (r14): per-doc whitespace/char/subword counts are all flat
+    string math on the scanned row (n_words = spaces + 1; n_chars =
+    non-space chars; n_subwords = doc_nsub_col's replace chain), so
+    the whole query is ONE scan -> map-side project -> one
+    |sources|-key aggregate with partials -> total-order sort. No
+    explode, no word shuffle, no second scan for n_docs."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -200,34 +292,33 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_merges",
         lambda: _fit_from_corpus(spread(docs)),
     )
-    wc = (
-        docs.select("source", F.explode(T.tokens_col()).alias("w"))
-        .groupBy("source", "w")
-        .agg(F.count("*").alias("c"))
+    txt = F.lower(F.col("text"))
+    nspaces = F.length(txt) - F.length(
+        F.replace(txt, F.lit(" "), F.lit(""))
     )
-    enc = wc.select(
+    # spread: the replace chain is the query's only real compute and
+    # runs where the scan lands — one partition on the single-row-
+    # group test files (pass-through on any well-partitioned source)
+    per_doc = spread(docs).select(
         "source",
-        "c",
-        (F.col("c") * F.length("w")).cast("bigint").alias("nchars"),
-        (F.col("c") * F.size(encode_col("w", merges)))
-        .cast("bigint")
-        .alias("nsub"),
+        (nspaces + 1).cast("bigint").alias("nw"),
+        (F.length(txt) - nspaces).cast("bigint").alias("nchars"),
+        doc_nsub_col(merges).alias("nsub"),
     )
-    ndocs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     return (
-        enc.groupBy("source")
+        per_doc.groupBy("source")
         .agg(
-            F.sum("c").cast("bigint").alias("n_words"),
+            F.count("*").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_words"),
             F.sum("nsub").cast("bigint").alias("n_subwords"),
             det_round(
-                F.sum("nsub").cast("double") / F.sum("c").cast("double"), 4
+                F.sum("nsub").cast("double") / F.sum("nw").cast("double"), 4
             ).alias("fertility"),
             det_round(
                 F.sum("nchars").cast("double") / F.sum("nsub").cast("double"),
                 4,
             ).alias("chars_per_subword"),
         )
-        .join(ndocs, "source")
         .select(
             "source",
             "n_docs",
@@ -340,22 +431,6 @@ BPE_TOKEN_STATS_SQL = _bpe_sql(BPE_MERGES)
 # --- seq_pack_subword: the packing audit in dataloader tokens -----------------
 
 
-def subword_count_col(merges: list[tuple[str, str]]) -> Column:
-    """Per-doc subword count: fold the merge table over every
-    whitespace token of tokens_col(), entirely map-side. Encoding per
-    OCCURRENCE (not per distinct word) is deliberate: the alternative
-    — a distinct-word dictionary joined back onto exploded tokens and
-    re-aggregated per doc — encodes each word once but pays an
-    explode plus a corpus-keyed shuffle; the fold is pure CPU on rows
-    the scan already holds, the cheaper side of the trade at any
-    corpus size (the module-docstring argument, now per doc)."""
-    return F.aggregate(
-        T.tokens_col(),
-        F.lit(0).cast("bigint"),
-        lambda acc, w: acc + F.size(encode_col(w, merges)),
-    )
-
-
 def seq_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     """seq_pack re-denominated in BPE subwords — the packing audit in
     the tokens a dataloader actually consumes. A whitespace-token
@@ -365,7 +440,21 @@ def seq_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_token_stats (one shared memoized fit per sf_dir), same
     two-phase distributed prefix-sum as seq_pack (_seq_pack is shared
     code, so the packing math can never diverge between
-    denominations)."""
+    denominations).
+
+    Plan (r14 replan — the r13 per-occurrence fold measured 92.8x the
+    oracle, 32.46s vs 0.35s at sf0.1): per-doc subword counts come
+    from doc_nsub_col's whole-text replace chain — map-side, no
+    explode, no join, no token shuffle — so the plan is EXACTLY the
+    whitespace seq_pack's (scan -> per-doc project -> shared two-phase
+    prefix sum), with n_tok swapped from size(split(...)) to the
+    replace-chain count. The distinct-word dictionary join (the
+    oracle's plan) was also built and measured this round: ~1.0-1.2s
+    vs this plan's sub-0.8s at sf0.1, because the join shuffles every
+    exploded token while this plan shuffles nothing before the
+    prefix sum — see the module docstring's three-plan history.
+    Pinned by tools/explain_audit.py (replace chain present, no
+    Generate/occurrence-fold on the path)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -376,8 +465,8 @@ def seq_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _fit_from_corpus(spread(docs)),
     )
     return _seq_pack(
-        docs.select(
-            "doc_id", "source", subword_count_col(merges).alias("n_tok")
+        spread(docs).select(  # see bpe_token_stats: compute lands on the scan
+            "doc_id", "source", doc_nsub_col(merges).alias("n_tok")
         )
     )
 
@@ -397,6 +486,90 @@ def _seq_pack_subword_sql(n_merges: int) -> str:
 
 SEQ_PACK_SUBWORD_SQL = _seq_pack_subword_sql(BPE_MERGES)
 
+# --- source_mix_subword: the mixing budget in dataloader tokens ---------------
+
+
+def source_mix_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_mix re-denominated in BPE subwords — the remaining half
+    of the fertility wiring (r12 brief #4 / r13 verdict #4): a
+    character budget mis-sizes mixing by each source's chars-per-
+    subword factor, so sources with long words (low fertility per
+    char) get systematically over-sampled relative to what the
+    dataloader consumes. Same corpus-fit merge table as
+    bpe_token_stats (shared memoized fit), same _source_mix audit body
+    (the budget/membership/audit law is SHARED CODE, so the two
+    denominations can never diverge in mixing math — the _seq_pack
+    precedent); only the per-doc budget column changes, from the
+    stored n_chars to doc_nsub_col's map-side replace-chain count.
+
+    NULL-text docs carry no tokens, so this variant (like the whole
+    BPE family) filters them; the character-denominated source_mix
+    keeps them because it reads only the stored n_chars column."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    merges = _memo_model(
+        spark,
+        sf_dir,
+        "bpe_merges",
+        lambda: _fit_from_corpus(spread(docs)),
+    )
+    per_doc = spread(docs).select(
+        "doc_id", "source", doc_nsub_col(merges).alias("n_chars")
+    )
+    return (
+        _source_mix(per_doc)
+        .withColumnRenamed("chars_in", "subwords_in")
+        .withColumnRenamed("chars_kept", "subwords_kept")
+    )
+
+
+def _source_mix_subword_sql(n_merges: int) -> str:
+    """Oracle: the shared fit chain computes enc(w, nsub); per-doc
+    budgets sum nsub over the doc's token multiset; then the source_mix
+    budget/membership/audit chain runs unchanged over the
+    subword-denominated base (mirrors SOURCE_MIX_SQL with pd in place
+    of documents)."""
+    prelude = ",\n".join(_fit_cte_parts(n_merges))
+    bucket = sql_ubucket(MIX_A, MIX_B, MIX_BUCKETS, "d.doc_id")
+    rate = sql_det_round(
+        "(CAST(f.min_sub AS DOUBLE) / b.subwords_in)", 4
+    )
+    return f"""
+WITH {prelude},
+pd AS (
+  SELECT t.doc_id, t.source, CAST(SUM(e.nsub) AS BIGINT) AS n_sub
+  FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id, t.source
+),
+budgets AS (
+  SELECT source, COUNT(*) AS docs_in, CAST(SUM(n_sub) AS BIGINT) AS subwords_in
+  FROM pd GROUP BY source
+),
+floor_b AS (SELECT MIN(subwords_in) AS min_sub FROM budgets),
+kept AS (
+  SELECT d.source, d.doc_id, d.n_sub
+  FROM pd d JOIN budgets b USING (source) CROSS JOIN floor_b f
+  WHERE ({bucket}) * b.subwords_in < f.min_sub * {MIX_BUCKETS}
+),
+agg AS (
+  SELECT source, COUNT(*) AS docs_kept,
+         CAST(SUM(n_sub) AS BIGINT) AS subwords_kept,
+         CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
+  FROM kept GROUP BY source
+)
+SELECT b.source, b.docs_in, b.subwords_in,
+       {rate} AS mix_rate,
+       COALESCE(a.docs_kept, 0) AS docs_kept,
+       COALESCE(a.subwords_kept, 0) AS subwords_kept,
+       COALESCE(a.kept_checksum, 0) AS kept_checksum
+FROM budgets b CROSS JOIN floor_b f LEFT JOIN agg a USING (source)
+ORDER BY source
+"""
+
+
+SOURCE_MIX_SUBWORD_SQL = _source_mix_subword_sql(BPE_MERGES)
+
+
 BPE_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "bpe_token_stats",
@@ -410,6 +583,13 @@ BPE_QUERIES: list[DeclaredQuery] = [
         seq_pack_subword,
         SEQ_PACK_SUBWORD_SQL,
         "sequence-packing audit denominated in BPE subword tokens",
+        eager=True,  # shares the memoized BPE fit (collect at build)
+    ),
+    DeclaredQuery(
+        "source_mix_subword",
+        source_mix_subword,
+        SOURCE_MIX_SUBWORD_SQL,
+        "mixing budgets denominated in BPE subword tokens",
         eager=True,  # shares the memoized BPE fit (collect at build)
     ),
 ]

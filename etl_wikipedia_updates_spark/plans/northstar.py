@@ -2101,62 +2101,100 @@ REP_TOPW_MAX = 0.125  # most-common word may cover at most 12.5% of words
 REP_TOPB_MAX = 0.05  # most-common bigram at most 5% of bigrams
 REP_DUP_MAX = 0.65  # at most 65% of word occurrences may be repeats
 
-# One tagged term array per doc: 'w <word>' for each word, 'b <w1> <w2>'
-# for each adjacent bigram. Built as one JVM-parsed SQL expression with
-# the token array bound as a lambda variable (1-element-array trick) so
-# split() runs once per row; one explode then feeds ONE shuffle that
-# serves both the word and bigram statistics.
-_REP_TAGGED = (
-    "element_at(transform(array(split(lower(text), ' ')), t -> concat("
-    "transform(t, w -> concat('w ', w)), "
+def _run_max_sql(arr_sql: str) -> str:
+    """Max multiplicity of any element in array expression ``arr_sql``
+    (0 on empty): sort, then one fold tracking (prev, current run,
+    best run) — the map-side replacement for a count-shuffle + MAX.
+    `a.prev = x` is NULL on the first element, so the CASE falls to
+    the ELSE and the first run correctly starts at 1."""
+    return (
+        f"aggregate(array_sort({arr_sql}), "
+        "named_struct('prev', CAST(NULL AS STRING), "
+        "'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+        "(a, x) -> named_struct('prev', x, "
+        "'run', CASE WHEN a.prev = x THEN a.run + 1 "
+        "ELSE CAST(1 AS BIGINT) END, "
+        "'best', greatest(a.best, CASE WHEN a.prev = x THEN a.run + 1 "
+        "ELSE CAST(1 AS BIGINT) END)), "
+        "a -> a.best)"
+    )
+
+
+# Per-doc repetition counts as ONE map-side struct (r14 replan — the
+# previous shape exploded a tagged word+bigram array into a corpus-wide
+# (doc_id, term) count shuffle plus a per-doc re-aggregation; measured
+# 2.0-2.5x the oracle three rounds running at sf0.1, and at 100 TB it
+# shuffled ~2x the corpus's token stream twice. This form computes the
+# same five counts inside one whole-stage-codegen projection — no
+# explode, no shuffle — via array_sort + run-max folds; quality_features
+# pioneered the shape). The token array is bound as a lambda variable
+# (1-element-array trick, see shingles_col) so split() runs once per
+# row; bigrams join words with a space, which no token can contain.
+_REP_BIGRAMS = (
     "transform(slice(t, 1, size(t) - 1), "
-    "(w, i) -> concat('b ', w, ' ', element_at(t, i + 2)))"
+    "(w, i) -> concat(w, ' ', element_at(t, i + 2)))"
+)
+_REP_COUNTS = (
+    "element_at(transform(array(split(lower(text), ' ')), t -> named_struct("
+    "'n_words', CAST(size(t) AS BIGINT), "
+    "'n_distinct', CAST(size(array_distinct(t)) AS BIGINT), "
+    f"'top_w', {_run_max_sql('t')}, "
+    "'n_bigrams', CAST(size(t) - 1 AS BIGINT), "
+    "'top_b', CASE WHEN size(t) > 1 THEN "
+    f"{_run_max_sql(_REP_BIGRAMS)} END"
     ")), 1)"
 )
+
+
+def _rep_signals(r):
+    """(dup, topw, topb) from a _REP_COUNTS struct column — the single
+    statement of the signal math, shared by the audit projection and
+    the join-free quality_keep filter. Single-word docs have no
+    bigrams (top_b NULL) — repetition evidence absent, so the bigram
+    signal contributes 0, not a drop (the NULL-division coalesce,
+    matching the oracle's NULL n_bigrams aggregate)."""
+    nw = r["n_words"].cast("double")
+    dup = F.lit(1) - r["n_distinct"] / nw
+    topw = r["top_w"] / nw
+    topb = F.coalesce(
+        r["top_b"] / r["n_bigrams"].cast("double"), F.lit(0.0)
+    )
+    return dup, topw, topb
+
+
+def _rep_keep_cond(r):
+    """The keep verdict as a boolean Column over a _REP_COUNTS struct
+    — the single statement both the audit's verdict column and
+    quality_keep's filter evaluate."""
+    dup, topw, topb = _rep_signals(r)
+    return (
+        (topw <= REP_TOPW_MAX)
+        & (topb <= REP_TOPB_MAX)
+        & (dup <= REP_DUP_MAX)
+    )
 
 
 def _rep_per_doc(docs: DataFrame) -> DataFrame:
     """Per-doc repetition signals + keep/drop verdict over a documents
     frame — shared by rep_filter (which aggregates the audit) and
     corpus_release (which uses the verdict as its quality gate).
-    Carries n_chars through the aggregation keys (functionally
-    dependent on doc_id) so downstream budget math needs no extra join
-    against documents.
+    Carries n_chars through (functionally dependent on doc_id) so
+    downstream budget math needs no extra join against documents.
 
-    Scale shape: ONE explode of a tagged word+bigram array feeds one
-    (doc_id, term) count shuffle and one per-doc reduction — both keys
-    are well-distributed (doc_id is unique; a term key is scoped by
-    doc_id so no corpus-hot token exists), and both aggregations
-    combine map-side. All per-doc math is integer counts + one double
-    division, deterministic cross-engine."""
-    tok = docs.selectExpr(
-        "doc_id", "source", "n_chars", f"explode({_REP_TAGGED}) AS term"
+    Scale shape (r14): entirely map-side — one projection computes the
+    _REP_COUNTS struct per row (the struct lands in a child projection
+    so the signal expressions don't re-run the folds; CollapseProject
+    keeps non-cheap aliases referenced more than once in their own
+    project, the quality_features precedent). No explode, no shuffle:
+    the first exchange a consumer pays is its own aggregation. All
+    per-doc math is integer counts + one double division,
+    deterministic cross-engine."""
+    per_doc = docs.selectExpr(
+        "doc_id", "source", "n_chars", f"{_REP_COUNTS} AS r"
     )
-    cnt = (
-        tok.groupBy("doc_id", "source", "n_chars", "term")
-        .agg(F.count("*").alias("c"))
-        .withColumn("kind", F.substring("term", 1, 1))
-    )
-    w = F.when(F.col("kind") == "w", F.col("c"))
-    b = F.when(F.col("kind") == "b", F.col("c"))
-    per_doc = cnt.groupBy("doc_id", "source", "n_chars").agg(
-        F.sum(w).alias("n_words"),
-        F.count(w).alias("n_distinct"),
-        F.max(w).alias("top_w"),
-        F.sum(b).alias("n_bigrams"),
-        F.max(b).alias("top_b"),
-    )
-    nw = F.col("n_words").cast("double")
-    dup = F.lit(1) - F.col("n_distinct") / nw
-    topw = F.col("top_w") / nw
-    # Single-word docs have no bigrams (NULL aggregates) — repetition
-    # evidence absent, so the bigram signal contributes 0, not a drop.
-    topb = F.coalesce(
-        F.col("top_b") / F.col("n_bigrams").cast("double"), F.lit(0.0)
-    )
+    dup, topw, topb = _rep_signals(F.col("r"))
     verdict = F.when(
-        (topw <= REP_TOPW_MAX) & (topb <= REP_TOPB_MAX) & (dup <= REP_DUP_MAX),
-        F.lit("keep"),
+        _rep_keep_cond(F.col("r")), F.lit("keep")
     ).otherwise(F.lit("drop"))
     return per_doc.select(
         "source",
@@ -2174,11 +2212,11 @@ def quality_keep(docs: DataFrame) -> DataFrame:
     keeps — THE single statement of "quality keep" that every gated
     pipeline stage (the streaming quality/curation ingests and their
     batch twins) routes through, so a change to the verdict contract
-    cannot desynchronize streamed sinks from their batch references."""
-    keeps = (
-        _rep_per_doc(docs).filter(F.col("verdict") == "keep").select("doc_id")
-    )
-    return docs.join(keeps, "doc_id", "left_semi")
+    cannot desynchronize streamed sinks from their batch references.
+    With the r14 map-side _REP_COUNTS this is a plain filter — no
+    self-join on doc_id, no shuffle; the r13 form semi-joined the doc
+    frame against its own exploded-count aggregation."""
+    return docs.filter(_rep_keep_cond(F.expr(_REP_COUNTS)))
 
 
 def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2587,7 +2625,12 @@ def _seq_pack(docs: DataFrame) -> DataFrame:
         .orderBy("bkt")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    off = sub.select(
+    # coalesce(1), not an exchange: sub is |buckets x sources| rows —
+    # bounded small by construction (it is BROADCAST two lines down,
+    # so single-partition is safe by the same argument), and
+    # SinglePartition satisfies the window's source-clustered
+    # requirement, saving one stage barrier per run (r14)
+    off = sub.coalesce(1).select(
         "bkt",
         "source",
         F.coalesce(F.sum("sub").over(wo), F.lit(0)).alias("off"),

@@ -2,35 +2,29 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (79 since round 13: round 12 built bpe_token_stats and
-incremental_dedup but never registered them; round 13 registers both
-and adds seq_pack_subword, the fertility wiring).
+entries (80 since round 14: source_mix_subword joins, completing the
+fertility wiring).
 The external correctness gate records the first 50 entries per round,
 so the surplus sits past the cutoff each round; the rotation policy
 keeps every official row as fresh as the window allows:
 
-- Entries with NO official row ever go FIRST. Round 13: the two
-  round-12 modules certify at the head with their first-ever rows
-  (bpe_token_stats, incremental_dedup), followed by any operator NEW
-  this round.
-- Entries whose newest official row is OLDEST come next: the nine
-  entries stuck at r9-official since round 9 (grouped_agg_udf through
-  tfidf_topterms below) — the rotation round 12 promised but never
-  executed.
-- Every entry CHANGED in round 12 must re-certify (its old row
-  certifies code that no longer exists): semantic_dedup (centroid
-  broadcast-column replan) and cosine_neardup (shared prenormed
-  frame) were rebuilt in r12 but sat past the cutoff — they are
-  inside the window now.
+- Entries with NO official row ever go FIRST. Round 14:
+  source_mix_subword (new).
+- Every entry CHANGED this round must re-certify (its old row
+  certifies code that no longer exists). Round 14: bpe_token_stats +
+  seq_pack_subword (whole-text replace-chain replan), seq_pack
+  (_seq_pack off-branch coalesce), rep_filter (map-side replan), and
+  corpus_release / corpus_release_temp (consumers of the replanned
+  _rep_per_doc gate).
 - The contract rows Q1-Q28 + wiki stay inside the gate window, as
   every round.
-- The remaining slots refresh the OLDEST of the r10-official
-  extensions, FIFO in tail order: text_quality through
-  multimodal_bytes fit this round; ann_lsh through pii_scrub head the
-  round-14 refresh queue.
-- The entries that yield are the ones certified green in round 12 —
-  every one still oracle-proven locally on each pytest run by
-  tests/test_queries_oracle.py.
+- The remaining slots refresh the OLDEST official rows, FIFO in tail
+  order: multimodal_bytes through charlm_score fit this round (the
+  queue the r13 registry promised); shard_manifest through ann_sq8
+  head the round-15 refresh queue.
+- The entries that yield are the ones certified green in round 13 —
+  every oracle-backed one still differentially tested locally on each
+  pytest run by tests/test_queries_oracle.py.
 
 All entries are benched by bench.py regardless of position, and the
 oracle-backed entries are oracle-tested every run in
@@ -53,50 +47,30 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-13 rotation head: never-certified entries first. The
-    # two round-12 modules finally registered (the r12 verdict's #1)
-    # get their first-ever official rows ---
+    # --- round-14 rotation head: never-certified entries first ---
+    # new in round 14: the remaining half of the fertility wiring
+    # (r13 verdict #4) — mixing budgets denominated in BPE subwords
+    "source_mix_subword",
+    # --- CHANGED in round 14 (their old rows certify code that no
+    # longer exists — the registry's changed-this-round policy):
+    # bpe_token_stats + seq_pack_subword were replanned onto the
+    # whole-text replace-chain encode (the r13 verdict's #1/#2);
+    # seq_pack shares _seq_pack, which gained the off-branch
+    # coalesce(1); rep_filter was replanned map-side (verdict #3) and
+    # corpus_release / corpus_release_temp consume the same
+    # _rep_per_doc gate ---
     "bpe_token_stats",
-    "incremental_dedup",
-    # new in round 13: the fertility wiring the r12 verdict asked for
-    # (#4) — seq_pack re-denominated in BPE subwords
     "seq_pack_subword",
-    # --- the nine entries whose newest official rows are r9 — three
-    # rounds stale, the refresh round 12 promised ("grouped_agg_udf
-    # through stratified_sample head the round-12 rotation") and never
-    # executed; FIFO in the order they have waited ---
-    "grouped_agg_udf",
-    "kmeans_clusters",
-    "ann_kmeans",
-    "sample_hash",
     "seq_pack",
-    "simhash_pairs",
-    "source_mix",
-    "stratified_sample",
-    "tfidf_topterms",
-    # --- CHANGED in round 12 (semantic_dedup centroid-matrix replan,
-    # cosine_neardup shared prenormed frame) — their r10 rows certify
-    # code that no longer exists ---
-    "semantic_dedup",
-    "cosine_neardup",
+    "rep_filter",
+    "corpus_release",
+    "corpus_release_temp",
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    # --- remaining slots to 50: the oldest r10-official extensions,
-    # FIFO in tail order ---
-    "text_quality",
-    "dedup_clusters",
-    "contamination",
-    "percentiles",
-    "grouped_zscore",
-    "doc_fingerprint",
-    "text_normalize",
-    # --- positions 51-79: past the cutoff this round. First the
-    # remaining r10-official extensions (they head the round-14
-    # refresh queue, same FIFO — multimodal_bytes yielded its slot to
-    # the new seq_pack_subword), then the r12-certified entries —
-    # every one oracle-tested locally on every pytest run by
-    # tests/test_queries_oracle.py ---
+    # --- remaining slots to 50: the r14 refresh queue the r13
+    # registry promised ("multimodal_bytes yielded its slot;
+    # ann_lsh through pii_scrub head the round-14 refresh"), FIFO ---
     "multimodal_bytes",
     "ann_lsh",
     "ann_ivf",
@@ -107,25 +81,46 @@ DECLARATION_ORDER: list[str] = [
     "pii_scrub",
     "distinct_kmv",
     "ann_pq",
-    "corpus_release_temp",
     "zipf_fit",
     "length_hist",
     "embedding_stats",
-    "q12_approx",
-    "percentiles_approx",
     "charlm_score",
+    # --- positions 51+: past the cutoff this round. First the
+    # remaining refresh-queue entries (they head the round-15
+    # refresh, FIFO), then the approximate rows-only pair, then the
+    # entries certified green in round 13 — every oracle-backed one
+    # still differentially tested locally on each pytest run by
+    # tests/test_queries_oracle.py ---
     "shard_manifest",
-    "corpus_release",
     "dedup_corpus",
     "span_dedup",
     "token_stats",
     "corpus_stats",
-    "rep_filter",
     "minhash_lsh",
     "lang_id",
     "quantize_embeddings",
     "lang_id_chargram",
     "ann_sq8",
+    "q12_approx",
+    "percentiles_approx",
+    "incremental_dedup",
+    "grouped_agg_udf",
+    "kmeans_clusters",
+    "ann_kmeans",
+    "sample_hash",
+    "simhash_pairs",
+    "source_mix",
+    "stratified_sample",
+    "tfidf_topterms",
+    "semantic_dedup",
+    "cosine_neardup",
+    "text_quality",
+    "dedup_clusters",
+    "contamination",
+    "percentiles",
+    "grouped_zscore",
+    "doc_fingerprint",
+    "text_normalize",
 ]
 
 _declared = QueryRegistry()

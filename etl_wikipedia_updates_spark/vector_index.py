@@ -246,6 +246,13 @@ def append_to_ivf_index(
         # frozen codebooks, like the frozen centroids: an appended
         # vector encodes exactly as a from-scratch encode would
         assigned = _pq_encode(assigned, meta["pq_books"])
+    # persist the assigned batch across publish + tombstone-revive: the
+    # revive check below must see EXACTLY the rows publish wrote, even
+    # when the caller's new_vectors plan is non-deterministic (sample/
+    # limit/stream), and without re-paying the assignment projection
+    # per step (r14 advice fix). Append batches are batch-sized, not
+    # corpus-sized, so the cache is bounded.
+    assigned = assigned.persist()
     existing = table.read(spark, base)
     if "n_rows" in meta:
         base_rows = int(meta["n_rows"])
@@ -258,27 +265,31 @@ def append_to_ivf_index(
         # discarded, since publish always records n_rows.
         base_rows = int(dir_row_count(table.version_path(base)))
     merged = existing.unionByName(assigned)
-    new_version = table.publish(
-        merged,
-        meta={**{k: v for k, v in meta.items() if k != "n_rows"},
-              "appended_from": base},
-        partition_by=["cell"],
-    )
-    table.vacuum(keep_last=keep_last)
-    appended = int(table.meta_for(new_version)["n_rows"]) - base_rows
-    # append-after-delete contract: an appended vec_id is LIVE again.
-    # Without this, a recrawled document re-embedded under its old id
-    # would publish into the index but stay invisible behind a stale
-    # tombstone — the silent-miss failure mode. The check is one small
-    # join on the broadcast-sized tombstone set; the republish happens
-    # only when an overlap exists.
-    tomb = tombstone_ids(spark, index_root)
-    if tomb is not None:
-        new_ids = assigned.select("vec_id")
-        if tomb.join(new_ids, "vec_id").limit(1).count():
-            t = _tombstone_table(index_root)
-            t.publish(tomb.join(new_ids, "vec_id", "left_anti"))
-            t.vacuum(keep_last=keep_last)
+    try:
+        new_version = table.publish(
+            merged,
+            meta={**{k: v for k, v in meta.items() if k != "n_rows"},
+                  "appended_from": base},
+            partition_by=["cell"],
+        )
+        table.vacuum(keep_last=keep_last)
+        appended = int(table.meta_for(new_version)["n_rows"]) - base_rows
+        # append-after-delete contract: an appended vec_id is LIVE
+        # again. Without this, a recrawled document re-embedded under
+        # its old id would publish into the index but stay invisible
+        # behind a stale tombstone — the silent-miss failure mode. The
+        # check is one small join on the broadcast-sized tombstone set
+        # against the CACHED batch (the rows publish actually wrote);
+        # the republish happens only when an overlap exists.
+        tomb = tombstone_ids(spark, index_root)
+        if tomb is not None:
+            new_ids = assigned.select("vec_id")
+            if tomb.join(new_ids, "vec_id").limit(1).count():
+                t = _tombstone_table(index_root)
+                t.publish(tomb.join(new_ids, "vec_id", "left_anti"))
+                t.vacuum(keep_last=keep_last)
+    finally:
+        assigned.unpersist()
     # balance telemetry per append: frozen centroids mean cells drift
     # as the ingested distribution shifts — surface it so the operator
     # sees probe selectivity degrade instead of discovering it in
@@ -352,11 +363,20 @@ def probe_selectivity(index_root: str, version: int | None = None) -> dict:
     # version metadata — no Spark job): the histogram above counts
     # PHYSICAL rows, tombstoned included, because that is what a probe
     # scans until compaction; the deleted fraction is the wasted-scan
-    # share and the compaction trigger.
+    # share and the compaction trigger. Reported ONLY for the current
+    # index version: the live tombstone count divided by a pinned
+    # HISTORICAL version's row count is not a meaningful fraction (it
+    # can exceed 1 when inspecting a pre-append version after later
+    # deletes — r14 advice fix), so pinned inspections get None there.
+    is_current = v == table.current_version()
     t = _tombstone_table(index_root)
     tv = t.current_version()
-    n_tomb = int(t.meta_for(tv).get("n_rows", 0)) if tv is not None else 0
-    tomb_frac = (n_tomb / n) if n else 0.0
+    n_tomb = (
+        int(t.meta_for(tv).get("n_rows", 0))
+        if (is_current and tv is not None)
+        else (0 if is_current else None)
+    )
+    tomb_frac = ((n_tomb / n) if n else 0.0) if is_current else None
     return {
         "version": v,
         "n_rows": n,
@@ -369,8 +389,14 @@ def probe_selectivity(index_root: str, version: int | None = None) -> dict:
         "imbalance": round(imbalance, 4),
         "needs_refit": imbalance > REFIT_IMBALANCE,
         "n_tombstones": n_tomb,
-        "tombstone_fraction": round(tomb_frac, 6),
-        "needs_compaction": tomb_frac > TOMBSTONE_COMPACT_FRACTION,
+        "tombstone_fraction": (
+            round(tomb_frac, 6) if tomb_frac is not None else None
+        ),
+        "needs_compaction": (
+            tomb_frac > TOMBSTONE_COMPACT_FRACTION
+            if tomb_frac is not None
+            else None
+        ),
         "cells": {str(c): r for c, r in sorted(counts.items())},
     }
 
@@ -384,6 +410,7 @@ def index_recall(
     n_probes: int = 1,
     exclude_self: bool = True,
     overfetch: int = 4,
+    tombstone_version: int | None = None,
 ) -> dict:
     """Measured recall@k of the index probe vs brute-force cosine over
     the SAME published version's vectors — the accuracy half of the
@@ -415,13 +442,15 @@ def index_recall(
         n_probes=n_probes,
         exclude_self=exclude_self,
         overfetch=overfetch,
+        tombstone_version=tombstone_version,
     )
     exact = S.cosine_topk(
         # the brute-force side sees the same LIVE set the probe does —
         # comparing against tombstoned rows would depress recall for
-        # finding exactly what it should find
+        # finding exactly what it should find; the same pinned pair
+        # keeps both sides consistent under concurrent deletes
         _live(
-            spark, index_root, table.read(spark, v)
+            spark, index_root, table.read(spark, v), tombstone_version
         ).select("vec_id", "embedding"),
         queries,
         k=topk,
@@ -495,13 +524,24 @@ def tombstone_ids(
     return t.read(spark, v).select("vec_id")
 
 
-def _live(spark: SparkSession, index_root: str, data: DataFrame) -> DataFrame:
+def _live(
+    spark: SparkSession,
+    index_root: str,
+    data: DataFrame,
+    tombstone_version: int | None = None,
+) -> DataFrame:
     """Filter a version's rows down to the live (non-tombstoned) set.
     The tombstone side broadcasts: a delete set is operationally small
     relative to the corpus (past TOMBSTONE_COMPACT_FRACTION the
     operator compacts), so the anti-join is map-side — no shuffle of
-    the index rows."""
-    tomb = tombstone_ids(spark, index_root)
+    the index rows. ``tombstone_version`` pins the tombstone snapshot
+    (None = current): a reader holding a pinned (index version,
+    tombstone version) pair keeps a consistent view even while a
+    compaction clears the live tombstone set under it (r14, the
+    advice-flagged gap: previously every reader silently tracked the
+    CURRENT tombstones, so pinned reads could see deleted rows
+    resurface mid-compaction)."""
+    tomb = tombstone_ids(spark, index_root, tombstone_version)
     if tomb is None:
         return data
     return data.join(F.broadcast(tomb), "vec_id", "left_anti")
@@ -553,16 +593,36 @@ def compact_ivf_index(
     """Fold the tombstones into the data: publish a new index version
     with the tombstoned rows physically filtered (centroids frozen —
     the space partition is untouched, only dead rows leave their
-    cells), then clear the tombstone set. Queries before, during, and
-    after see the same live rows; what changes is that probes stop
+    cells), then clear the FOLDED tombstones. Queries before, during,
+    and after see the same live rows; what changes is that probes stop
     scanning dead ones. On Delta/Iceberg this is a partition-level
-    rewrite of only the cells containing deletes."""
+    rewrite of only the cells containing deletes.
+
+    Two r14 advice fixes: (1) the tombstone version is PINNED at plan
+    time and only that version's ids are cleared — a delete published
+    between our read and the clear survives (published as current
+    minus folded) instead of being silently dropped; (2) with no live
+    tombstones the compact is a no-op early-return (removed_rows=0,
+    folded_tombstones=0) rather than a full-corpus rewrite that
+    changes nothing."""
     table = SnapshotTable(index_root)
     base = table.current_version()
     if base is None:
         raise FileNotFoundError(f"no published index under {index_root}")
     meta = table.meta_for(base)
-    live = _live(spark, index_root, table.read(spark, base))
+    t = _tombstone_table(index_root)
+    tv = t.current_version()
+    tomb = tombstone_ids(spark, index_root, tv)
+    if tomb is None:
+        return {
+            "version": base,
+            "base": base,
+            "removed_rows": 0,
+            "folded_tombstones": 0,
+        }
+    live = table.read(spark, base).join(
+        F.broadcast(tomb), "vec_id", "left_anti"
+    )
     new_version = table.publish(
         live,
         meta={
@@ -572,13 +632,23 @@ def compact_ivf_index(
         partition_by=["cell"],
     )
     table.vacuum(keep_last=keep_last)
-    t = _tombstone_table(index_root)
-    folded = 0
-    tv = t.current_version()
-    if tv is not None:
-        folded = int(t.meta_for(tv).get("n_rows", 0))
+    folded = int(t.meta_for(tv).get("n_rows", 0))
+    tv_now = t.current_version()
+    if tv_now == tv:
         t.publish(spark.createDataFrame([], "vec_id bigint"))
-        t.vacuum(keep_last=keep_last)
+    else:
+        # deletes landed mid-compaction: keep exactly the ids we did
+        # NOT fold (both sides are broadcast-small tombstone sets)
+        t.publish(
+            t.read(spark, tv_now)
+            .select("vec_id")
+            .join(
+                F.broadcast(t.read(spark, tv).select("vec_id")),
+                "vec_id",
+                "left_anti",
+            )
+        )
+    t.vacuum(keep_last=keep_last)
     removed = int(meta.get("n_rows", 0)) - int(
         table.meta_for(new_version)["n_rows"]
     )
@@ -644,8 +714,14 @@ def query_ivf_index(
     overfetch: int = 4,
     n_probes: int = 1,
     exclude_self: bool = True,
+    tombstone_version: int | None = None,
 ) -> DataFrame:
     """Probe a published index. queries: (q_vec_id, q_embedding).
+
+    ``tombstone_version`` pins the tombstone snapshot alongside
+    ``version`` (None = current) — a pinned reader passes both and
+    keeps a consistent view across concurrent deletes/compactions
+    (see _live).
 
     Output: (q_vec_id, rank, vec_id, cos_sim), ordered. The query
     cells are collected (|queries| * n_probes ints — bounded driver
@@ -703,6 +779,7 @@ def query_ivf_index(
         spark,
         index_root,
         table.read(spark, v).filter(F.col("cell").isin(cells)),
+        tombstone_version,
     )
     quant = _norm_quantize(meta.get("quantized"))
     if not quant:

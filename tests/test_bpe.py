@@ -11,6 +11,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from etl_wikipedia_updates_spark.plans import bpe as B
 
@@ -91,6 +92,70 @@ def test_encode_col_no_merges_is_char_split(spark):
     }
     for w in _WORDS:
         assert got[w] == list(w), w
+
+
+def _py_doc_nsub(text, merges):
+    return sum(len(B.bpe_encode(w, merges)) for w in text.lower().split(" "))
+
+
+def test_doc_nsub_col_matches_encode_col(spark):
+    """The r14 whole-text separator-string count (doc_nsub_col) is the
+    SAME function as summing F.size(encode_col(token, ...)) over the
+    doc's whitespace tokens: checked on adversarial single words
+    (overlap chains ababab / aaaa where greedy left-to-right
+    non-overlap semantics bite; empty; unicode incl. a supplementary
+    code point), on texts engineered so a merge pair SPANS a word
+    boundary (must NOT merge), on double/leading/trailing spaces
+    (empty words), and on every document of the sf0.001 corpus under
+    the corpus-fit merge table."""
+    from etl_wikipedia_updates_spark.plans.northstar import _memo_model
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    merges = B.bpe_fit(
+        [("aaab", 5), ("ab", 3), ("abab", 2), ("aaaa", 2)], 6
+    )
+    assert merges
+    texts = (
+        [w for w in _WORDS if w]
+        + ["ababab", "abababa", "aabab", "babab"]
+        + [
+            "aaab aa",  # fit words as a doc
+            "a b",  # pair (a,b) spanning the word boundary: no merge
+            "aa bb a a",  # (a,a) spanning boundaries: no merge
+            "a  b",  # double space -> empty word between
+            " ab ",  # leading/trailing spaces -> edge empty words
+            "",  # empty text: one empty word, 0 subwords
+            "é€中 ab 𝄞a",  # unicode + supplementary code point U+1D11E
+            "a\tb ab\nba",  # tab/newline INSIDE tokens (split is ' ')
+        ]
+    )
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = df.select(
+        "text", B.doc_nsub_col(merges).alias("n")
+    ).collect()
+    for r in got:
+        assert r["n"] == _py_doc_nsub(r["text"], merges), repr(r["text"])
+
+    # full sf0.001 corpus under the REAL fitted table, doc by doc
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    corpus_merges = _memo_model(
+        spark, sf, "bpe_merges", lambda: B._fit_from_corpus(docs)
+    )
+    per_word_sum = F.aggregate(
+        F.split(F.lower("text"), " "),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.size(B.encode_col(w, corpus_merges)).cast("bigint"),
+    )
+    bad = docs.select(
+        "doc_id",
+        B.doc_nsub_col(corpus_merges).alias("n"),
+        per_word_sum.alias("m"),
+    ).filter(F.col("n") != F.col("m"))
+    assert bad.count() == 0, bad.limit(5).collect()
 
 
 def _fold_rule(toks, a, b):
