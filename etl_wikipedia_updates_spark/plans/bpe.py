@@ -246,15 +246,29 @@ def doc_nsub_col(
     exactly 2T wrap spaces, so
         n_subwords = T - S = (len(s) - len(text)) / 2 - S.
     Pinned against the fold encode by
-    tests/test_bpe.py::test_doc_nsub_col_matches_encode_col."""
-    txt = F.lower(F.col(text_col))
-    s = F.regexp_replace(txt, r"(?s)(.)", " $1 ")
+    tests/test_bpe.py::test_doc_nsub_col_matches_encode_col.
+
+    Built as ONE selectExpr-style SQL text (single parse) rather than
+    a chain of F.replace Columns: the ~100 py4j round-trips of the
+    Column form measured 0.3-0.44s of pure plan-build per query — the
+    quality_features finding again. Merge tokens are inlined with
+    sql_str_lit (backslash/quote escaping; embedded control chars ride
+    inside the literal — pinned by the hostile-token test), and
+    lower(text) is bound as a lambda variable so it evaluates once per
+    row."""
+    s = "regexp_replace(x, '(?s)(.)', ' $1 ')"
     for a, b in merges:
-        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    nspaces = F.length(txt) - F.length(F.replace(txt, F.lit(" "), F.lit("")))
-    return (
-        ((F.length(s) - F.length(txt)) / F.lit(2)) - nspaces
-    ).cast("bigint")
+        s = (
+            f"replace({s}, {T.sql_str_lit(f' {a}  {b} ')}, "
+            f"{T.sql_str_lit(f' {a}{b} ')})"
+        )
+    inner = (
+        f"CAST(((length({s}) - length(x)) / 2) - "
+        "(length(x) - length(replace(x, ' ', ''))) AS BIGINT)"
+    )
+    return F.expr(
+        f"element_at(transform(array(lower({text_col})), x -> {inner}), 1)"
+    )
 
 
 def _fit_from_corpus(docs: DataFrame) -> list[tuple[str, str]]:
@@ -514,8 +528,16 @@ def source_mix_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_merges",
         lambda: _fit_from_corpus(spread(docs)),
     )
-    per_doc = spread(docs).select(
-        "doc_id", "source", doc_nsub_col(merges).alias("n_chars")
+    # persisted (declared lazy persist, the semantic_dedup pattern):
+    # _source_mix consumes its input from four plan branches (budget
+    # pass, membership pass, and the rates frame twice in the audit
+    # join) — free when n_chars is a STORED column, but here each
+    # branch would re-pay the whole replace-chain encode. One
+    # materialization; lineage intact; reclaimed by clearCache().
+    per_doc = (
+        spread(docs)
+        .select("doc_id", "source", doc_nsub_col(merges).alias("n_chars"))
+        .persist()
     )
     return (
         _source_mix(per_doc)

@@ -158,6 +158,23 @@ def test_doc_nsub_col_matches_encode_col(spark):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+def test_doc_nsub_col_hostile_merge_tokens(spark):
+    """doc_nsub_col inlines merge tokens into SQL text (sql_str_lit) —
+    pin the escaping against tokens containing quotes, backslashes,
+    tabs, and newlines (all legal inside whitespace-split corpus
+    words; only ' ' is impossible)."""
+    merges = [("'", "'"), ("\\", "a"), ("\t", "\t"), ("\n", "b"), ("''", "\\a")]
+    texts = [
+        "'' ''' \\a \\a\\a",
+        "\t\t a\nb \n\nbb '\\",
+        "don't can\\'t",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = df.select("text", B.doc_nsub_col(merges).alias("n")).collect()
+    for r in got:
+        assert r["n"] == _py_doc_nsub(r["text"], merges), repr(r["text"])
+
+
 def _fold_rule(toks, a, b):
     out = []
     for x in toks:

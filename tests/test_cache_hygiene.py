@@ -37,7 +37,10 @@ SF = "/root/testdata/sf0.001"
 #   branches (pair left/right, per-cell totals); persisting it is the
 #   materialize-shared-subplan the oracle's CTE gets for free. Plain
 #   persist — lineage intact, reclaimed by clearCache().
-DECLARED_LAZY_PERSISTS: set[str] = {"semantic_dedup"}
+# - source_mix_subword (r14): the per-doc subword frame feeds
+#   _source_mix's four branches; unpersisted, each would re-pay the
+#   whole-text BPE replace-chain encode. Same pattern.
+DECLARED_LAZY_PERSISTS: set[str] = {"semantic_dedup", "source_mix_subword"}
 
 EAGER_BUILDERS = [
     "kmeans_clusters",

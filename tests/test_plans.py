@@ -61,10 +61,16 @@ CASES = [
     ("q26", [], ["Exchange rangepartitioning"]),
     ("cosine_neardup", [], ["Exchange rangepartitioning"]),
     ("bm25_rank", [], ["Exchange rangepartitioning"]),
-    # rep_filter: ONE tagged explode serves words and bigrams (a second
-    # Generate would mean the array is exploded per signal family) and
-    # both aggregations combine map-side
-    ("rep_filter", ["Generate", "partial_"], []),
+    # rep_filter (r14 replan): per-doc repetition counts are ONE
+    # map-side struct projection (array_sort + run-max folds) — no
+    # explode (the r11-r13 tagged-explode shape shuffled the corpus's
+    # token stream twice), no joins, map-side partials into the one
+    # audit agg
+    (
+        "rep_filter",
+        ["array_sort(", "partial_"],
+        ["Generate", "Join", "Exchange rangepartitioning"],
+    ),
     # source_mix: the per-source budget frame broadcasts back onto the
     # corpus — the corpus itself must never shuffle on the skewed
     # source key before the final audit agg
@@ -170,6 +176,36 @@ CASES = [
     # window's input is bounded by the frequent-term filter
     ("zipf_fit", ["Generate", "partial_", "Window"],
      ["Join", "BatchEvalPython"]),
+    # bpe_token_stats (r14 replan): the whole-text replace-chain
+    # encode is a pure map-side projection — one scan, one
+    # |sources|-key agg. Forbidding Generate/Join pins out both
+    # falsified predecessors (per-occurrence fold, dictionary join);
+    # forbidding "aggregate(" pins out any HOF-fold encode (the
+    # O(merges x len^2) slice+concat rebuild the r13 verdict measured
+    # at 92.8x)
+    (
+        "bpe_token_stats",
+        ["replace(", "partial_"],
+        ["Generate", "Join", "aggregate("],
+    ),
+    # seq_pack_subword (r14 replan): whitespace seq_pack's exact plan
+    # (two-phase prefix sum on the composite bkt key, offsets
+    # broadcast) with n_tok swapped to the replace-chain count — still
+    # no explode, no merge join, no doc_id-keyed corpus shuffle, no
+    # HOF-fold encode
+    (
+        "seq_pack_subword",
+        ["replace(", "hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
+        ["Generate", "SortMergeJoin", "aggregate(", "hashpartitioning(doc_id"],
+    ),
+    # source_mix_subword (r14): source_mix's scale contract (budget
+    # frame broadcasts back; the corpus never shuffles on the skewed
+    # source key) over the persisted replace-chain per-doc frame
+    (
+        "source_mix_subword",
+        ["replace(", "BroadcastHashJoin", "partial_"],
+        ["Generate", "SortMergeJoin", "aggregate("],
+    ),
 ]
 
 
@@ -236,3 +272,30 @@ def test_plan_shape(spark, sf_smoke, name, need, forbid):
         assert frag in plan, f"{name}: expected {frag!r} in physical plan"
     for frag in forbid:
         assert frag not in plan, f"{name}: forbidden {frag!r} in physical plan"
+
+
+def test_incremental_dedup_single_vs_join(spark, sf_smoke):
+    """incremental_dedup's scale story is that the recrawl pays ONLY
+    new-vs-prior candidates: exactly one join in the whole plan (the
+    band-bucketed vs-join), never a second prior x prior pass and
+    never an unbucketed product. Walks the pre-AQE physical plan (an
+    explain-string count would double-count AQE's initial-plan echo)."""
+    df = REGISTRY.queries["incremental_dedup"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().sparkPlan()
+
+    def nodes(node):
+        yield node
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from nodes(cs.apply(i))
+
+    joins = [
+        n.getClass().getSimpleName()
+        for n in nodes(plan)
+        if "Join" in n.getClass().getSimpleName()
+    ]
+    assert len(joins) == 1, joins
+    assert joins[0] not in (
+        "CartesianProductExec",
+        "BroadcastNestedLoopJoinExec",
+    ), joins

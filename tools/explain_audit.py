@@ -40,9 +40,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "q25": (["BroadcastNestedLoopJoin", "row_number"], ["SortMergeJoin"]),
     "ann_ivf": (["BroadcastHashJoin"], []),
     "minhash_lsh": (["BroadcastHashJoin"], []),  # dictionary join broadcast
-    # r6: single tagged explode + map-side partials / broadcast-only
-    # corpus joins (mirrors tests/test_plans.py)
-    "rep_filter": (["Generate", "partial_"], []),
+    # r14 replan: map-side array_sort + run-max struct projection —
+    # no explode, no join (mirrors tests/test_plans.py)
+    "rep_filter": (["array_sort(", "partial_"], ["Generate", "Join"]),
     "source_mix": (["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
     # r8: two-phase prefix sum (no corpus window on the skewed source
     # key) and the join-free span audit (mirrors tests/test_plans.py)
@@ -82,6 +82,31 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin", "BatchEvalPython"],
     ),
     "zipf_fit": (["Generate", "partial_"], ["Join", "BatchEvalPython"]),
+    # r14 BPE family: whole-text replace-chain encode — pure map-side;
+    # forbidding Generate/Join pins out the falsified per-occurrence
+    # fold and the dictionary join, forbidding "aggregate(" pins out
+    # any HOF-fold encode (the 92.8x r13 plan). seq_pack_subword keeps
+    # whitespace seq_pack's prefix-sum contract; source_mix_subword
+    # keeps source_mix's broadcast-budget contract.
+    "bpe_token_stats": (
+        ["replace(", "partial_"],
+        ["Generate", "Join", "aggregate("],
+    ),
+    "seq_pack_subword": (
+        ["replace(", "hashpartitioning(bkt", "BroadcastHashJoin"],
+        ["Generate", "SortMergeJoin", "aggregate(", "hashpartitioning(doc_id"],
+    ),
+    "source_mix_subword": (
+        ["replace(", "BroadcastHashJoin", "partial_"],
+        ["Generate", "SortMergeJoin", "aggregate("],
+    ),
+    # r14: the recrawl pays only new-vs-prior band candidates — one
+    # band-bucketed join, never a cartesian (the exactly-one-join
+    # structural pin lives in tests/test_plans.py)
+    "incremental_dedup": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Generate"],
+    ),
 }
 
 
