@@ -1027,7 +1027,160 @@ FROM e GROUP BY label ORDER BY label
 EMBEDDING_STATS_SQL = _embedding_stats_sql()
 
 
+# --- ngram_quality: hashed-n-gram quality classifier ---------------------------
+# The fastText-style linear quality classifier (Joulin et al. 2016 bag
+# of hashed n-gram features; the CCNet/GPT-3-style "quality classifier"
+# companion to charlm_score's perplexity signal): word-bigram shingles
+# hash into a fixed feature space, each bucket learns a keep-affinity
+# weight from a weak label, and a document scores as the mean weight of
+# its features. Everything is corpus-fit and label-self-supervised: the
+# weak label is the Gopher repetition verdict (plans.northstar's
+# _rep_keep_cond — a map-side expression since r14), the standard
+# bootstrap when no human labels exist.
+#
+# Determinism: weights are integer ppm (floor(keep_grams * 1e6 /
+# total_grams) via integer division — Spark `div`, DuckDB `//`, both
+# truncating on non-negatives), scores are integer ppm means — zero
+# libm, zero float divisions across the oracle hash.
+#
+# Scale shape: the "fit" is ONE aggregation onto a FIXED key space
+# (NGQ_BUCKETS = 4096 buckets — no vocabulary-scale state, no driver
+# collect); the 4096-row weight table broadcasts back onto the gram
+# stream; scoring is one per-doc aggregation. Two passes over the
+# exploded grams (fit + score), like tfidf; the feature hashing is the
+# shared stateless term_hash fold, so no dictionary and no global id
+# assignment exist anywhere.
+NGQ_BUCKETS = 4096
+NGQ_HI_PPM = 500_000  # "leans keep": mean bucket affinity above 50%
+
+
+def ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the hashed-n-gram quality classifier:
+    scored docs, mean score (ppm), and the count + id-checksum of
+    docs whose features lean keep. Docs with fewer than 2 tokens have
+    no bigram features and are not scored (absent from the per-doc
+    frame, counted by neither column — same rule in the oracle)."""
+    from etl_wikipedia_updates_spark.plans.northstar import rep_keep_col
+
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    # The label rides INSIDE the exploded values: Catalyst pulls a
+    # generator-independent projection ABOVE the Generate, which would
+    # re-run the whole repetition fold once per GRAM row (measured 13x
+    # before this shape); packing (g, keep) structs per doc evaluates
+    # the label once and replicates it as a VALUE.
+    pairs = F.element_at(
+        F.transform(
+            F.array(
+                F.struct(
+                    rep_keep_col().cast("int").alias("ks"),
+                    T.shingles_col(k=2).alias("sh"),
+                )
+            ),
+            lambda s: F.transform(
+                s["sh"],
+                lambda g: F.struct(g.alias("g"), s["ks"].alias("keep")),
+            ),
+        ),
+        1,
+    )
+    # persisted (declared lazy persist): the fit and the scoring pass
+    # both consume the hashed gram stream; unpersisted, each re-pays
+    # the shingle + label + hash folds over the corpus
+    gb = (
+        docs.select("doc_id", "source", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("p.keep").alias("keep"),
+            (T.term_hash_fn(F.col("p.g")) % NGQ_BUCKETS).alias("b"),
+        )
+        .persist()
+    )
+    w = gb.groupBy("b").agg(
+        F.expr("sum(keep) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("w_ppm")
+    )
+    per_doc = (
+        gb.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("sum(w_ppm) div count(*)")
+            .cast("bigint")
+            .alias("score_ppm")
+        )
+    )
+    hi = F.col("score_ppm") >= NGQ_HI_PPM
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_scored"),
+            F.expr("sum(score_ppm) div count(*)")
+            .cast("bigint")
+            .alias("mean_score_ppm"),
+            F.coalesce(F.sum(F.when(hi, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("hi_docs"),
+            F.coalesce(F.sum(F.when(hi, F.col("doc_id"))), F.lit(0))
+            .cast("bigint")
+            .alias("hi_checksum"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+def _ngram_quality_sql() -> str:
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _REP_KEEP_COND,
+        _REP_PER_DOC_CTES,
+    )
+
+    return f"""
+WITH {_REP_PER_DOC_CTES},
+lab AS (
+  SELECT doc_id, CASE WHEN {_REP_KEEP_COND} THEN 1 ELSE 0 END AS keep FROM m
+),
+g AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS g
+  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS l
+        FROM documents WHERE text IS NOT NULL)
+),
+gb AS (
+  SELECT g.doc_id, g.source, lab.keep,
+         ({T.sql_term_hash('g')}) % {NGQ_BUCKETS} AS b
+  FROM g JOIN lab USING (doc_id)
+),
+wt AS (
+  SELECT b, CAST((SUM(keep) * 1000000) // COUNT(*) AS BIGINT) AS w_ppm
+  FROM gb GROUP BY b
+),
+pd AS (
+  SELECT doc_id, source, CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+  FROM gb JOIN wt USING (b) GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs_scored,
+  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+  CAST(COALESCE(SUM(CASE WHEN score_ppm >= {NGQ_HI_PPM} THEN 1 END), 0)
+       AS BIGINT) AS hi_docs,
+  CAST(COALESCE(SUM(CASE WHEN score_ppm >= {NGQ_HI_PPM} THEN doc_id END), 0)
+       AS BIGINT) AS hi_checksum
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
+NGRAM_QUALITY_SQL = _ngram_quality_sql()
+
+
 CORPUS_QUERIES: list[DeclaredQuery] = [
+    DeclaredQuery(
+        "ngram_quality",
+        ngram_quality,
+        NGRAM_QUALITY_SQL,
+        "hashed word-bigram quality classifier (fastText/CCNet-style)",
+    ),
     DeclaredQuery(
         "temperature_mix",
         temperature_mix,

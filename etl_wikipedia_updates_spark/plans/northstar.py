@@ -2165,12 +2165,27 @@ def _rep_signals(r):
 def _rep_keep_cond(r):
     """The keep verdict as a boolean Column over a _REP_COUNTS struct
     — the single statement both the audit's verdict column and
-    quality_keep's filter evaluate."""
+    quality_keep's filter evaluate. ``r`` must be a REAL column (an
+    alias or a lambda variable), never the raw _REP_COUNTS expression:
+    the condition extracts six fields, and Catalyst inlines a raw
+    expression once PER EXTRACT (measured as a 6x fold blowup —
+    use rep_keep_col() when no aliased column exists)."""
     dup, topw, topb = _rep_signals(r)
     return (
         (topw <= REP_TOPW_MAX)
         & (topb <= REP_TOPB_MAX)
         & (dup <= REP_DUP_MAX)
+    )
+
+
+def rep_keep_col() -> "F.Column":
+    """The keep verdict as a self-contained Column over ``text``, with
+    the counts struct bound ONCE via the 1-element-array trick (the
+    lambda variable plays the aliased-column role _rep_keep_cond
+    requires), so the six signal extracts read one evaluation instead
+    of inlining six copies of the fold."""
+    return F.element_at(
+        F.transform(F.array(F.expr(_REP_COUNTS)), _rep_keep_cond), 1
     )
 
 
@@ -2216,7 +2231,7 @@ def quality_keep(docs: DataFrame) -> DataFrame:
     With the r14 map-side _REP_COUNTS this is a plain filter — no
     self-join on doc_id, no shuffle; the r13 form semi-joined the doc
     frame against its own exploded-count aggregation."""
-    return docs.filter(_rep_keep_cond(F.expr(_REP_COUNTS)))
+    return docs.filter(rep_keep_col())
 
 
 def rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

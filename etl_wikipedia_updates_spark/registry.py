@@ -2,14 +2,14 @@
 tests, and bench.
 
 Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (80 since round 14: source_mix_subword joins, completing the
-fertility wiring).
+entries (81 since round 14: source_mix_subword completes the fertility
+wiring and ngram_quality lands the hashed-n-gram quality classifier).
 The external correctness gate records the first 50 entries per round,
 so the surplus sits past the cutoff each round; the rotation policy
 keeps every official row as fresh as the window allows:
 
 - Entries with NO official row ever go FIRST. Round 14:
-  source_mix_subword (new).
+  source_mix_subword and ngram_quality (new).
 - Every entry CHANGED this round must re-certify (its old row
   certifies code that no longer exists). Round 14: bpe_token_stats +
   seq_pack_subword (whole-text replace-chain replan), seq_pack
@@ -19,8 +19,8 @@ keeps every official row as fresh as the window allows:
 - The contract rows Q1-Q28 + wiki stay inside the gate window, as
   every round.
 - The remaining slots refresh the OLDEST official rows, FIFO in tail
-  order: multimodal_bytes through charlm_score fit this round (the
-  queue the r13 registry promised); shard_manifest through ann_sq8
+  order: multimodal_bytes through embedding_stats fit this round (the
+  queue the r13 registry promised); charlm_score through ann_sq8
   head the round-15 refresh queue.
 - The entries that yield are the ones certified green in round 13 —
   every oracle-backed one still differentially tested locally on each
@@ -49,8 +49,11 @@ from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 DECLARATION_ORDER: list[str] = [
     # --- round-14 rotation head: never-certified entries first ---
     # new in round 14: the remaining half of the fertility wiring
-    # (r13 verdict #4) — mixing budgets denominated in BPE subwords
+    # (r13 verdict #4) — mixing budgets denominated in BPE subwords —
+    # and the hashed-n-gram quality classifier (the r11-r13 carried
+    # stretch item)
     "source_mix_subword",
+    "ngram_quality",
     # --- CHANGED in round 14 (their old rows certify code that no
     # longer exists — the registry's changed-this-round policy):
     # bpe_token_stats + seq_pack_subword were replanned onto the
@@ -84,13 +87,13 @@ DECLARATION_ORDER: list[str] = [
     "zipf_fit",
     "length_hist",
     "embedding_stats",
-    "charlm_score",
     # --- positions 51+: past the cutoff this round. First the
     # remaining refresh-queue entries (they head the round-15
     # refresh, FIFO), then the approximate rows-only pair, then the
     # entries certified green in round 13 — every oracle-backed one
     # still differentially tested locally on each pytest run by
     # tests/test_queries_oracle.py ---
+    "charlm_score",
     "shard_manifest",
     "dedup_corpus",
     "span_dedup",

@@ -40,7 +40,14 @@ SF = "/root/testdata/sf0.001"
 # - source_mix_subword (r14): the per-doc subword frame feeds
 #   _source_mix's four branches; unpersisted, each would re-pay the
 #   whole-text BPE replace-chain encode. Same pattern.
-DECLARED_LAZY_PERSISTS: set[str] = {"semantic_dedup", "source_mix_subword"}
+# - ngram_quality (r14): the hashed gram stream feeds the weight fit
+#   AND the scoring join; unpersisted, each re-pays the shingle +
+#   label + hash folds over the corpus.
+DECLARED_LAZY_PERSISTS: set[str] = {
+    "semantic_dedup",
+    "source_mix_subword",
+    "ngram_quality",
+}
 
 EAGER_BUILDERS = [
     "kmeans_clusters",

@@ -206,6 +206,15 @@ CASES = [
         ["replace(", "BroadcastHashJoin", "partial_"],
         ["Generate", "SortMergeJoin", "aggregate("],
     ),
+    # ngram_quality (r14): fixed-key fit (4096 buckets) broadcast back
+    # onto the gram stream; the label rides inside the exploded values
+    # (a generator-independent projection would re-run the repetition
+    # fold per gram row); no merge join, no Python
+    (
+        "ngram_quality",
+        ["Generate", "BroadcastHashJoin", "partial_"],
+        ["SortMergeJoin", "BatchEvalPython"],
+    ),
 ]
 
 

@@ -100,6 +100,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["replace(", "BroadcastHashJoin", "partial_"],
         ["Generate", "SortMergeJoin", "aggregate("],
     ),
+    # r14: fixed-key classifier fit broadcast back onto the gram stream
+    "ngram_quality": (
+        ["Generate", "BroadcastHashJoin", "partial_"],
+        ["SortMergeJoin", "BatchEvalPython"],
+    ),
     # r14: the recrawl pays only new-vs-prior band candidates — one
     # band-bucketed join, never a cartesian (the exactly-one-join
     # structural pin lives in tests/test_plans.py)
