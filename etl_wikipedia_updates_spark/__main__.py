@@ -86,6 +86,7 @@ def cmd_release(args) -> int:
         remove_spans=args.remove_spans,
         mix_alpha=0.5 if args.temperature_mix else None,
         redact_pii=args.redact_pii,
+        quality_classifier=args.quality_classifier,
     )
     print(json.dumps(out))
     return 0
@@ -522,6 +523,15 @@ def main(argv: list[str] | None = None) -> int:
         "expression) from the released text as the final shipping "
         "transform; n_chars keeps accounting the original text, so "
         "--verify still matches the published card",
+    )
+    rel.add_argument(
+        "--quality-classifier", action="store_true",
+        help="compose the hashed-n-gram quality classifier "
+        "(ngram_quality's fit+score core) into the quality gate as a "
+        "strict second stage: docs scoring under NGQ_HI_PPM are "
+        "dropped before dedup survivorship and mixing (budgets and "
+        "splits recompute over the surviving set, so --verify still "
+        "matches the published card)",
     )
     rel.add_argument(
         "--verify",

@@ -1054,17 +1054,12 @@ NGQ_BUCKETS = 4096
 NGQ_HI_PPM = 500_000  # "leans keep": mean bucket affinity above 50%
 
 
-def ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source audit of the hashed-n-gram quality classifier:
-    scored docs, mean score (ppm), and the count + id-checksum of
-    docs whose features lean keep. Docs with fewer than 2 tokens have
-    no bigram features and are not scored (absent from the per-doc
-    frame, counted by neither column — same rule in the oracle)."""
+def ngram_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-document classifier scores — (doc_id, source, score_ppm) —
+    the fit+score core shared by the ngram_quality audit and the
+    release gate (release_members(quality_classifier=True)). Docs with
+    fewer than 2 tokens have no bigram features and are absent."""
     from etl_wikipedia_updates_spark.plans.northstar import rep_keep_col
-
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(
-        F.col("text").isNotNull()
-    )
     # The label rides INSIDE the exploded values: Catalyst pulls a
     # generator-independent projection ABOVE the Generate, which would
     # re-run the whole repetition fold once per GRAM row (measured 13x
@@ -1112,6 +1107,19 @@ def ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_ppm")
         )
     )
+    return per_doc
+
+
+def ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the hashed-n-gram quality classifier:
+    scored docs, mean score (ppm), and the count + id-checksum of
+    docs whose features lean keep. Docs with fewer than 2 tokens have
+    no bigram features and are not scored (absent from the per-doc
+    frame, counted by neither column — same rule in the oracle)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    per_doc = ngram_doc_scores(docs)
     hi = F.col("score_ppm") >= NGQ_HI_PPM
     return (
         per_doc.groupBy("source")

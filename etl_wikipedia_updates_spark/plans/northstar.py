@@ -3085,7 +3085,10 @@ SPAN_REMOVAL_SQL = _span_removal_sql()
 
 # --- corpus_release: the end-to-end training-data release -------------------
 def release_members(
-    spark: SparkSession, sf_dir: str, mix_alpha: float | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    mix_alpha: float | None = None,
+    quality_classifier: bool = False,
 ) -> DataFrame:
     """The released doc set — (source, split, doc_id, n_chars), one row
     per surviving document. Shared by corpus_release (which aggregates
@@ -3097,18 +3100,43 @@ def release_members(
     alpha = 0); 0.5 is the temperature law (temperature_mix's rule —
     small sources upweighted, the sqrt form whose integer ppm
     threshold is bit-portable cross-engine). Other alphas are refused:
-    their pow() thresholds are engine-local (see temp_rate_ppm)."""
+    their pow() thresholds are engine-local (see temp_rate_ppm).
+
+    ``quality_classifier=True`` composes the hashed-n-gram classifier
+    (plans.corpus.ngram_doc_scores — the ngram_quality query's exact
+    fit+score core) into the quality gate as a STRICT second stage:
+    docs scoring below NGQ_HI_PPM are dropped after the repetition
+    verdict and before dedup survivorship + mixing, so the budgets and
+    splits recompute over the classifier-surviving set (the audit card
+    stays internally consistent by construction). Docs with no bigram
+    features carry no classifier evidence and pass (anti-join on the
+    LOW scorers, not semi-join on the high). Off by default — the
+    registered corpus_release contract is unchanged."""
     pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
     labels = D.connected_components(pairs)
     dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
         "doc_id"
     )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     kept = (
-        _rep_per_doc(spread(load_table(spark, sf_dir, "documents")))
+        _rep_per_doc(docs)
         .filter(F.col("verdict") == "keep")
         .select("source", "doc_id", "n_chars")
         .join(dropped, "doc_id", "left_anti")
     )
+    if quality_classifier:
+        # local import: corpus.py imports this module at top level
+        from etl_wikipedia_updates_spark.plans.corpus import (
+            NGQ_HI_PPM,
+            ngram_doc_scores,
+        )
+
+        low = (
+            ngram_doc_scores(docs.filter(F.col("text").isNotNull()))
+            .filter(F.col("score_ppm") < NGQ_HI_PPM)
+            .select("doc_id")
+        )
+        kept = kept.join(low, "doc_id", "left_anti")
     budgets = kept.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
     if mix_alpha is None:
         floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))

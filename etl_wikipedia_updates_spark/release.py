@@ -37,6 +37,7 @@ def release_corpus(
     remove_spans: bool = False,
     mix_alpha: float | None = None,
     redact_pii: bool = False,
+    quality_classifier: bool = False,
 ) -> DataFrame:
     """The released corpus as a DataFrame: every surviving document's
     full row plus its ``split``. The join key is the unique doc_id, so
@@ -68,7 +69,10 @@ def release_corpus(
 
     docs = load_table(spark, sf_dir, "documents")
     if members is None:
-        members = release_members(spark, sf_dir, mix_alpha=mix_alpha)
+        members = release_members(
+            spark, sf_dir, mix_alpha=mix_alpha,
+            quality_classifier=quality_classifier,
+        )
     released = docs.join(members.select("doc_id", "split"), "doc_id")
     if remove_spans:
         released = (
@@ -89,6 +93,7 @@ def write_release(
     remove_spans: bool = False,
     mix_alpha: float | None = None,
     redact_pii: bool = False,
+    quality_classifier: bool = False,
 ) -> dict:
     """Publish one release version: data partitioned by split, audit
     card in the version metadata, old versions vacuumed to a horizon.
@@ -102,7 +107,10 @@ def write_release(
     Returns {"version": N, "audit": [card rows as dicts]}.
     """
     table = SnapshotTable(out_root)
-    members = release_members(spark, sf_dir, mix_alpha=mix_alpha).persist()
+    members = release_members(
+        spark, sf_dir, mix_alpha=mix_alpha,
+        quality_classifier=quality_classifier,
+    ).persist()
     try:
         audit = [r.asDict() for r in release_audit(members).collect()]
         version = table.publish(
@@ -116,6 +124,7 @@ def write_release(
                 "remove_spans": remove_spans,
                 "mix_alpha": mix_alpha,
                 "redact_pii": redact_pii,
+                "quality_classifier": quality_classifier,
             },
             partition_by=["split"],
         )

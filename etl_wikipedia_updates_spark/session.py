@@ -53,7 +53,13 @@ def get_spark(
         # coalesces small partitions, so this is safe at every SF ---
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+            str(
+                shuffle_partitions
+                if shuffle_partitions is not None
+                else int(
+                    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+                )
+            ),
         )
         # --- Python <-> JVM transfer is Arrow-batched, never pickled rows ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

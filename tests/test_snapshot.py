@@ -569,3 +569,47 @@ def test_write_sharded_n_shards_dial(spark, sf_smoke, tmp_path):
     assert res["ok"], res["mismatches"]
     n_docs = load_table(spark, sf_smoke, "documents").count()
     assert sum(r["n_docs"] for r in out["manifest"]) == n_docs
+
+
+def test_write_release_with_quality_classifier_gate(spark, sf_smoke, tmp_path):
+    """The r14 classifier-composition flag: a classifier-gated release
+    contains NO member scoring under NGQ_HI_PPM, is a strict subset of
+    nobody-below-threshold membership semantics (docs without bigram
+    features pass — anti-join on LOW scorers), its audit card totals
+    match the published rows, the flag rides in the version metadata,
+    and the default-release contract is untouched."""
+    from etl_wikipedia_updates_spark.plans.corpus import (
+        NGQ_HI_PPM,
+        ngram_doc_scores,
+    )
+    from etl_wikipedia_updates_spark.plans.northstar import release_members
+    from etl_wikipedia_updates_spark.release import write_release
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    root = str(tmp_path / "release")
+    out = write_release(spark, sf_smoke, root, quality_classifier=True)
+    t = SnapshotTable(root)
+    assert t.meta_for(1)["quality_classifier"] is True
+    got_ids = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+    assert got_ids, "classifier-gated release must not be empty"
+    assert len(got_ids) == sum(r["n_docs"] for r in out["audit"])
+
+    docs = load_table(spark, sf_smoke, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    low = {
+        r["doc_id"]
+        for r in ngram_doc_scores(docs)
+        .filter(F.col("score_ppm") < NGQ_HI_PPM)
+        .collect()
+    }
+    assert not (got_ids & low), "a below-threshold doc was released"
+    # the gate only ever REMOVES docs relative to the plain release's
+    # pre-mixing kept set; with recomputed budgets membership is not a
+    # strict subset of the plain RELEASE, but it must differ (the
+    # threshold splits this corpus) and stay classifier-clean
+    plain_ids = {
+        r["doc_id"] for r in release_members(spark, sf_smoke).collect()
+    }
+    assert plain_ids & low, "fixture must have low scorers to gate out"
+    assert got_ids != plain_ids
