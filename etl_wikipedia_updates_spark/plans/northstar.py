@@ -2203,8 +2203,16 @@ def _rep_per_doc(docs: DataFrame) -> DataFrame:
     project, the quality_features precedent). No explode, no shuffle:
     the first exchange a consumer pays is its own aggregation. All
     per-doc math is integer counts + one double division,
-    deterministic cross-engine."""
-    per_doc = docs.selectExpr(
+    deterministic cross-engine.
+
+    NULL-text docs are filtered EXPLICITLY: the r13 explode shape
+    dropped them naturally (explode of a NULL array yields no rows)
+    and the oracle's unnest does the same, but a map-side projection
+    would emit them as drop-verdict rows with NULL signals — the
+    bm25-family latent parity trap (caught by r14 self-review; no
+    corpus tier currently has NULL text, which is why the oracle gate
+    couldn't see it)."""
+    per_doc = docs.filter(F.col("text").isNotNull()).selectExpr(
         "doc_id", "source", "n_chars", f"{_REP_COUNTS} AS r"
     )
     dup, topw, topb = _rep_signals(F.col("r"))
@@ -2640,12 +2648,14 @@ def _seq_pack(docs: DataFrame) -> DataFrame:
         .orderBy("bkt")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    # coalesce(1), not an exchange: sub is |buckets x sources| rows —
-    # bounded small by construction (it is BROADCAST two lines down,
-    # so single-partition is safe by the same argument), and
-    # SinglePartition satisfies the window's source-clustered
-    # requirement, saving one stage barrier per run (r14)
-    off = sub.coalesce(1).select(
+    # The window's exchange(source) is the right price here, NOT a
+    # coalesce(1): coalesce is a NARROW dependency, so placing it above
+    # sub would pull the corpus-scale subtotal AGGREGATION itself into
+    # one task (sub's OUTPUT is |buckets x sources| rows, but its input
+    # is every per-doc row in rep). Measured r14 and reverted the same
+    # round by self-review: the ~0.1s barrier saving at sf0.1 is not
+    # worth single-tasking a full-corpus aggregate at scale.
+    off = sub.select(
         "bkt",
         "source",
         F.coalesce(F.sum("sub").over(wo), F.lit(0)).alias("off"),

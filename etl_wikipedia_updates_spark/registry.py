@@ -13,7 +13,8 @@ keeps every official row as fresh as the window allows:
 - Every entry CHANGED this round must re-certify (its old row
   certifies code that no longer exists). Round 14: bpe_token_stats +
   seq_pack_subword (whole-text replace-chain replan), seq_pack
-  (_seq_pack off-branch coalesce), rep_filter (map-side replan), and
+  (shared _seq_pack touched-and-reverted this round — re-certifying
+  is the conservative call), rep_filter (map-side replan), and
   corpus_release / corpus_release_temp (consumers of the replanned
   _rep_per_doc gate).
 - The contract rows Q1-Q28 + wiki stay inside the gate window, as
@@ -58,8 +59,9 @@ DECLARATION_ORDER: list[str] = [
     # longer exists — the registry's changed-this-round policy):
     # bpe_token_stats + seq_pack_subword were replanned onto the
     # whole-text replace-chain encode (the r13 verdict's #1/#2);
-    # seq_pack shares _seq_pack, which gained the off-branch
-    # coalesce(1); rep_filter was replanned map-side (verdict #3) and
+    # seq_pack's shared _seq_pack was touched and reverted this round
+    # (re-certify conservatively); rep_filter was replanned map-side
+    # (verdict #3) and
     # corpus_release / corpus_release_temp consume the same
     # _rep_per_doc gate ---
     "bpe_token_stats",

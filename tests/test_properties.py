@@ -253,9 +253,9 @@ def test_corpus_stats_totals_match_docs(spark, sf_smoke):
 def test_rep_filter_per_doc_matches_python_reference(spark, docs):
     """rep_filter's per-doc repetition signals must equal a
     from-scratch Python computation on ANY corpus: word/bigram counts,
-    fractions, and the keep/drop verdict — guards the tagged-explode
-    expression (word vs bigram tagging, slice indexing) and the
-    NULL-bigram coalesce for single-word docs."""
+    fractions, and the keep/drop verdict — guards the map-side
+    array_sort + run-max struct (r14 replan) and the NULL-bigram
+    coalesce for single-word docs."""
     from collections import Counter
 
     import etl_wikipedia_updates_spark.plans.northstar as N
@@ -775,3 +775,21 @@ def test_shard_manifest_matches_python_reference(spark, rows):
     assert sum(g["id_checksum"] for g in got.values()) == sum(
         d for d, _, _ in rows
     )
+
+
+def test_rep_per_doc_drops_null_text_like_the_oracle(spark):
+    """NULL-text docs must be ABSENT from the per-doc frame (the r13
+    explode dropped them naturally; the oracle's unnest agrees; the
+    r14 map-side projection would have emitted them as drop rows with
+    NULL signals — the latent parity trap self-review caught). Also:
+    quality_keep must drop them."""
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s", 5), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {r["doc_id"] for r in N._rep_per_doc(df).collect()}
+    assert got == {1}
+    kept = {r["doc_id"] for r in N.quality_keep(df).collect()}
+    assert 2 not in kept
