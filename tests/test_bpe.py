@@ -335,3 +335,27 @@ def test_bpe_fit_corpus_bound(spark, tmp_path):
     assert row["n_words"] == 30 * 8
     assert row["n_subwords"] >= row["n_words"]  # subwords never fewer
     assert row["fertility"] >= 1.0
+
+
+def test_source_mix_subword_budgets_match_token_stats(spark, sf_smoke):
+    """The three consumers of the shared fit + shared count must agree:
+    source_mix_subword's per-source subwords_in IS bpe_token_stats'
+    n_subwords (same merges, same doc_nsub_col, different plans),
+    docs_in matches n_docs, the kept side never exceeds the budget,
+    and the floor source (smallest subword budget) keeps everything
+    (its mix rate is exactly 1)."""
+    stats = {
+        r["source"]: r for r in B.bpe_token_stats(spark, sf_smoke).collect()
+    }
+    mix = {
+        r["source"]: r
+        for r in B.source_mix_subword(spark, sf_smoke).collect()
+    }
+    assert set(stats) == set(mix)
+    for s in stats:
+        assert mix[s]["subwords_in"] == stats[s]["n_subwords"], s
+        assert mix[s]["docs_in"] == stats[s]["n_docs"], s
+        assert mix[s]["subwords_kept"] <= mix[s]["subwords_in"], s
+    floor_src = min(mix.values(), key=lambda r: r["subwords_in"])
+    assert floor_src["docs_kept"] == floor_src["docs_in"]
+    assert floor_src["subwords_kept"] == floor_src["subwords_in"]
