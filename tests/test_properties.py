@@ -793,3 +793,42 @@ def test_rep_per_doc_drops_null_text_like_the_oracle(spark):
     assert got == {1}
     kept = {r["doc_id"] for r in N.quality_keep(df).collect()}
     assert 2 not in kept
+
+
+# doc_nsub_col property: chars that make adversarial merge rules —
+# heavy repeats (overlap chains), a few distinct letters, and the
+# space-free control chars a corpus word can legally contain
+_bpe_chars = st.sampled_from(list("aab") + ["\t", "'", "\\"])
+_bpe_words = st.lists(
+    st.text(alphabet=_bpe_chars, min_size=0, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+_bpe_corpus = st.lists(_bpe_words, min_size=1, max_size=6)
+
+
+@given(corpus=_bpe_corpus, n_merges=st.integers(min_value=0, max_value=8))
+@SLOW
+def test_doc_nsub_col_matches_python_on_random_corpora(
+    spark, corpus, n_merges
+):
+    """doc_nsub_col (the whole-text separator-string BPE count) equals
+    the per-word definitional encode on ANY corpus and ANY merge table
+    the fit can learn from it — the randomized twin of the fixed
+    adversarial list in test_bpe (overlap chains, empty words from
+    double spaces, hostile rule tokens all arise here by generation)."""
+    from collections import Counter
+
+    from etl_wikipedia_updates_spark.plans import bpe as B
+
+    texts = [" ".join(ws) for ws in corpus]
+    freqs = Counter(w for ws in corpus for w in ws)
+    merges = B.bpe_fit(sorted(freqs.items()), n_merges)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select("text", B.doc_nsub_col(merges).alias("n")).collect()
+    for r in got:
+        want = sum(
+            len(B.bpe_encode(w, merges))
+            for w in r["text"].lower().split(" ")
+        )
+        assert r["n"] == want, (repr(r["text"]), merges)
