@@ -77,6 +77,7 @@ from etl_wikipedia_updates_spark.plans.northstar import (
     _memo_model,
     _seq_pack,
     _source_mix,
+    mix_budgets,
     seq_pack_sql_from,
     sql_ubucket,
 )
@@ -256,6 +257,17 @@ def doc_nsub_col(
     inside the literal — pinned by the hostile-token test), and
     lower(text) is bound as a lambda variable so it evaluates once per
     row."""
+    # The boundary invariant above requires every merge token to be
+    # space-free (rules learned from space-split words always are; a
+    # caller-supplied rule containing ' ' would silently corrupt the
+    # count by bridging the wrap spaces) — fail loudly instead.
+    for a, b in merges:
+        if " " in a or " " in b:
+            raise ValueError(
+                f"doc_nsub_col merge rule ({a!r}, {b!r}) contains a "
+                "space; merge tokens must be space-free for the "
+                "separator-string encode to be exact"
+            )
     s = "regexp_replace(x, '(?s)(.)', ' $1 ')"
     for a, b in merges:
         s = (
@@ -297,23 +309,28 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole query is ONE scan -> map-side project -> one
     |sources|-key aggregate with partials -> total-order sort. No
     explode, no word shuffle, no second scan for n_docs."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread() probes the partition count via df.rdd — 60-110ms on a
+    # fresh DataFrame object, ~0 on the table cache's singleton handle
+    # (the RDD handle memoizes inside the object). Spreading the
+    # CACHED table and filtering after keeps the probe out of every
+    # eager rebuild; the filter still pushes to the scan.
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
     merges = _memo_model(
         spark,
         sf_dir,
         "bpe_merges",
-        lambda: _fit_from_corpus(spread(docs)),
+        lambda: _fit_from_corpus(docs),
     )
     txt = F.lower(F.col("text"))
     nspaces = F.length(txt) - F.length(
         F.replace(txt, F.lit(" "), F.lit(""))
     )
-    # spread: the replace chain is the query's only real compute and
-    # runs where the scan lands — one partition on the single-row-
-    # group test files (pass-through on any well-partitioned source)
-    per_doc = spread(docs).select(
+    # width 32 measured a wash vs 16 at the whole-query level here
+    # (r15 pairs: 0.51 vs 0.50) — the encode-only gain drowns in the
+    # agg stage's extra task scheduling; default kept
+    per_doc = docs.select(
         "source",
         (nspaces + 1).cast("bigint").alias("nw"),
         (F.length(txt) - nspaces).cast("bigint").alias("nchars"),
@@ -469,17 +486,23 @@ def seq_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum — see the module docstring's three-plan history.
     Pinned by tools/explain_audit.py (replace chain present, no
     Generate/occurrence-fold on the path)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread-then-filter: see bpe_token_stats (probe rides the table
+    # cache's singleton handle)
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
     merges = _memo_model(
         spark,
         sf_dir,
         "bpe_merges",
-        lambda: _fit_from_corpus(spread(docs)),
+        lambda: _fit_from_corpus(docs),
     )
     return _seq_pack(
-        spread(docs).select(  # see bpe_token_stats: compute lands on the scan
+        # width 16 (default) beats 32 here (r15 pairs: 1.125 vs
+        # 1.224): the encode-only gain of 32 partitions is outweighed
+        # by doubling the shuffle-block count of the immediately
+        # following repartition(bkt, source) exchange
+        docs.select(
             "doc_id", "source", doc_nsub_col(merges).alias("n_tok")
         )
     )
@@ -518,29 +541,47 @@ def source_mix_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NULL-text docs carry no tokens, so this variant (like the whole
     BPE family) filters them; the character-denominated source_mix
-    keeps them because it reads only the stored n_chars column."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    keeps them because it reads only the stored n_chars column.
+
+    Plan (r15 replan — the r14 shape persisted the encoded frame and
+    ran _source_mix's declarative budgets/floor/rates ladder over it:
+    7-8 stage barriers, each paying the fixed per-job floor on a
+    corpus whose actual encode compute measures ~0.2s): the per-source
+    subword budgets are a pure function of (sf_dir, merge table), so
+    they are fitted ONCE per session (mix_budgets — |sources| bounded
+    rows, same memo as the merge table) and re-bound as a local rates
+    frame; the steady-state query is then ONE job — corpus scan,
+    map-side encode, stateless membership filter, |sources|-key audit
+    agg — with no persist (the encode runs exactly once per pass on
+    both the fit and the steady-state path, so there is nothing to
+    cache)."""
+    # spread-then-filter: see bpe_token_stats (probe rides the table
+    # cache's singleton handle). Width 32, not the default 16: this
+    # plan is ONE job whose only downstream exchange carries
+    # |sources|-key agg partials, so the encode-side parallelism gain
+    # (r15 pair: 0.20 vs 0.24s encode-only) is not taxed by a wider
+    # corpus shuffle the way seq_pack_subword's repartition(bkt,
+    # source) chain is.
+    docs = spread(load_table(spark, sf_dir, "documents"), 32).filter(
         F.col("text").isNotNull()
     )
     merges = _memo_model(
         spark,
         sf_dir,
         "bpe_merges",
-        lambda: _fit_from_corpus(spread(docs)),
+        lambda: _fit_from_corpus(docs),
     )
-    # persisted (declared lazy persist, the semantic_dedup pattern):
-    # _source_mix consumes its input from four plan branches (budget
-    # pass, membership pass, and the rates frame twice in the audit
-    # join) — free when n_chars is a STORED column, but here each
-    # branch would re-pay the whole replace-chain encode. One
-    # materialization; lineage intact; reclaimed by clearCache().
-    per_doc = (
-        spread(docs)
-        .select("doc_id", "source", doc_nsub_col(merges).alias("n_chars"))
-        .persist()
+    per_doc = docs.select(
+        "doc_id", "source", doc_nsub_col(merges).alias("n_chars")
+    )
+    budget_rows = _memo_model(
+        spark,
+        sf_dir,
+        "bpe_mix_budgets",
+        lambda: mix_budgets(per_doc),
     )
     return (
-        _source_mix(per_doc)
+        _source_mix(per_doc, budget_rows)
         .withColumnRenamed("chars_in", "subwords_in")
         .withColumnRenamed("chars_kept", "subwords_kept")
     )

@@ -593,8 +593,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials. NULL text scans as '' (coalesce on BOTH
     engines — the size(NULL) = -1 trap class), so every doc is
     counted. The redaction chain is the same expression a release
-    pipeline applies before write_release; this query is its audit."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    pipeline applies before write_release; this query is its audit.
+    spread(): six regex passes are the query's only real compute, and
+    the single-row-group test scan would otherwise run them all on
+    one core (r15 pair: 0.46s -> ~0.2s; pass-through on any
+    well-partitioned source)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
     )
     red = pii_redacted_col("t")
@@ -1043,23 +1047,37 @@ EMBEDDING_STATS_SQL = _embedding_stats_sql()
 # truncating on non-negatives), scores are integer ppm means — zero
 # libm, zero float divisions across the oracle hash.
 #
-# Scale shape: the "fit" is ONE aggregation onto a FIXED key space
-# (NGQ_BUCKETS = 4096 buckets — no vocabulary-scale state, no driver
-# collect); the 4096-row weight table broadcasts back onto the gram
-# stream; scoring is one per-doc aggregation. Two passes over the
-# exploded grams (fit + score), like tfidf; the feature hashing is the
-# shared stateless term_hash fold, so no dictionary and no global id
-# assignment exist anywhere.
+# Scale shape (r15 replan — the r14 shape persisted the exploded
+# per-gram stream and ran a 5-barrier fit/join/score ladder; the
+# barrier decomposition showed each stage paying the fixed per-job
+# floor while the actual compute measured ~0.05s): the "fit" is ONE
+# job — gram explode onto the FIXED key space with map-side partials,
+# so at most NGQ_BUCKETS x partitions rows shuffle — whose 4096-row
+# result is COLLECTED (bounded-model state, the charlm charset² /
+# lang_id top-terms pattern) and re-bound as an array literal; scoring
+# is then a PURE MAP-SIDE fold over each doc's shingle array (weight
+# lookup by element_at into the folded constant), so the score pass
+# has no join, no explode, and no shuffle before the consumer's own
+# aggregation. Nothing persists — the advice-flagged corpus x bigrams
+# cache is gone; the only retained state is the 4096-int weight list.
 NGQ_BUCKETS = 4096
 NGQ_HI_PPM = 500_000  # "leans keep": mean bucket affinity above 50%
 
 
-def ngram_doc_scores(docs: DataFrame) -> DataFrame:
-    """Per-document classifier scores — (doc_id, source, score_ppm) —
-    the fit+score core shared by the ngram_quality audit and the
-    release gate (release_members(quality_classifier=True)). Docs with
-    fewer than 2 tokens have no bigram features and are absent."""
+def fit_ngram_weights(docs: DataFrame) -> list[int]:
+    """Fit the classifier: the per-bucket keep-affinity weights (ppm)
+    as a plain NGQ_BUCKETS-long integer list — ONE job (gram explode
+    with map-side partials onto the fixed bucket space, collect).
+
+    Bounded-model argument for the collect: the key space is the
+    FIXED 4096-bucket feature space, independent of corpus size or
+    vocabulary — exactly the charlm charset²-counts / lang_id
+    top-terms pattern. Buckets no corpus gram hashes into keep weight
+    0; they are unreachable by any scorer fed the same corpus (its
+    gram stream is the fit's gram stream), and a cross-corpus caller
+    scores an unseen-bucket gram as 0 ("no keep evidence")."""
     from etl_wikipedia_updates_spark.plans.northstar import rep_keep_col
+
     # The label rides INSIDE the exploded values: Catalyst pulls a
     # generator-independent projection ABOVE the Generate, which would
     # re-run the whole repetition fold once per GRAM row (measured 13x
@@ -1080,52 +1098,111 @@ def ngram_doc_scores(docs: DataFrame) -> DataFrame:
         ),
         1,
     )
-    # persisted (declared lazy persist): the fit and the scoring pass
-    # both consume the hashed gram stream; unpersisted, each re-pays
-    # the shingle + label + hash folds over the corpus
-    gb = (
-        docs.select("doc_id", "source", F.explode(pairs).alias("p"))
+    rows = (
+        docs.select(F.explode(pairs).alias("p"))
         .select(
-            "doc_id",
-            "source",
             F.col("p.keep").alias("keep"),
             (T.term_hash_fn(F.col("p.g")) % NGQ_BUCKETS).alias("b"),
         )
-        .persist()
-    )
-    w = gb.groupBy("b").agg(
-        F.expr("sum(keep) * 1000000 div count(*)")
-        .cast("bigint")
-        .alias("w_ppm")
-    )
-    per_doc = (
-        gb.join(F.broadcast(w), "b")
-        .groupBy("doc_id", "source")
+        .groupBy("b")
         .agg(
-            F.expr("sum(w_ppm) div count(*)")
+            F.expr("sum(keep) * 1000000 div count(*)")
             .cast("bigint")
-            .alias("score_ppm")
+            .alias("w_ppm")
         )
+        .collect()
     )
-    return per_doc
+    weights = [0] * NGQ_BUCKETS
+    for r in rows:
+        weights[r["b"]] = r["w_ppm"]
+    return weights
+
+
+def ngram_score_sql(weights: list[int]) -> str:
+    """The map-side scorer as ONE Spark-SQL text (single parse — the
+    doc_nsub_col plan-build lesson; the Column-lambda form of the same
+    fold measured ~0.3s of py4j per build): mean fitted bucket weight
+    over the doc's distinct word-bigram shingles, NULL when the doc
+    has no bigram features. The weight table is inlined as a 4096-int
+    array literal (constant-folded once by Catalyst) and each gram
+    looks its weight up via element_at after the shared term-hash
+    fold — no join, no explode, no shuffle. The token array and the
+    shingle array are each bound ONCE as a lambda variable (the
+    shingles_col idiom); the hash and shingle constructions replay
+    T.shingles_col(k=2) / T.term_hash_fn exactly (pinned by
+    tests/test_corpus.py's scorer-equivalence test)."""
+    warr = "array(" + ",".join(f"{int(x)}L" for x in weights) + ")"
+    ghash = (
+        f"aggregate(split(g, ''), 0L, "
+        f"(h, c) -> (h * {T.TERM_HASH_BASE} + ascii(c)) % {HASH_P})"
+    )
+    tot = (
+        f"aggregate(sh, 0L, (a, g) -> a + element_at({warr}, "
+        f"CAST(({ghash}) % {NGQ_BUCKETS} + 1 AS INT)))"
+    )
+    shingles = (
+        "CASE WHEN size(tk) >= 2 THEN array_distinct("
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    per = f"CASE WHEN size(sh) > 0 THEN ({tot}) div size(sh) END"
+    return (
+        "element_at(transform(array(split(lower(text), ' ')), tk -> "
+        f"element_at(transform(array({shingles}), sh -> {per}), 1)), 1)"
+    )
+
+
+def ngram_doc_scores(
+    docs: DataFrame, weights: list[int] | None = None
+) -> DataFrame:
+    """Per-document classifier scores — (doc_id, source, score_ppm) —
+    the fit+score core shared by the ngram_quality audit and the
+    release gate (release_members(quality_classifier=True)). Docs with
+    fewer than 2 tokens have no bigram features and carry a NULL
+    score_ppm (every membership consumer — the < NGQ_HI_PPM gate, the
+    audit's count/sum — is NULL-skipping, so they behave exactly as if
+    absent). Pass precomputed ``weights`` to reuse a fitted model
+    (ngram_quality memoizes its fit per sf_dir); otherwise the fit
+    runs here, one job. The returned frame is pure map-side — no
+    shuffle until the caller's own aggregation."""
+    if weights is None:
+        weights = fit_ngram_weights(docs)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(ngram_score_sql(weights)).cast("bigint").alias("score_ppm"),
+    )
 
 
 def ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source audit of the hashed-n-gram quality classifier:
     scored docs, mean score (ppm), and the count + id-checksum of
     docs whose features lean keep. Docs with fewer than 2 tokens have
-    no bigram features and are not scored (absent from the per-doc
-    frame, counted by neither column — same rule in the oracle)."""
+    no bigram features and are not scored (NULL score_ppm — skipped by
+    every aggregate here, so counted by no column; the oracle drops
+    them structurally). The fit is memoized per (session, sf_dir) —
+    the lang_id/charlm train-once-serve-every-build pattern — so the
+    steady-state query is the single map-side score pass + one
+    |sources|-key aggregate."""
+    from etl_wikipedia_updates_spark.plans.northstar import _memo_model
+
     docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    per_doc = ngram_doc_scores(docs)
+    weights = _memo_model(
+        spark,
+        sf_dir,
+        f"ngq_weights_{NGQ_BUCKETS}",
+        lambda: fit_ngram_weights(docs),
+    )
+    per_doc = ngram_doc_scores(docs, weights)
     hi = F.col("score_ppm") >= NGQ_HI_PPM
     return (
         per_doc.groupBy("source")
         .agg(
-            F.count("*").alias("n_docs_scored"),
-            F.expr("sum(score_ppm) div count(*)")
+            F.count("score_ppm").alias("n_docs_scored"),
+            F.expr("sum(score_ppm) div count(score_ppm)")
             .cast("bigint")
             .alias("mean_score_ppm"),
             F.coalesce(F.sum(F.when(hi, 1)), F.lit(0))
@@ -1135,6 +1212,12 @@ def ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("hi_checksum"),
         )
+        # a source whose every doc lacks bigram features has no scored
+        # rows and is structurally absent from the oracle's pd CTE —
+        # drop it HERE (post-agg, cheap) rather than filtering NULL
+        # scores per row (predicate pushdown would inline the whole
+        # score fold into the filter, doubling the map work)
+        .filter(F.col("n_docs_scored") > 0)
         .transform(total_order, "source")
     )
 
@@ -1188,6 +1271,7 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         ngram_quality,
         NGRAM_QUALITY_SQL,
         "hashed word-bigram quality classifier (fastText/CCNet-style)",
+        eager=True,  # bucket-weight model fit runs a job at build time
     ),
     DeclaredQuery(
         "temperature_mix",

@@ -2474,7 +2474,28 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _source_mix(docs: DataFrame) -> DataFrame:
+def mix_budgets(docs: DataFrame) -> list[tuple]:
+    """The mixing model: per-source (source, docs_in, chars_in) rows,
+    collected — bounded at |sources| (a source CATALOG, not corpus
+    data; the static_temp_rates / lang_id fit-small precedent). Split
+    out so source_mix_subword can memoize it per (session, sf_dir):
+    its budget column is the full BPE encode, and re-aggregating it
+    per build would re-pay a corpus encode pass for an answer that is
+    a pure function of (sf_dir, merge table)."""
+    return [
+        (r["source"], r["docs_in"], r["chars_in"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_in"),
+            F.sum("n_chars").cast("bigint").alias("chars_in"),
+        )
+        .collect()
+    ]
+
+
+def _source_mix(
+    docs: DataFrame, budget_rows: list[tuple] | None = None
+) -> DataFrame:
     """The mixing audit over a (doc_id, source, n_chars) frame.
 
     Scale shape: the budget pass is one map-side-combined tiny agg
@@ -2484,13 +2505,37 @@ def _source_mix(docs: DataFrame) -> DataFrame:
     corpus is scanned twice (budget + filter) — both scans prune to
     3 columns, and at 100 TB the first is a cheap partial-agg pass,
     strictly better than shuffling the corpus once on a skewed
-    source key to window it."""
-    budgets = docs.groupBy("source").agg(
-        F.count("*").alias("docs_in"),
-        F.sum("n_chars").alias("chars_in"),
-    )
-    floor_b = budgets.agg(F.min("chars_in").alias("min_chars"))
-    rates = budgets.crossJoin(F.broadcast(floor_b))
+    source key to window it.
+
+    With ``budget_rows`` (mix_budgets output, typically memoized) the
+    budget pass is REPLACED by a local |sources|-row rates frame: the
+    corpus is then scanned exactly once and the whole audit is ONE
+    job. The membership rule, audit aggregate, and output expressions
+    below the rates frame are the same code on both paths, so the two
+    denominations (and the fused/declarative forms) cannot diverge in
+    mixing math."""
+    if budget_rows is not None:
+        spark = docs.sparkSession
+        # VALUES (not createDataFrame): plans as a LocalRelation /
+        # LocalTableScan instead of a python-RDD scan — stays inside
+        # whole-stage codegen and ships no py4j-pickled RDD
+        min_chars = min((int(r[2]) for r in budget_rows), default=0)
+        values = ", ".join(
+            f"({T.sql_str_lit(str(r[0]))}, {int(r[1])}L, {int(r[2])}L)"
+            for r in budget_rows
+        ) or "(CAST(NULL AS STRING), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+        rates = spark.sql(
+            f"SELECT * FROM (VALUES {values}) AS "
+            "t(source, docs_in, chars_in)"
+            + ("" if budget_rows else " WHERE FALSE")
+        ).withColumn("min_chars", F.lit(min_chars).cast("bigint"))
+    else:
+        budgets = docs.groupBy("source").agg(
+            F.count("*").alias("docs_in"),
+            F.sum("n_chars").alias("chars_in"),
+        )
+        floor_b = budgets.agg(F.min("chars_in").alias("min_chars"))
+        rates = budgets.crossJoin(F.broadcast(floor_b))
     kept = docs.join(F.broadcast(rates), "source").filter(
         mix_keep_cond("chars_in", "min_chars")
     )
@@ -2670,38 +2715,32 @@ def _seq_pack(docs: DataFrame) -> DataFrame:
             "n_tok",
             (F.col("off") + F.sum("n_tok").over(wi)).alias("cum"),
         )
-    ).select(
-        "source",
-        "n_tok",
-        "cum",
-        # a doc is SPLIT when its first and last token land in
-        # different chunks: floor((cum-1)/L) > floor((cum-n_tok)/L)
-        (
-            F.floor((F.col("cum") - 1) / F.lit(SEQ_LEN))
-            > F.floor((F.col("cum") - F.col("n_tok")) / F.lit(SEQ_LEN))
-        )
-        .cast("bigint")
-        .alias("split"),
     )
+    # split flag and fill fraction fold INTO the aggregate (r15: each
+    # extra DataFrame op re-analyzes the whole child tree — two fewer
+    # ops measured ~0.05-0.1s off every eager rebuild of the subword
+    # variant; the arithmetic is unchanged: a doc is SPLIT when its
+    # first and last token land in different chunks, floor((cum-1)/L)
+    # > floor((cum-n_tok)/L))
+    n_seqs = F.floor(
+        (F.max("cum") + F.lit(SEQ_LEN - 1)) / F.lit(SEQ_LEN)
+    ).cast("bigint")
+    split = (
+        F.floor((F.col("cum") - 1) / F.lit(SEQ_LEN))
+        > F.floor((F.col("cum") - F.col("n_tok")) / F.lit(SEQ_LEN))
+    ).cast("bigint")
     return (
         per.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
-            F.floor(
-                (F.max("cum") + F.lit(SEQ_LEN - 1)) / F.lit(SEQ_LEN)
-            )
-            .cast("bigint")
-            .alias("n_seqs"),
-            F.sum("split").cast("bigint").alias("n_split_docs"),
-        )
-        .withColumn(
-            "fill_frac",
+            n_seqs.alias("n_seqs"),
+            F.sum(split).cast("bigint").alias("n_split_docs"),
             det_round(
-                F.col("total_tokens").cast("double")
-                / (F.col("n_seqs") * F.lit(SEQ_LEN)).cast("double"),
+                F.sum("n_tok").cast("double")
+                / (n_seqs * F.lit(SEQ_LEN)).cast("double"),
                 4,
-            ),
+            ).alias("fill_frac"),
         )
         .transform(total_order, "source")
     )

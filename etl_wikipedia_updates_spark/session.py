@@ -16,10 +16,27 @@ value rather than any code.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+def _int_env(name: str, default: int) -> int:
+    """Integer env knob with a loud, named failure mode: a malformed
+    value warns (naming the variable and the bad value) and falls back
+    to ``default`` rather than killing session construction with an
+    opaque int() traceback."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(
+            f"{name}={raw!r} is not an integer; falling back to "
+            f"{default}",
+            stacklevel=3,
+        )
+        return default
 
 
 def get_spark(
@@ -32,7 +49,7 @@ def get_spark(
 
     Parameters are overridable for tests/bench; defaults fit local[N].
     """
-    cpus = int(DEFAULT_CPUS)
+    cpus = _int_env("SPARK_GRAFT_CPUS", 32)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -56,9 +73,7 @@ def get_spark(
             str(
                 shuffle_partitions
                 if shuffle_partitions is not None
-                else int(
-                    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-                )
+                else _int_env("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
             ),
         )
         # --- Python <-> JVM transfer is Arrow-batched, never pickled rows ---

@@ -37,16 +37,11 @@ SF = "/root/testdata/sf0.001"
 #   branches (pair left/right, per-cell totals); persisting it is the
 #   materialize-shared-subplan the oracle's CTE gets for free. Plain
 #   persist — lineage intact, reclaimed by clearCache().
-# - source_mix_subword (r14): the per-doc subword frame feeds
-#   _source_mix's four branches; unpersisted, each would re-pay the
-#   whole-text BPE replace-chain encode. Same pattern.
-# - ngram_quality (r14): the hashed gram stream feeds the weight fit
-#   AND the scoring join; unpersisted, each re-pays the shingle +
-#   label + hash folds over the corpus.
+# (source_mix_subword and ngram_quality left this set in r15: both
+# were replanned onto memoized bounded fits + single-pass map-side
+# bodies, so neither holds any cached frame anymore.)
 DECLARED_LAZY_PERSISTS: set[str] = {
     "semantic_dedup",
-    "source_mix_subword",
-    "ngram_quality",
 }
 
 EAGER_BUILDERS = [
@@ -68,6 +63,10 @@ EAGER_BUILDERS = [
     "bpe_token_stats",
     "incremental_dedup",
     "seq_pack_subword",
+    # r15: both replanned onto memoized bounded fits (mix budgets /
+    # 4096 bucket weights) collected at build time
+    "source_mix_subword",
+    "ngram_quality",
 ]
 
 

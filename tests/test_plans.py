@@ -198,22 +198,26 @@ CASES = [
         ["replace(", "hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
         ["Generate", "SortMergeJoin", "aggregate(", "hashpartitioning(doc_id"],
     ),
-    # source_mix_subword (r14): source_mix's scale contract (budget
-    # frame broadcasts back; the corpus never shuffles on the skewed
-    # source key) over the persisted replace-chain per-doc frame
+    # source_mix_subword (r15 replan): the memoized |sources|-row
+    # budget model binds as a LOCAL rates frame broadcast onto the
+    # replace-chain encode — one corpus pass, no persist (an
+    # InMemoryTableScan would mean the r14 cached-frame ladder came
+    # back), and the corpus still never shuffles on the skewed source
+    # key
     (
         "source_mix_subword",
-        ["replace(", "BroadcastHashJoin", "partial_"],
-        ["Generate", "SortMergeJoin", "aggregate("],
+        ["replace(", "BroadcastHashJoin", "partial_", "LocalTableScan"],
+        ["Generate", "SortMergeJoin", "aggregate(", "InMemoryTableScan"],
     ),
-    # ngram_quality (r14): fixed-key fit (4096 buckets) broadcast back
-    # onto the gram stream; the label rides inside the exploded values
-    # (a generator-independent projection would re-run the repetition
-    # fold per gram row); no merge join, no Python
+    # ngram_quality (r15 replan): the 4096-bucket weight model is
+    # collected at build and folded into the scorer as an array
+    # literal, so the steady plan is ONE map-side fold + the audit
+    # agg — no explode, no join of any kind, no cached frame (the fit
+    # explode runs in its own build-time job, not in this plan)
     (
         "ngram_quality",
-        ["Generate", "BroadcastHashJoin", "partial_"],
-        ["SortMergeJoin", "BatchEvalPython"],
+        ["partial_", "element_at("],
+        ["Generate", "Join", "BatchEvalPython", "InMemoryTableScan"],
     ),
 ]
 

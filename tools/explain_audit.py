@@ -100,10 +100,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["replace(", "BroadcastHashJoin", "partial_"],
         ["Generate", "SortMergeJoin", "aggregate("],
     ),
-    # r14: fixed-key classifier fit broadcast back onto the gram stream
+    # r15: fit collected at build (fixed 4096-key space), scorer is a
+    # pure map-side fold over each doc's shingle array — the steady
+    # plan has NO explode, NO join, NO persist; forbidding
+    # Generate/Join pins out the r14 gram-stream broadcast ladder
     "ngram_quality": (
-        ["Generate", "BroadcastHashJoin", "partial_"],
-        ["SortMergeJoin", "BatchEvalPython"],
+        ["partial_", "element_at("],
+        ["Generate", "Join", "SortMergeJoin", "BatchEvalPython",
+         "InMemoryTableScan"],
     ),
     # r14: the recrawl pays only new-vs-prior band candidates — one
     # band-bucketed join, never a cartesian (the exactly-one-join
