@@ -199,6 +199,27 @@ def encode_col(col: str | Column, merges: list[tuple[str, str]]) -> Column:
     )
 
 
+# The separator-string wrap: every code point spaced apart, so merge
+# boundaries become literal-replace patterns (see doc_nsub_col).
+_SEP_WRAP_SQL = "regexp_replace({x}, '(?s)(.)', ' $1 ')"
+
+
+def _chain_sql(inner: str, merges: list[tuple[str, str]]) -> str:
+    """One replace() call per merge rule, nested around ``inner`` —
+    the shared chain builder for doc_nsub_col (whole text, all rules
+    in one expression) and per_doc_subwords' join path (per distinct
+    word, _CHAIN_CHUNK rules per projection block). Merge tokens are
+    inlined with sql_str_lit (backslash/quote escaping; hostile-token
+    test pins it)."""
+    s = inner
+    for a, b in merges:
+        s = (
+            f"replace({s}, {T.sql_str_lit(f' {a}  {b} ')}, "
+            f"{T.sql_str_lit(f' {a}{b} ')})"
+        )
+    return s
+
+
 def doc_nsub_col(
     merges: list[tuple[str, str]], text_col: str = "text"
 ) -> Column:
@@ -268,12 +289,7 @@ def doc_nsub_col(
                 "space; merge tokens must be space-free for the "
                 "separator-string encode to be exact"
             )
-    s = "regexp_replace(x, '(?s)(.)', ' $1 ')"
-    for a, b in merges:
-        s = (
-            f"replace({s}, {T.sql_str_lit(f' {a}  {b} ')}, "
-            f"{T.sql_str_lit(f' {a}{b} ')})"
-        )
+    s = _chain_sql(_SEP_WRAP_SQL.format(x="x"), merges)
     inner = (
         f"CAST(((length({s}) - length(x)) / 2) - "
         "(length(x) - length(replace(x, ' ', ''))) AS BIGINT)"
@@ -295,6 +311,150 @@ def _fit_from_corpus(docs: DataFrame) -> list[tuple[str, str]]:
         .collect()
     )
     return bpe_fit([(r["w"], r["c"]) for r in topv], BPE_MERGES)
+
+
+# |merges| dispatch threshold for the per-doc subword count. TWO
+# reasons, either sufficient:
+# - Cost: the whole-text replace chain is O(|merges| x corpus chars) —
+#   every rule scans every document — while the dictionary join pays a
+#   FIXED plan overhead (token explode, distinct, vocab-keyed shuffle,
+#   doc-keyed re-aggregation) plus O(|merges| x vocab chars),
+#   amortizing each rule over distinct WORDS instead of occurrences.
+#   Measured at sf0.1 (SCALE.md r15): chain 0.33/0.34/0.42s vs join
+#   0.79/0.55/0.60s at 32/89/256 rules — the chain wins the whole
+#   contract range on this corpus, and the join's fixed barriers
+#   amortize at larger corpora while the chain's cost stays
+#   corpus-proportional forever.
+# - Parseability: the chain nests one replace() call per rule inside
+#   ONE expression, and Spark's parser hard-fails with
+#   FAILED_TO_PARSE_TOO_COMPLEX between ~350 and 512 nesting levels
+#   (measured r15) — above the threshold the chain is not slower, it
+#   is IMPOSSIBLE, so the join path (whose per-word encode applies
+#   rules in <=_CHAIN_CHUNK-deep projection blocks) is the only
+#   functioning plan. A production 30-50k-merge tokenizer always
+#   takes the join; the contract's BPE_MERGES=32 always takes the
+#   chain.
+BPE_JOIN_MERGES = 256
+
+# Max replace() nesting per projection block in the join path's
+# per-word encode — safely under the measured parser failure point
+# (>=350). Chunked application preserves semantics exactly: the rules
+# are a SEQUENTIAL fold over the separator string, so applying them
+# 192 at a time over chained projections is the same function. A
+# double-reference guard column keeps CollapseProject from re-merging
+# the blocks into one tree.
+_CHAIN_CHUNK = 192
+
+# The join's DEFAULT vocab-side encoder is the Arrow-batched
+# pandas_udf running the pure-Python fold (bpe_encode — the tested
+# replay of the chain) over the DISTINCT word frame. Python on the
+# hot path is normally forbidden here, but this is the sanctioned
+# shape — vocab-bounded, Zipf-amortized, Arrow-batched — and the r15
+# measurement is unambiguous: the UDF encoder is FLAT in |merges|
+# (0.67/0.61/0.56/0.53/0.58s at 32/89/256/512/2048 rules, sf0.1)
+# while the chunked-JVM-chain alternative grows with every projection
+# block (1.05/1.22/1.46/1.88s, then StackOverflows plan
+# stringification at ~1k rules even chunked) — a plan ARTIFACT, not
+# compute. The chunked chain (_vocab_nsub_chain) stays as a forced
+# strategy so the equivalence matrix can cross-check all tiers
+# JVM-only up to 512 rules.
+
+
+def _vocab_nsub_chain(vocab: DataFrame, merges) -> DataFrame:
+    """(w, w_sub) via the separator chain applied in _CHAIN_CHUNK-deep
+    projection blocks — the JVM-expression vocab encoder for
+    mid-sized merge tables. For a single word (no spaces by
+    split-construction) the count formula collapses to
+    (len(s) - len(lower(w))) / 2."""
+    enc = vocab.select(
+        "w",
+        F.length(F.lower(F.col("w"))).alias("lw"),
+        F.expr(
+            _chain_sql(
+                _SEP_WRAP_SQL.format(x="lower(w)"), merges[:_CHAIN_CHUNK]
+            )
+        ).alias("s"),
+    )
+    for i in range(_CHAIN_CHUNK, len(merges), _CHAIN_CHUNK):
+        enc = enc.select(
+            "w",
+            "lw",
+            F.expr(_chain_sql("s", merges[i : i + _CHAIN_CHUNK])).alias("s"),
+            # second reference to s: CollapseProject only merges a
+            # projection when each alias it inlines is referenced once
+            # (or cheap) — without this guard the blocks re-merge into
+            # ONE tree and a >~1k-rule table StackOverflows the plan
+            # traversal (measured r15)
+            F.length("s").alias("_sep_guard"),
+        )
+    return enc.select(
+        "w",
+        F.expr("CAST((length(s) - lw) / 2 AS BIGINT)").alias("w_sub"),
+    )
+
+
+def _vocab_nsub_udf(vocab: DataFrame, merges) -> DataFrame:
+    """(w, w_sub) via the Arrow-batched pure-Python fold (bpe_encode,
+    the tested replay of the chain) — the production-size vocab
+    encoder: linear in |merges| with no plan artifact to blow up."""
+    from pyspark.sql.functions import pandas_udf
+
+    rules = list(merges)
+
+    @pandas_udf("bigint")
+    def nsub(col):
+        return col.map(lambda w: len(bpe_encode(w.lower(), rules)))
+
+    return vocab.select("w", nsub("w").alias("w_sub"))
+
+
+def per_doc_subwords(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    alias: str = "n_sub",
+    force_join: bool | None = None,
+    vocab_encoder: str | None = None,
+) -> DataFrame:
+    """(doc_id, source, <alias>) — per-document subword counts under
+    the |merges| dispatch (BPE_JOIN_MERGES / BPE_UDF_MERGES above):
+    the map-side whole-text replace chain for contract-sized merge
+    tables; above that, the distinct-word dictionary join — explode to
+    (doc, word) rows, encode each DISTINCT word once (amortizing the
+    rules over the vocabulary instead of every occurrence), join back,
+    re-aggregate per doc. One vocab-keyed shuffle + one doc-keyed
+    shuffle; at 100 TB the vocab side is Zipf-bounded and the join is
+    where a 50k-rule encode stops being corpus-proportional. The
+    vocab-side encoder defaults to the Arrow-batched Python fold
+    (flat in |merges| — see the measurement note above); the chunked
+    JVM chain remains a forced strategy. An empty-string token (from
+    consecutive spaces) encodes to 0 subwords on every path. All
+    tiers are the SAME function — pinned by the forced-strategy
+    matrix in tests/test_bpe.py (the charlm/dedup_clusters pattern).
+    ``force_join`` / ``vocab_encoder`` ('chain' | 'udf') override the
+    dispatch for tests and measurements."""
+    use_join = (
+        len(merges) > BPE_JOIN_MERGES if force_join is None else force_join
+    )
+    if not use_join:
+        return docs.select(
+            "doc_id", "source", doc_nsub_col(merges).alias(alias)
+        )
+    tok = docs.select(
+        "doc_id", "source", F.explode(T.tokens_col()).alias("w")
+    )
+    vocab = tok.select("w").distinct()
+    if vocab_encoder is None:
+        vocab_encoder = "udf"
+    enc = (
+        _vocab_nsub_chain(vocab, merges)
+        if vocab_encoder == "chain"
+        else _vocab_nsub_udf(vocab, merges)
+    )
+    return (
+        tok.join(enc, "w")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w_sub").cast("bigint").alias(alias))
+    )
 
 
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,12 +490,29 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width 32 measured a wash vs 16 at the whole-query level here
     # (r15 pairs: 0.51 vs 0.50) — the encode-only gain drowns in the
     # agg stage's extra task scheduling; default kept
-    per_doc = docs.select(
-        "source",
-        (nspaces + 1).cast("bigint").alias("nw"),
-        (F.length(txt) - nspaces).cast("bigint").alias("nchars"),
-        doc_nsub_col(merges).alias("nsub"),
-    )
+    if len(merges) > BPE_JOIN_MERGES:
+        # production-size merge table: subword counts come from the
+        # dictionary join (see BPE_JOIN_MERGES); nw/nchars stay one
+        # map-side projection and re-join on doc_id (AQE broadcasts
+        # the smaller side when it measures small)
+        per_doc = docs.select(
+            "doc_id",
+            "source",
+            (nspaces + 1).cast("bigint").alias("nw"),
+            (F.length(txt) - nspaces).cast("bigint").alias("nchars"),
+        ).join(
+            per_doc_subwords(docs, merges).select(
+                "doc_id", F.col("n_sub").alias("nsub")
+            ),
+            "doc_id",
+        )
+    else:
+        per_doc = docs.select(
+            "source",
+            (nspaces + 1).cast("bigint").alias("nw"),
+            (F.length(txt) - nspaces).cast("bigint").alias("nchars"),
+            doc_nsub_col(merges).alias("nsub"),
+        )
     return (
         per_doc.groupBy("source")
         .agg(
@@ -497,15 +674,12 @@ def seq_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_merges",
         lambda: _fit_from_corpus(docs),
     )
-    return _seq_pack(
-        # width 16 (default) beats 32 here (r15 pairs: 1.125 vs
-        # 1.224): the encode-only gain of 32 partitions is outweighed
-        # by doubling the shuffle-block count of the immediately
-        # following repartition(bkt, source) exchange
-        docs.select(
-            "doc_id", "source", doc_nsub_col(merges).alias("n_tok")
-        )
-    )
+    # width 16 (default) beats 32 here (r15 pairs: 1.125 vs 1.224):
+    # the encode-only gain of 32 partitions is outweighed by doubling
+    # the shuffle-block count of the immediately following
+    # repartition(bkt, source) exchange. per_doc_subwords dispatches
+    # to the dictionary join above BPE_JOIN_MERGES.
+    return _seq_pack(per_doc_subwords(docs, merges, alias="n_tok"))
 
 
 def _seq_pack_subword_sql(n_merges: int) -> str:
@@ -571,9 +745,7 @@ def source_mix_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_merges",
         lambda: _fit_from_corpus(docs),
     )
-    per_doc = docs.select(
-        "doc_id", "source", doc_nsub_col(merges).alias("n_chars")
-    )
+    per_doc = per_doc_subwords(docs, merges, alias="n_chars")
     budget_rows = _memo_model(
         spark,
         sf_dir,

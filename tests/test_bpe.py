@@ -359,3 +359,96 @@ def test_source_mix_subword_budgets_match_token_stats(spark, sf_smoke):
     floor_src = min(mix.values(), key=lambda r: r["subwords_in"])
     assert floor_src["docs_kept"] == floor_src["docs_in"]
     assert floor_src["subwords_kept"] == floor_src["subwords_in"]
+
+
+def test_per_doc_subwords_join_path_bit_identical(spark, sf_smoke):
+    """The BPE_JOIN_MERGES dispatch (r15): the distinct-word dictionary
+    join and the whole-text replace chain are the SAME function —
+    forced-fallback equivalence on the real fixture corpus under the
+    corpus-fit table, plus synthetic never-matching padding rules to
+    exercise a threshold-crossing table size (the charlm/dedup_clusters
+    forced-strategy pattern)."""
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_smoke, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    merges = B._fit_from_corpus(docs)
+    # padding rules over characters absent from the corpus: replace()
+    # scans but never matches, so the count is unchanged while the
+    # table size crosses the dispatch threshold
+    padded = merges + [(f"§{i}", "¤") for i in range(8)]
+    for table in (merges, padded):
+        chain = {
+            (r["doc_id"]): r["n_sub"]
+            for r in B.per_doc_subwords(
+                docs, table, force_join=False
+            ).collect()
+        }
+        join = {
+            (r["doc_id"]): r["n_sub"]
+            for r in B.per_doc_subwords(
+                docs, table, force_join=True
+            ).collect()
+        }
+        assert chain == join
+    assert len(chain) == docs.count()
+
+
+def test_per_doc_subwords_dispatch_threshold(spark, sf_smoke):
+    """Below BPE_JOIN_MERGES the plan is the map-side chain (no join,
+    no explode); above it, the dictionary join. Structural check on
+    the physical plans, so the dispatch constant cannot silently stop
+    dispatching."""
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_smoke, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    merges = B._fit_from_corpus(docs)
+    small = B.per_doc_subwords(docs, merges)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_small and "Generate" not in plan_small
+
+    big_table = merges + [
+        (f"§{i}", "¤") for i in range(B.BPE_JOIN_MERGES)
+    ]
+    big = B.per_doc_subwords(docs, big_table)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan_big  # the token explode
+    assert "Join" in plan_big
+
+
+def test_per_doc_subwords_strategy_matrix(spark, sf_smoke):
+    """The full forced-strategy matrix: whole-text chain (tier 1),
+    dictionary join with the chunked JVM chain (tier 2), dictionary
+    join with the Arrow-batched Python fold (tier 3) — all the SAME
+    function. Above ~350 nested replace() calls Spark's parser
+    hard-fails (FAILED_TO_PARSE_TOO_COMPLEX, measured r15) and a ~1k
+    tree StackOverflows plan stringification, so tier 2 is probed at
+    512 padded rules and tier 3 at 2048 (padding rules never match, so
+    every count must equal the 89-real-rule chain's)."""
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_smoke, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    merges = B._fit_from_corpus(docs)
+
+    def pad(n):
+        return merges + [(f"§{i}", "¤") for i in range(n - len(merges))]
+
+    def counts(table, **kw):
+        return {
+            r["doc_id"]: r["n_sub"]
+            for r in B.per_doc_subwords(docs, table, **kw).collect()
+        }
+
+    chain = counts(merges, force_join=False)
+    # tier 2 and 3 agree with tier 1 at the fitted size
+    assert counts(merges, force_join=True, vocab_encoder="chain") == chain
+    assert counts(merges, force_join=True, vocab_encoder="udf") == chain
+    # tier 2 at 512 rules (past the single-expression parser limit)
+    assert counts(pad(512), force_join=True, vocab_encoder="chain") == chain
+    # tier 3 at 2048 rules (past the JVM-tree stringification limit)
+    assert counts(pad(2048), force_join=True, vocab_encoder="udf") == chain
