@@ -416,7 +416,7 @@ def per_doc_subwords(
     vocab_encoder: str | None = None,
 ) -> DataFrame:
     """(doc_id, source, <alias>) — per-document subword counts under
-    the |merges| dispatch (BPE_JOIN_MERGES / BPE_UDF_MERGES above):
+    the |merges| dispatch (BPE_JOIN_MERGES above):
     the map-side whole-text replace chain for contract-sized merge
     tables; above that, the distinct-word dictionary join — explode to
     (doc, word) rows, encode each DISTINCT word once (amortizing the
