@@ -1,29 +1,31 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's
-entries (81 since round 14: source_mix_subword completes the fertility
-wiring and ngram_quality lands the hashed-n-gram quality classifier).
-The external correctness gate records the first 50 entries per round,
-so the surplus sits past the cutoff each round; the rotation policy
-keeps every official row as fresh as the window allows:
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 81
+entries. The external correctness gate records the first 50 entries
+per round, so the surplus sits past the cutoff each round; the
+rotation policy keeps every official row as fresh as the window
+allows (pinned by tests/test_survey_contract.py's freshness test
+since r15: an entry whose newest official row is older than 2 rounds
+must sit inside the next window):
 
-- Entries with NO official row ever go FIRST. Round 14:
-  source_mix_subword and ngram_quality (new).
+- Entries with NO official row ever go FIRST (none in round 15).
 - Every entry CHANGED this round must re-certify (its old row
-  certifies code that no longer exists). Round 14: bpe_token_stats +
-  seq_pack_subword (whole-text replace-chain replan), seq_pack
-  (shared _seq_pack touched-and-reverted this round — re-certifying
-  is the conservative call), rep_filter (map-side replan), and
-  corpus_release / corpus_release_temp (consumers of the replanned
-  _rep_per_doc gate).
+  certifies code that no longer exists). Round 15: ngram_quality
+  (map-side scorer replan), source_mix_subword (+ source_mix, the
+  shared _source_mix body), seq_pack_subword + bpe_token_stats (the
+  per_doc_subwords dispatch), seq_pack (shared aggregate fold),
+  pii_scrub (spread).
+- Then the promised refresh queue: the 11 entries whose newest
+  official row is r12 (charlm_score .. ann_sq8).
 - The contract rows Q1-Q28 + wiki stay inside the gate window, as
   every round.
 - The remaining slots refresh the OLDEST official rows, FIFO in tail
-  order: multimodal_bytes through embedding_stats fit this round (the
-  queue the r13 registry promised); charlm_score through ann_sq8
-  head the round-15 refresh queue.
-- The entries that yield are the ones certified green in round 13 —
+  order: the approximate rows-only pair (their err='no_oracle' record
+  is also r12-stale) and incremental_dedup (r13) fit this round;
+  grouped_agg_udf through text_normalize (r13) head the round-16
+  refresh queue.
+- The entries that yield are the r14-certified ones (freshest rows) —
   every oracle-backed one still differentially tested locally on each
   pytest run by tests/test_queries_oracle.py.
 
@@ -48,53 +50,26 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-14 rotation head: never-certified entries first ---
-    # new in round 14: the remaining half of the fertility wiring
-    # (r13 verdict #4) — mixing budgets denominated in BPE subwords —
-    # and the hashed-n-gram quality classifier (the r11-r13 carried
-    # stretch item)
-    "source_mix_subword",
+    # --- round-15 rotation head: CHANGED this round (their old rows
+    # certify code that no longer exists). ngram_quality was replanned
+    # onto the collected-weight map-side scorer; source_mix_subword
+    # onto the memoized-budget single-job audit (its _source_mix body
+    # gained the fused path, so the character-denominated source_mix
+    # re-certifies conservatively too); seq_pack_subword +
+    # bpe_token_stats route through the new per_doc_subwords dispatch
+    # and the spread-then-filter builders; seq_pack's shared _seq_pack
+    # folded its split/fill math into the final aggregate; pii_scrub
+    # gained the spread() repartition ---
     "ngram_quality",
-    # --- CHANGED in round 14 (their old rows certify code that no
-    # longer exists — the registry's changed-this-round policy):
-    # bpe_token_stats + seq_pack_subword were replanned onto the
-    # whole-text replace-chain encode (the r13 verdict's #1/#2);
-    # seq_pack's shared _seq_pack was touched and reverted this round
-    # (re-certify conservatively); rep_filter was replanned map-side
-    # (verdict #3) and
-    # corpus_release / corpus_release_temp consume the same
-    # _rep_per_doc gate ---
-    "bpe_token_stats",
+    "source_mix_subword",
     "seq_pack_subword",
+    "bpe_token_stats",
     "seq_pack",
-    "rep_filter",
-    "corpus_release",
-    "corpus_release_temp",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- remaining slots to 50: the r14 refresh queue the r13
-    # registry promised ("multimodal_bytes yielded its slot;
-    # ann_lsh through pii_scrub head the round-14 refresh"), FIFO ---
-    "multimodal_bytes",
-    "ann_lsh",
-    "ann_ivf",
-    "bm25_rank",
-    "span_removal",
-    "ann_lsh_multiprobe",
-    "temperature_mix",
+    "source_mix",
     "pii_scrub",
-    "distinct_kmv",
-    "ann_pq",
-    "zipf_fit",
-    "length_hist",
-    "embedding_stats",
-    # --- positions 51+: past the cutoff this round. First the
-    # remaining refresh-queue entries (they head the round-15
-    # refresh, FIFO), then the approximate rows-only pair, then the
-    # entries certified green in round 13 — every oracle-backed one
-    # still differentially tested locally on each pytest run by
-    # tests/test_queries_oracle.py ---
+    # --- the round-15 refresh queue the r14 registry promised: the 11
+    # entries whose newest official row is r12 (the freshness test in
+    # tests/test_survey_contract.py now pins this policy) ---
     "charlm_score",
     "shard_manifest",
     "dedup_corpus",
@@ -106,15 +81,26 @@ DECLARATION_ORDER: list[str] = [
     "quantize_embeddings",
     "lang_id_chargram",
     "ann_sq8",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- remaining slots to 50: the approximate rows-only pair (their
+    # official record is the driver's err='no_oracle' rows count,
+    # last stamped r12 — stale under the same policy), then the oldest
+    # oracle-backed official row (r13), FIFO in tail order ---
     "q12_approx",
     "percentiles_approx",
     "incremental_dedup",
+    # --- positions 51+: past the cutoff this round. First the rest of
+    # the r13-certified FIFO (they head the round-16 refresh queue),
+    # then the r14-certified entries (freshest) — every oracle-backed
+    # entry is still differentially tested locally on each pytest run
+    # by tests/test_queries_oracle.py ---
     "grouped_agg_udf",
     "kmeans_clusters",
     "ann_kmeans",
     "sample_hash",
     "simhash_pairs",
-    "source_mix",
     "stratified_sample",
     "tfidf_topterms",
     "semantic_dedup",
@@ -126,6 +112,21 @@ DECLARATION_ORDER: list[str] = [
     "grouped_zscore",
     "doc_fingerprint",
     "text_normalize",
+    "rep_filter",
+    "corpus_release",
+    "corpus_release_temp",
+    "multimodal_bytes",
+    "ann_lsh",
+    "ann_ivf",
+    "bm25_rank",
+    "span_removal",
+    "ann_lsh_multiprobe",
+    "temperature_mix",
+    "distinct_kmv",
+    "ann_pq",
+    "zipf_fit",
+    "length_hist",
+    "embedding_stats",
 ]
 
 _declared = QueryRegistry()

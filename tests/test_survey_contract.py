@@ -65,3 +65,57 @@ def test_survey_contract_matches_registry():
         f"{sorted(missing_from_registry)}"
     )
     assert len(declared) == len(registered)
+
+
+def test_certification_rotation_keeps_official_rows_fresh():
+    """The r14 verdict's staleness finding, turned into a red test: the
+    external gate records only the FIRST 50 registry entries per round
+    (CORRECTNESS_r{N}.json), so DECLARATION_ORDER is a certification
+    rotation. Policy: no oracle-backed query's newest official row may
+    be older than 2 rounds *looking forward* — i.e. given the history
+    through round R, every entry whose newest green row is <= R-2 must
+    sit INSIDE the next gate window (the first 50 names), and an entry
+    with no official row ever must too. (Entries at exactly R-1/R can
+    wait; rows-only approximate entries are exempt from hashing but
+    still get recorded rows, so they participate.)"""
+    import json
+
+    root = Path(__file__).resolve().parent.parent
+    history: dict[int, set[str]] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", f.name).group(1))
+        data = json.loads(f.read_text())
+        history[n] = {
+            name
+            for name, row in data.items()
+            if isinstance(row, dict)
+            and (
+                not row.get("err")
+                # the rows-only record for oracle-less approximate
+                # entries: err='no_oracle' with a counted result IS
+                # their official row
+                or (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+            )
+        }
+    assert history, "no CORRECTNESS_r*.json history found"
+    latest = max(history)
+    from etl_wikipedia_updates_spark.registry import DECLARATION_ORDER
+
+    window = set(DECLARATION_ORDER[:50])
+    stale = []
+    for name in REGISTRY.queries:
+        newest = max(
+            (n for n, names in history.items() if name in names),
+            default=None,
+        )
+        if newest is None or newest <= latest - 2:
+            if name not in window:
+                stale.append((name, newest))
+    assert not stale, (
+        "entries with official rows older than 2 rounds (or none) are "
+        f"outside the next 50-entry gate window: {sorted(stale)} — "
+        "move them to the head of DECLARATION_ORDER"
+    )
