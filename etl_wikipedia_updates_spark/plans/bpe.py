@@ -50,10 +50,11 @@ sf0.1 (SCALE.md r14):
   final per-source/per-doc aggregate; cost linear in corpus bytes x
   |merges|, embarrassingly parallel at any corpus size. The trade is
   |merges|: at BPE_MERGES=32 the map-side chain wins outright; a
-  real 50k-rule tokenizer would flip the trade back to the
-  dictionary join (each occurrence of a Zipf-head word re-pays the
-  chain that the dictionary amortizes) — that crossover is a
-  documented constant, not a scaling cliff.
+  real 50k-rule tokenizer flips the trade back to the dictionary
+  join (each occurrence of a Zipf-head word re-pays the chain that
+  the dictionary amortizes) — since r15 that flip is LIVE CODE, the
+  per_doc_subwords dispatch below (BPE_JOIN_MERGES, with an
+  Arrow-batched vocab encoder measured flat in |merges|).
 The per-source audit is then a |sources|-key aggregation with
 map-side partials; the packing audit feeds per-doc counts straight
 into the shared _seq_pack prefix sum.
@@ -204,6 +205,21 @@ def encode_col(col: str | Column, merges: list[tuple[str, str]]) -> Column:
 _SEP_WRAP_SQL = "regexp_replace({x}, '(?s)(.)', ' $1 ')"
 
 
+def _validate_merges(merges: list[tuple[str, str]]) -> None:
+    """The boundary invariant of the separator encode requires every
+    merge token to be space-free (rules learned from space-split words
+    always are; a caller-supplied rule containing ' ' would silently
+    corrupt the count by bridging the wrap spaces — and silently
+    diverge from the Python-fold tier). Shared by every encode path."""
+    for a, b in merges:
+        if " " in a or " " in b:
+            raise ValueError(
+                f"BPE merge rule ({a!r}, {b!r}) contains a space; "
+                "merge tokens must be space-free for the "
+                "separator-string encode to be exact"
+            )
+
+
 def _chain_sql(inner: str, merges: list[tuple[str, str]]) -> str:
     """One replace() call per merge rule, nested around ``inner`` —
     the shared chain builder for doc_nsub_col (whole text, all rules
@@ -278,17 +294,7 @@ def doc_nsub_col(
     inside the literal — pinned by the hostile-token test), and
     lower(text) is bound as a lambda variable so it evaluates once per
     row."""
-    # The boundary invariant above requires every merge token to be
-    # space-free (rules learned from space-split words always are; a
-    # caller-supplied rule containing ' ' would silently corrupt the
-    # count by bridging the wrap spaces) — fail loudly instead.
-    for a, b in merges:
-        if " " in a or " " in b:
-            raise ValueError(
-                f"doc_nsub_col merge rule ({a!r}, {b!r}) contains a "
-                "space; merge tokens must be space-free for the "
-                "separator-string encode to be exact"
-            )
+    _validate_merges(merges)  # fail loudly on space-carrying rules
     s = _chain_sql(_SEP_WRAP_SQL.format(x="x"), merges)
     inner = (
         f"CAST(((length({s}) - length(x)) / 2) - "
@@ -431,7 +437,14 @@ def per_doc_subwords(
     tiers are the SAME function — pinned by the forced-strategy
     matrix in tests/test_bpe.py (the charlm/dedup_clusters pattern).
     ``force_join`` / ``vocab_encoder`` ('chain' | 'udf') override the
-    dispatch for tests and measurements."""
+    dispatch for tests and measurements.
+
+    PRECONDITION: ``docs`` must already be filtered to text IS NOT
+    NULL (every caller is). A NULL-text doc would otherwise DIVERGE
+    between tiers — the chain keeps it with a NULL count while the
+    join's explode drops it (the engine's documented NULL-text trap
+    class)."""
+    _validate_merges(merges)  # all tiers share the space-free contract
     use_join = (
         len(merges) > BPE_JOIN_MERGES if force_join is None else force_join
     )
