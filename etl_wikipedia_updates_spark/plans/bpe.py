@@ -129,9 +129,57 @@ def bpe_fit(word_freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[str,
 
 def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Python replay of the engine encode: rules in rank order, each a
-    single left-to-right fold. Used by tests, not by the Spark plan."""
+    single left-to-right fold. THE sequential spec (what the oracle
+    CTEs and the separator chain compute); O(|merges| x len) per word,
+    so tests and small tables only — the UDF tier encodes with
+    bpe_encode_ranked below."""
     toks = list(word)
     for a, b in merges:
+        out: list[str] = []
+        for x in toks:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        toks = out
+    return toks
+
+
+def bpe_encode_ranked(
+    word: str, rank: dict[tuple[str, str], int]
+) -> list[str]:
+    """The production encoder (the GPT-2-tokenizer shape): repeatedly
+    take the LOWEST-RANK merge rule whose pair is adjacent anywhere in
+    the word and apply it as one greedy left-to-right pass; stop when
+    no present pair is in the table. Cost is O(len x applied_rules x
+    log) regardless of TABLE size — a 50k-rule table costs dict
+    lookups on the pairs actually present, where the sequential fold
+    (bpe_encode) pays a full pass per RULE.
+
+    Equivalence to the sequential spec holds for every FIT-PRODUCED
+    table (bpe_fit here, or any standard BPE trainer): applying rule k
+    can only create adjacencies that involve its merged token a||b,
+    and a||b enters the token universe at step k — so no rule j < k
+    can name it, and once the rules below k are exhausted they stay
+    exhausted. Min-rank-first therefore visits rules in exactly the
+    sequential order, and the one-pass-per-rule completeness argument
+    (see bpe_fit) makes each visit exhaustive. An ARBITRARY rule list
+    (e.g. one whose later rule re-creates an earlier rule's pair) can
+    diverge — per_doc_subwords' contract is fit-produced tables, and
+    the hypothesis property test pins the equivalence on random
+    fit-produced tables plus adversarial corpora."""
+    toks = list(word)
+    while len(toks) > 1:
+        best = None
+        best_pair = None
+        for i in range(len(toks) - 1):
+            p = (toks[i], toks[i + 1])
+            r = rank.get(p)
+            if r is not None and (best is None or r < best):
+                best, best_pair = r, p
+        if best_pair is None:
+            break
+        a, b = best_pair
         out: list[str] = []
         for x in toks:
             if out and out[-1] == a and x == b:
@@ -400,16 +448,20 @@ def _vocab_nsub_chain(vocab: DataFrame, merges) -> DataFrame:
 
 
 def _vocab_nsub_udf(vocab: DataFrame, merges) -> DataFrame:
-    """(w, w_sub) via the Arrow-batched pure-Python fold (bpe_encode,
-    the tested replay of the chain) — the production-size vocab
-    encoder: linear in |merges| with no plan artifact to blow up."""
+    """(w, w_sub) via the Arrow-batched ranked-pair encoder
+    (bpe_encode_ranked — the GPT-2-tokenizer shape, equivalent to the
+    sequential spec on fit-produced tables; see its docstring) — the
+    production-size vocab encoder: table size costs one dict build per
+    executor batch, per-word cost depends only on the pairs actually
+    present. Functional at 50k rules where every expression-tree
+    encode is impossible (measured r15)."""
     from pyspark.sql.functions import pandas_udf
 
-    rules = list(merges)
+    rank = {pair: i for i, pair in enumerate(merges)}
 
     @pandas_udf("bigint")
     def nsub(col):
-        return col.map(lambda w: len(bpe_encode(w.lower(), rules)))
+        return col.map(lambda w: len(bpe_encode_ranked(w.lower(), rank)))
 
     return vocab.select("w", nsub("w").alias("w_sub"))
 

@@ -452,3 +452,31 @@ def test_per_doc_subwords_strategy_matrix(spark, sf_smoke):
     assert counts(pad(512), force_join=True, vocab_encoder="chain") == chain
     # tier 3 at 2048 rules (past the JVM-tree stringification limit)
     assert counts(pad(2048), force_join=True, vocab_encoder="udf") == chain
+
+
+def test_per_doc_subwords_functional_at_50k_rules(spark, sf_smoke):
+    """The production-size claim, pinned: a 50,000-rule merge table
+    dispatches to the join + ranked-encoder tier, completes, and (the
+    padding rules never matching — they never participate in either
+    encoder, so the fit-table equivalence is unaffected) counts
+    exactly what the real fitted table counts. Every expression-tree
+    encode is structurally impossible at this size (parser /
+    stringification ceilings, SCALE.md r15)."""
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_smoke, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    merges = B._fit_from_corpus(docs)
+    big = merges + [
+        (f"§{i}", "¤") for i in range(50_000 - len(merges))
+    ]
+    chain = {
+        r["doc_id"]: r["n_sub"]
+        for r in B.per_doc_subwords(docs, merges, force_join=False).collect()
+    }
+    got = {
+        r["doc_id"]: r["n_sub"]
+        for r in B.per_doc_subwords(docs, big).collect()  # auto-dispatch
+    }
+    assert got == chain

@@ -832,3 +832,32 @@ def test_doc_nsub_col_matches_python_on_random_corpora(
             for w in r["text"].lower().split(" ")
         )
         assert r["n"] == want, (repr(r["text"]), merges)
+
+
+@given(corpus=_bpe_corpus, n_merges=st.integers(min_value=0, max_value=10))
+@settings(max_examples=60, deadline=None)
+def test_ranked_encoder_matches_sequential_on_fit_tables(corpus, n_merges):
+    """bpe_encode_ranked (the production min-rank encoder the UDF tier
+    runs) equals the sequential-fold spec on every FIT-PRODUCED table
+    — the equivalence its docstring argues (a rule's merged token
+    enters the universe at its own rank, so no earlier rule can name
+    it and exhausted rules stay exhausted). Pure Python, no Spark —
+    random adversarial corpora (overlap chains, empty words, hostile
+    chars) drive both encoders over every corpus word AND every
+    prefix of the merge table (prefixes of a fit table are fit tables
+    of the same corpus)."""
+    from collections import Counter
+
+    from etl_wikipedia_updates_spark.plans import bpe as B
+
+    freqs = Counter(w for ws in corpus for w in ws)
+    merges = B.bpe_fit(sorted(freqs.items()), n_merges)
+    words = {w for ws in corpus for w in ws}
+    for k in range(len(merges) + 1):
+        table = merges[:k]
+        rank = {pair: i for i, pair in enumerate(table)}
+        for w in words:
+            assert B.bpe_encode_ranked(w, rank) == B.bpe_encode(w, table), (
+                w,
+                table,
+            )
