@@ -114,6 +114,23 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         # stays out: the fixture has no embeddings table.
         "length_hist",
         "zipf_fit",
+        # r15: the BPE/classifier/release family joins — the playbook's
+        # standing latent-trap class is exactly NULL-text divergence
+        # between map-side plans and explode-based oracles, and none of
+        # these were hardened before (the r14 self-review found a real
+        # _rep_per_doc NULL bug this fixture would have caught)
+        "bpe_token_stats",
+        "seq_pack_subword",
+        "source_mix_subword",
+        "ngram_quality",
+        "rep_filter",
+        "text_normalize",
+        "doc_fingerprint",
+        "tfidf_topterms",
+        "simhash_pairs",
+        "corpus_release",
+        "corpus_release_temp",
+        "dedup_clusters",
     ]
     failures = []
     for name in hardened:
