@@ -2659,10 +2659,14 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _seq_pack(docs: DataFrame) -> DataFrame:
-    """The packing audit over a (doc_id, source, n_tok) frame — split
-    out so tests can drive it with synthetic id distributions (e.g.
-    negative ids) against the single-stream reference."""
+def _seq_pack_cum(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok, cum) — each document's EXCLUSIVE-END
+    running token total within its source's doc_id-ordered stream, via
+    the two-phase distributed prefix sum. The shared core of _seq_pack
+    (which aggregates it into the audit card) and pack_assignments
+    (which emits the per-doc sequence map a dataloader consumes), so
+    the audit and the assignments can never disagree on packing
+    math."""
     # Range-bucket on doc_id via (bit_length, top bits): monotone in
     # doc_id, so per-source concatenation order is preserved across
     # bucket boundaries — see SEQ_PACK_SUB_BITS. bin()/shiftright are
@@ -2708,14 +2712,22 @@ def _seq_pack(docs: DataFrame) -> DataFrame:
     # probe branch: broadcast join preserves the streamed side's
     # partitioning, so the intra-bucket window needs only a sort
     wi = W.partitionBy("bkt", "source").orderBy("doc_id")
-    per = (
+    return (
         rep.join(F.broadcast(off), ["bkt", "source"])
         .select(
+            "doc_id",
             "source",
             "n_tok",
             (F.col("off") + F.sum("n_tok").over(wi)).alias("cum"),
         )
     )
+
+
+def _seq_pack(docs: DataFrame) -> DataFrame:
+    """The packing audit over a (doc_id, source, n_tok) frame — split
+    out so tests can drive it with synthetic id distributions (e.g.
+    negative ids) against the single-stream reference."""
+    per = _seq_pack_cum(docs)
     # split flag and fill fraction fold INTO the aggregate (r15: each
     # extra DataFrame op re-analyzes the whole child tree — two fewer
     # ops measured ~0.05-0.1s off every eager rebuild of the subword
@@ -2783,6 +2795,57 @@ SEQ_PACK_SQL = seq_pack_sql_from(
   FROM documents WHERE text IS NOT NULL
 """
 )
+
+
+def pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUMABLE half of seq_pack: per document, which fixed-
+    SEQ_LEN training sequence of its source's stream the doc starts in
+    (seq_first), ends in (seq_last — greater means the doc is split
+    across a boundary), and at what token offset it begins
+    (tok_offset) — the (doc -> sequence, offset) map a dataloader or
+    packed-materialization writer actually consumes; seq_pack's audit
+    card is this frame's aggregate. All integer arithmetic over the
+    SAME _seq_pack_cum prefix sum (shared code, so the audit and the
+    assignments cannot disagree); integer `div`/`%` on both engines,
+    so the map is hash-exact. Scale shape: identical to seq_pack (the
+    one (bkt, source) shuffle + tiny offsets broadcast) with NO extra
+    shuffle — the per-doc projection is map-side over the window
+    output; the total order by doc_id is the contract artifact (a
+    production writer would repartition by (source, seq_first div
+    SEQS_PER_FILE) instead — operators.layout's job)."""
+    per = _seq_pack_cum(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.size(T.tokens_col()).alias("n_tok"))
+    )
+    return per.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(n_tok AS BIGINT) AS n_tok",
+        f"CAST((cum - n_tok) div {SEQ_LEN} AS BIGINT) AS seq_first",
+        f"CAST((cum - 1) div {SEQ_LEN} AS BIGINT) AS seq_last",
+        f"CAST((cum - n_tok) % {SEQ_LEN} AS BIGINT) AS tok_offset",
+    ).transform(total_order, "doc_id")
+
+
+PACK_ASSIGNMENTS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((cum - n_tok) // {SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((cum - 1) // {SEQ_LEN} AS BIGINT) AS seq_last,
+       CAST((cum - n_tok) % {SEQ_LEN} AS BIGINT) AS tok_offset
+FROM per ORDER BY doc_id
+"""
 
 
 # --- span_dedup: substring-level duplicated-span audit ------------------------
@@ -3468,5 +3531,11 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         seq_pack,
         SEQ_PACK_SQL,
         "GPT-style sequence-packing audit (concat-then-chunk)",
+    ),
+    DeclaredQuery(
+        "pack_assignments",
+        pack_assignments,
+        PACK_ASSIGNMENTS_SQL,
+        "per-doc (sequence, offset) packing map — seq_pack's consumable half",
     ),
 ]

@@ -1,7 +1,7 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 81
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 82
 entries. The external correctness gate records the first 50 entries
 per round, so the surplus sits past the cutoff each round; the
 rotation policy keeps every official row as fresh as the window
@@ -9,7 +9,8 @@ allows (pinned by tests/test_survey_contract.py's freshness test
 since r15: an entry whose newest official row is older than 2 rounds
 must sit inside the next window):
 
-- Entries with NO official row ever go FIRST (none in round 15).
+- Entries with NO official row ever go FIRST. Round 15:
+  pack_assignments (new — seq_pack's consumable per-doc map).
 - Every entry CHANGED this round must re-certify (its old row
   certifies code that no longer exists). Round 15: ngram_quality
   (map-side scorer replan), source_mix_subword (+ source_mix, the
@@ -22,9 +23,8 @@ must sit inside the next window):
   every round.
 - The remaining slots refresh the OLDEST official rows, FIFO in tail
   order: the approximate rows-only pair (their err='no_oracle' record
-  is also r12-stale) and incremental_dedup (r13) fit this round;
-  grouped_agg_udf through text_normalize (r13) head the round-16
-  refresh queue.
+  is also r12-stale) fits this round; incremental_dedup through
+  text_normalize (r13) head the round-16 refresh queue.
 - The entries that yield are the r14-certified ones (freshest rows) —
   every oracle-backed one still differentially tested locally on each
   pytest run by tests/test_queries_oracle.py.
@@ -60,6 +60,7 @@ DECLARATION_ORDER: list[str] = [
     # and the spread-then-filter builders; seq_pack's shared _seq_pack
     # folded its split/fill math into the final aggregate; pii_scrub
     # gained the spread() repartition ---
+    "pack_assignments",
     "ngram_quality",
     "source_mix_subword",
     "seq_pack_subword",
@@ -90,12 +91,13 @@ DECLARATION_ORDER: list[str] = [
     # oracle-backed official row (r13), FIFO in tail order ---
     "q12_approx",
     "percentiles_approx",
+    # --- positions 51+: past the cutoff this round (incremental_dedup
+    # yielded its slot to the new pack_assignments; its r13 row is not
+    # yet stale at this gate and it heads the round-16 refresh queue
+    # with the rest of the r13 FIFO). Every oracle-backed entry is
+    # still differentially tested locally on each pytest run by
+    # tests/test_queries_oracle.py ---
     "incremental_dedup",
-    # --- positions 51+: past the cutoff this round. First the rest of
-    # the r13-certified FIFO (they head the round-16 refresh queue),
-    # then the r14-certified entries (freshest) — every oracle-backed
-    # entry is still differentially tested locally on each pytest run
-    # by tests/test_queries_oracle.py ---
     "grouped_agg_udf",
     "kmeans_clusters",
     "ann_kmeans",

@@ -105,6 +105,14 @@ CASES = [
         ["hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
         ["Generate", "hashpartitioning(doc_id", "SortMergeJoin"],
     ),
+    # pack_assignments (r15): seq_pack's consumable half rides the SAME
+    # _seq_pack_cum prefix sum — identical shuffle contract, and the
+    # per-doc projection adds no exchange
+    (
+        "pack_assignments",
+        ["hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
+        ["Generate", "hashpartitioning(doc_id", "SortMergeJoin"],
+    ),
     # span_dedup (r8): ONE Generate (span rows at stride), one
     # h-keyed window shuffle for the cross-doc mark, partial aggs —
     # no joins anywhere (a join of spans to a dup-hash set would be
@@ -312,3 +320,33 @@ def test_incremental_dedup_single_vs_join(spark, sf_smoke):
         "CartesianProductExec",
         "BroadcastNestedLoopJoinExec",
     ), joins
+
+
+def test_pack_assignments_aggregates_to_seq_pack_audit(spark, sf_smoke):
+    """pack_assignments and seq_pack are two views of ONE prefix sum
+    (_seq_pack_cum): re-aggregating the per-doc map must reproduce the
+    audit card exactly — n_docs, total_tokens, split count (seq_last >
+    seq_first), and n_seqs (max seq_last + 1 per source)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        pack_assignments,
+        seq_pack,
+    )
+
+    audit = {r["source"]: r for r in seq_pack(spark, sf_smoke).collect()}
+    asg = pack_assignments(spark, sf_smoke).collect()
+    by_src: dict = {}
+    for r in asg:
+        a = by_src.setdefault(
+            r["source"], {"n": 0, "tok": 0, "split": 0, "maxseq": -1}
+        )
+        a["n"] += 1
+        a["tok"] += r["n_tok"]
+        a["split"] += int(r["seq_last"] > r["seq_first"])
+        a["maxseq"] = max(a["maxseq"], r["seq_last"])
+        assert 0 <= r["tok_offset"] < 512
+    assert set(by_src) == set(audit)
+    for s, a in by_src.items():
+        assert a["n"] == audit[s]["n_docs"], s
+        assert a["tok"] == audit[s]["total_tokens"], s
+        assert a["split"] == audit[s]["n_split_docs"], s
+        assert a["maxseq"] + 1 == audit[s]["n_seqs"], s

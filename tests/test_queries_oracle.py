@@ -131,6 +131,7 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         "corpus_release",
         "corpus_release_temp",
         "dedup_clusters",
+        "pack_assignments",
     ]
     failures = []
     for name in hardened:

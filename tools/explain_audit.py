@@ -51,6 +51,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "hashpartitioning(doc_id"],
     ),
     "span_dedup": (["Generate", "hashpartitioning(h", "Window"], ["Join"]),
+    # r15: seq_pack's consumable half — same prefix-sum contract
+    "pack_assignments": (
+        ["hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
+        ["Generate", "hashpartitioning(doc_id", "SortMergeJoin"],
+    ),
     # r10: same span core, then one doc_id agg + corpus join back
     "span_removal": (
         ["Generate", "hashpartitioning(h", "Window"],
