@@ -2715,9 +2715,10 @@ def _seq_pack_cum(docs: DataFrame) -> DataFrame:
     return (
         rep.join(F.broadcast(off), ["bkt", "source"])
         .select(
-            "doc_id",
-            "source",
-            "n_tok",
+            # every input column rides through (packed_sequences needs
+            # the token array beside the prefix sum; _seq_pack and
+            # pack_assignments pass exactly (doc_id, source, n_tok))
+            *docs.columns,
             (F.col("off") + F.sum("n_tok").over(wi)).alias("cum"),
         )
     )
@@ -2826,6 +2827,72 @@ def pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST((cum - 1) div {SEQ_LEN} AS BIGINT) AS seq_last",
         f"CAST((cum - n_tok) % {SEQ_LEN} AS BIGINT) AS tok_offset",
     ).transform(total_order, "doc_id")
+
+
+def packed_sequences(docs: DataFrame) -> DataFrame:
+    """MATERIALIZE the packed stream: one row per fixed-SEQ_LEN
+    training sequence — (source, seq_id, n_tokens, text) with text the
+    sequence's space-joined tokens in corpus order. The end of the
+    packing story: seq_pack audits it, pack_assignments maps docs into
+    it, this emits the sequences a dataloader reads (write with
+    ``df.write.partitionBy("source")`` or operators.layout's sharded
+    writer). Only each source's final sequence may carry fewer than
+    SEQ_LEN tokens.
+
+    Scale shape — FRAGMENT-level, never token-level: each doc emits
+    one row per sequence it overlaps (ceil(n_tok/SEQ_LEN) + 1 worst
+    case, i.e. ~n_tok/SEQ_LEN rows per doc instead of n_tok), carrying
+    the doc-relative token SLICE map-side (the token array is bound
+    once as a lambda variable). The assembly shuffle is keyed on
+    (source, seq_id) — high-cardinality and skew-free by construction
+    (every group holds <= SEQ_LEN tokens across a handful of
+    fragments) — and each sequence concatenates its fragments by
+    their global start offset (array_sort on the struct's leading
+    field). So the corpus text crosses the wire exactly once, in
+    fragments, and no single task ever holds more than a sequence.
+    Pytest-verified (round-trip + exact-length properties in
+    tests/test_plans.py); no tabular oracle — the registered
+    seq_pack/pack_assignments pair hash-certifies the same prefix-sum
+    math this view materializes."""
+    per = _seq_pack_cum(
+        docs.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            "source",
+            F.size(T.tokens_col()).alias("n_tok"),
+            T.tokens_col().alias("toks"),
+        )
+    )
+    L = SEQ_LEN
+    frags = (
+        f"transform(sequence((cum - n_tok) div {L}, (cum - 1) div {L}), "
+        f"k -> named_struct("
+        f"'seq_id', k, "
+        f"'fp', greatest(k * {L}, cum - n_tok), "
+        f"'toks', slice(toks, "
+        f"CAST(greatest(k * {L} - (cum - n_tok), 0) + 1 AS INT), "
+        f"CAST(least((k + 1) * {L}, cum) "
+        f"- greatest(k * {L}, cum - n_tok) AS INT))))"
+    )
+    ex = per.select(
+        "source", F.explode(F.expr(frags)).alias("f")
+    ).select(
+        "source",
+        F.col("f.seq_id").alias("seq_id"),
+        F.col("f.fp").alias("fp"),
+        F.col("f.toks").alias("toks"),
+    )
+    assembled = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("fp"), F.col("toks")))
+            ),
+            lambda s: s["toks"],
+        )
+    )
+    return ex.groupBy("source", "seq_id").agg(
+        F.size(assembled).alias("n_tokens"),
+        F.array_join(assembled, " ").alias("text"),
+    )
 
 
 PACK_ASSIGNMENTS_SQL = f"""

@@ -350,3 +350,49 @@ def test_pack_assignments_aggregates_to_seq_pack_audit(spark, sf_smoke):
         assert a["tok"] == audit[s]["total_tokens"], s
         assert a["split"] == audit[s]["n_split_docs"], s
         assert a["maxseq"] + 1 == audit[s]["n_seqs"], s
+
+
+def test_packed_sequences_roundtrip_and_lengths(spark, sf_smoke):
+    """packed_sequences materializes exactly the stream the audit
+    sizes: per source, (a) the sequence count equals seq_pack's
+    n_seqs, (b) every sequence except the last carries exactly
+    SEQ_LEN tokens (the last carries total mod SEQ_LEN, unless 0),
+    and (c) concatenating sequences in seq_id order reproduces the
+    concatenation of the source's docs in doc_id order token for
+    token — the round-trip that proves no fragment was lost,
+    duplicated, or reordered."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SEQ_LEN,
+        packed_sequences,
+        seq_pack,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_smoke, "documents"))
+    packed = packed_sequences(docs).collect()
+    audit = {r["source"]: r for r in seq_pack(spark, sf_smoke).collect()}
+
+    by_src: dict = {}
+    for r in packed:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(audit)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        assert len(rows) == audit[src]["n_seqs"]
+        for r in rows[:-1]:
+            assert r["n_tokens"] == SEQ_LEN, (src, r["seq_id"])
+        total = audit[src]["total_tokens"]
+        assert rows[-1]["n_tokens"] == (total - 1) % SEQ_LEN + 1
+        got_stream = " ".join(r["text"] for r in rows).split(" ")
+        want_stream = []
+        for d in sorted(
+            (
+                r
+                for r in docs.filter(docs.text.isNotNull()).collect()
+                if r["source"] == src
+            ),
+            key=lambda r: r["doc_id"],
+        ):
+            want_stream.extend(d["text"].lower().split(" "))
+        assert got_stream == want_stream, src
