@@ -13,6 +13,9 @@ pipeline, graceful shutdown).
     python -m etl_wikipedia_updates_spark index build|append|query|stats
         --root DIR [--vectors PARQUET]  # persistent IVF index lifecycle
                                   # (stats: per-cell balance readout)
+    python -m etl_wikipedia_updates_spark pack --out DIR [--verify]
+                                  # materialize / verify the packed
+                                  # fixed-SEQ_LEN training stream
     python -m etl_wikipedia_updates_spark sse --url URL --sink DIR
         [--max-batches N]         # live SSE ingest (R1-R3, R15)
     python -m etl_wikipedia_updates_spark dashboard --sink DIR
@@ -89,6 +92,80 @@ def cmd_release(args) -> int:
         quality_classifier=args.quality_classifier,
     )
     print(json.dumps(out))
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Materialize the packed training stream (packed_sequences) as
+    parquet partitioned by source, or --verify a written directory
+    against the seq_pack audit recomputed from the corpus: per source,
+    the written sequence count, token total, and exact-SEQ_LEN body
+    lengths must match the audit card — the verify-after-write pattern
+    write_sharded/write_release use."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SEQ_LEN,
+        packed_sequences,
+        seq_pack,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    spark = _spark()
+    audit = {
+        r["source"]: r for r in seq_pack(spark, args.sf_dir).collect()
+    }
+    if args.verify:
+        got = {
+            r["source"]: r
+            for r in spark.read.parquet(args.out)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_seqs"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.sum(
+                    F.when(F.col("n_tokens") != SEQ_LEN, 1).otherwise(0)
+                ).alias("short_seqs"),
+            )
+            .collect()
+        }
+        mismatches = []
+        for src, a in audit.items():
+            g = got.get(src)
+            if (
+                g is None
+                or g["n_seqs"] != a["n_seqs"]
+                or g["total_tokens"] != a["total_tokens"]
+                or g["short_seqs"] > 1  # only the final partial sequence
+            ):
+                mismatches.append(src)
+        out = {
+            "ok": not mismatches and set(got) == set(audit),
+            "sources": len(audit),
+            "mismatches": sorted(mismatches),
+        }
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
+    docs = spread(load_table(spark, args.sf_dir, "documents"))
+    packed = packed_sequences(docs)
+    packed.write.mode("overwrite").partitionBy("source").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "seq_len": SEQ_LEN,
+                "sources": {
+                    s: {
+                        "n_seqs": int(a["n_seqs"]),
+                        "total_tokens": int(a["total_tokens"]),
+                    }
+                    for s, a in audit.items()
+                },
+            }
+        )
+    )
     return 0
 
 
@@ -570,6 +647,21 @@ def main(argv: list[str] | None = None) -> int:
         "instead of writing",
     )
 
+    pk = sub.add_parser(
+        "pack",
+        help="materialize the packed training stream (fixed-SEQ_LEN "
+        "sequences, parquet partitioned by source) or verify a "
+        "written directory against the seq_pack audit",
+    )
+    pk.add_argument("--out", required=True, help="output parquet dir")
+    pk.add_argument("--sf-dir", default=sf_default)
+    pk.add_argument(
+        "--verify",
+        action="store_true",
+        help="recompute per-source sequence counts / token totals from "
+        "the written files and compare to the audit (exit 1 on "
+        "mismatch) instead of writing",
+    )
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"
     )
@@ -701,6 +793,7 @@ def main(argv: list[str] | None = None) -> int:
         "run": cmd_run,
         "sql": cmd_sql,
         "release": cmd_release,
+        "pack": cmd_pack,
         "shard": cmd_shard,
         "index": cmd_index,
         "dedup-ingest": cmd_dedup_ingest,

@@ -615,3 +615,33 @@ def test_cli_shard_write_and_verify(spark, sf_smoke, tmp_path, capsys):
     )[0]
     shutil.rmtree(os.path.join(vdir, victim))
     assert main(["shard", "--out", root, "--verify"]) == 1
+
+
+def test_cli_pack_write_and_verify(spark, sf_smoke, tmp_path, capsys):
+    """`pack` materializes the packed stream and `pack --verify`
+    recomputes the per-source counts from the WRITTEN files against
+    the seq_pack audit — then a tampered directory must fail."""
+    import json
+
+    out = str(tmp_path / "packed")
+    assert main(["pack", "--out", out, "--sf-dir", sf_smoke]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seq_len"] == 512
+    assert summary["sources"]
+
+    assert main(["pack", "--out", out, "--sf-dir", sf_smoke, "--verify"]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["ok"] and not v["mismatches"]
+
+    # tamper: drop one source's files entirely
+    import shutil
+
+    victim = next(
+        d
+        for d in __import__("os").listdir(out)
+        if d.startswith("source=")
+    )
+    shutil.rmtree(out + "/" + victim)
+    assert main(["pack", "--out", out, "--sf-dir", sf_smoke, "--verify"]) == 1
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not v["ok"]
