@@ -2842,8 +2842,9 @@ def packed_sequences(docs: DataFrame) -> DataFrame:
     Scale shape — FRAGMENT-level, never token-level: each doc emits
     one row per sequence it overlaps (ceil(n_tok/SEQ_LEN) + 1 worst
     case, i.e. ~n_tok/SEQ_LEN rows per doc instead of n_tok), carrying
-    the doc-relative token SLICE map-side (the token array is bound
-    once as a lambda variable). The assembly shuffle is keyed on
+    the doc-relative token SLICE map-side (the token array rides the
+    prefix-sum exchange as a materialized column, so slicing reads it
+    without re-splitting text). The assembly shuffle is keyed on
     (source, seq_id) — high-cardinality and skew-free by construction
     (every group holds <= SEQ_LEN tokens across a handful of
     fragments) — and each sequence concatenates its fragments by
