@@ -2896,6 +2896,36 @@ def packed_sequences(docs: DataFrame) -> DataFrame:
     )
 
 
+# DuckDB twin of packed_sequences — not yet a registered oracle (the
+# r15 window is full; the freshness test caps never-certified
+# additions at the head slots available), but differentially tested
+# every pytest run (tests/test_queries_oracle.py) so registering it in
+# r16 is one DeclaredQuery line. Token-level unnest is fine HERE (the
+# oracle is a single-node reference, not the scale path); string_agg
+# with ORDER BY pos makes the per-sequence text deterministic.
+PACKED_SEQUENCES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT source, toks, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+),
+tok AS (
+  SELECT source, cum - n_tok + u.i AS pos, toks[u.i + 1] AS t
+  FROM per, unnest(range(n_tok)) AS u(i)
+)
+SELECT source, CAST(pos // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(t, ' ' ORDER BY pos) AS text
+FROM tok GROUP BY source, seq_id ORDER BY source, seq_id
+"""
+
+
 PACK_ASSIGNMENTS_SQL = f"""
 WITH base AS (
   SELECT doc_id, source,

@@ -172,3 +172,26 @@ def test_canon_cell_handles_array_cells():
     assert _canon_cell([np.float64(2.0), None]) == (2.0, None)
     assert _canon_cell(np.int64(3)) == 3  # scalars still unwrap
     assert _canon_cell(np.array([5])) == (5,)  # size-1 array stays an array
+
+
+def test_packed_sequences_matches_duckdb(spark, sf_smoke):
+    """Oracle-grade differential check for the un-registered
+    packed_sequences materializer: the fragment-assembly Spark plan vs
+    a token-level DuckDB replay (unnest + string_agg ORDER BY pos) —
+    value-exact including the sequence text bodies. Kept out of the
+    registry only by the r15 window arithmetic; PACKED_SEQUENCES_SQL
+    is the ready-made oracle for its r16 registration."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        PACKED_SEQUENCES_SQL,
+        packed_sequences,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    duck = duckdb_connection(sf_smoke)
+    got = packed_sequences(
+        spread(load_table(spark, sf_smoke, "documents"))
+    ).toPandas()
+    want = duck.sql(PACKED_SEQUENCES_SQL).df()
+    r = compare_frames("packed_sequences", got, want)
+    assert r.ok, r.detail
+    assert r.spark_rows > 0
