@@ -6,8 +6,10 @@ entries. The external correctness gate records the first 50 entries
 per round, so the surplus sits past the cutoff each round; the
 rotation policy keeps every official row as fresh as the window
 allows (pinned by tests/test_survey_contract.py's freshness test
-since r15: an entry whose newest official row is older than 2 rounds
-must sit inside the next window):
+since r15: with ~29 contract rows pinned every round, the 53 rotating
+entries share ~21 slots, so the feasible bound is a refresh every
+THIRD gate — any entry about to exceed it, or never certified, must
+sit inside the next window):
 
 - Entries with NO official row ever go FIRST. Round 15:
   pack_assignments (new — seq_pack's consumable per-doc map).

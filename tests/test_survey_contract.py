@@ -71,13 +71,20 @@ def test_certification_rotation_keeps_official_rows_fresh():
     """The r14 verdict's staleness finding, turned into a red test: the
     external gate records only the FIRST 50 registry entries per round
     (CORRECTNESS_r{N}.json), so DECLARATION_ORDER is a certification
-    rotation. Policy: no oracle-backed query's newest official row may
-    be older than 2 rounds *looking forward* — i.e. given the history
-    through round R, every entry whose newest green row is <= R-2 must
-    sit INSIDE the next gate window (the first 50 names), and an entry
-    with no official row ever must too. (Entries at exactly R-1/R can
-    wait; rows-only approximate entries are exempt from hashing but
-    still get recorded rows, so they participate.)"""
+    rotation. Policy bound: with 82 registered entries, ~29 contract
+    rows pinned in every window, and a 50-entry window, the rotating
+    ~53 entries share ~21 slots a round — so the FEASIBLE steady-state
+    guarantee is a refresh at least every THIRD gate. Enforced
+    deadline: given history through round R, any entry whose newest
+    official row is <= R-3 (it would be 4+ gates old at the next
+    recording — past the bound with no slack), and any entry with no
+    official row ever, must sit INSIDE the next gate window (the first
+    50 names). Entries at R-2 are expected to be scheduled by the
+    NEXT round's rotation (the registry docstring names that queue);
+    testing them here would false-positive in the post-gate window
+    where round N's recording exists but round N+1's rotation hasn't
+    happened yet. Rows-only approximate entries participate via their
+    err='no_oracle' recorded rows."""
     import json
 
     root = Path(__file__).resolve().parent.parent
@@ -111,11 +118,11 @@ def test_certification_rotation_keeps_official_rows_fresh():
             (n for n, names in history.items() if name in names),
             default=None,
         )
-        if newest is None or newest <= latest - 2:
+        if newest is None or newest <= latest - 3:
             if name not in window:
                 stale.append((name, newest))
     assert not stale, (
-        "entries with official rows older than 2 rounds (or none) are "
-        f"outside the next 50-entry gate window: {sorted(stale)} — "
-        "move them to the head of DECLARATION_ORDER"
+        "entries about to exceed the 3-gate refresh bound (or never "
+        f"certified) are outside the next 50-entry gate window: "
+        f"{sorted(stale)} — move them to the head of DECLARATION_ORDER"
     )
