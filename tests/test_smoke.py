@@ -75,3 +75,22 @@ def test_spark_sql_frontend_matches_dataframe_plan(spark, sf_smoke):
         for r in REGISTRY.queries["q4"].builder(spark, sf_smoke).collect()
     )
     assert sql_rows == df_rows
+
+
+def test_int_env_knobs_fail_soft(monkeypatch):
+    """The r15 advice fix: a malformed integer env knob must warn (by
+    name) and fall back, never kill session construction with a bare
+    int() traceback."""
+    import warnings
+
+    from etl_wikipedia_updates_spark.session import _int_env
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "not-a-number")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _int_env("SPARK_GRAFT_SHUFFLE_PARTITIONS", 32) == 32
+    assert any("SPARK_GRAFT_SHUFFLE_PARTITIONS" in str(x.message) for x in w)
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "48")
+    assert _int_env("SPARK_GRAFT_SHUFFLE_PARTITIONS", 32) == 48
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    assert _int_env("SPARK_GRAFT_SHUFFLE_PARTITIONS", 32) == 32
