@@ -258,14 +258,27 @@ def _validate_merges(merges: list[tuple[str, str]]) -> None:
     merge token to be space-free (rules learned from space-split words
     always are; a caller-supplied rule containing ' ' would silently
     corrupt the count by bridging the wrap spaces — and silently
-    diverge from the Python-fold tier). Shared by every encode path."""
-    for a, b in merges:
+    diverge from the Python-fold tier). Duplicate pairs are rejected
+    for the same reason: the ranked-pair tier keys priority on the
+    PAIR, so a pair appearing at two ranks has no single priority and
+    the UDF tier would silently diverge from the positional chain/
+    sequential tiers (r15 advice). Shared by every encode path."""
+    seen: dict[tuple[str, str], int] = {}
+    for i, (a, b) in enumerate(merges):
         if " " in a or " " in b:
             raise ValueError(
                 f"BPE merge rule ({a!r}, {b!r}) contains a space; "
                 "merge tokens must be space-free for the "
                 "separator-string encode to be exact"
             )
+        if (a, b) in seen:
+            raise ValueError(
+                f"BPE merge rule ({a!r}, {b!r}) appears at ranks "
+                f"{seen[(a, b)]} and {i}; duplicate pairs have no "
+                "single priority in the ranked-pair encoder and would "
+                "silently diverge from the sequential tiers"
+            )
+        seen[(a, b)] = i
 
 
 def _chain_sql(inner: str, merges: list[tuple[str, str]]) -> str:
@@ -457,7 +470,13 @@ def _vocab_nsub_udf(vocab: DataFrame, merges) -> DataFrame:
     encode is impossible (measured r15)."""
     from pyspark.sql.functions import pandas_udf
 
-    rank = {pair: i for i, pair in enumerate(merges)}
+    # _validate_merges rejects duplicate pairs on every encode path,
+    # but build the rank table first-wins (setdefault) anyway so the
+    # lowest rank — the sequential tiers' effective priority — is the
+    # one the ranked encoder sees even if a caller bypasses validation
+    rank: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(merges):
+        rank.setdefault(pair, i)
 
     @pandas_udf("bigint")
     def nsub(col):

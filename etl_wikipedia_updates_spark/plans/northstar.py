@@ -2519,9 +2519,26 @@ def _source_mix(
         # VALUES (not createDataFrame): plans as a LocalRelation /
         # LocalTableScan instead of a python-RDD scan — stays inside
         # whole-stage codegen and ships no py4j-pickled RDD
-        min_chars = min((int(r[2]) for r in budget_rows), default=0)
+        # NULL-safe literal rendering (r15 advice): a NULL source group
+        # key must stay NULL (not the string 'None'), and a NULL
+        # chars_in aggregate (every n_chars in the source NULL) must
+        # not TypeError int() — both match what the computed-budget
+        # path's aggregate frame would carry for the same input.
+        def _lit_str(v):
+            return (
+                "CAST(NULL AS STRING)"
+                if v is None
+                else T.sql_str_lit(str(v))
+            )
+
+        def _lit_long(v):
+            return "CAST(NULL AS BIGINT)" if v is None else f"{int(v)}L"
+
+        min_chars = min(
+            (int(r[2]) for r in budget_rows if r[2] is not None), default=0
+        )
         values = ", ".join(
-            f"({T.sql_str_lit(str(r[0]))}, {int(r[1])}L, {int(r[2])}L)"
+            f"({_lit_str(r[0])}, {_lit_long(r[1])}, {_lit_long(r[2])})"
             for r in budget_rows
         ) or "(CAST(NULL AS STRING), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
         rates = spark.sql(
@@ -3337,12 +3354,26 @@ def release_members(
     if quality_classifier:
         # local import: corpus.py imports this module at top level
         from etl_wikipedia_updates_spark.plans.corpus import (
+            NGQ_BUCKETS,
             NGQ_HI_PPM,
+            fit_ngram_weights,
             ngram_doc_scores,
         )
 
+        scored = docs.filter(F.col("text").isNotNull())
+        # fetch the classifier weights through the SAME memo key
+        # ngram_quality uses (r15 advice): the fit is a pure function
+        # of (sf_dir, bucket count), so a session that builds both
+        # pays it once, and this builder stays lazy on a warm cache
+        # instead of collecting the full-corpus fit at plan-BUILD time
+        weights = _memo_model(
+            spark,
+            sf_dir,
+            f"ngq_weights_{NGQ_BUCKETS}",
+            lambda: fit_ngram_weights(scored),
+        )
         low = (
-            ngram_doc_scores(docs.filter(F.col("text").isNotNull()))
+            ngram_doc_scores(scored, weights)
             .filter(F.col("score_ppm") < NGQ_HI_PPM)
             .select("doc_id")
         )

@@ -480,3 +480,39 @@ def test_per_doc_subwords_functional_at_50k_rules(spark, sf_smoke):
         for r in B.per_doc_subwords(docs, big).collect()  # auto-dispatch
     }
     assert got == chain
+
+
+def test_validate_merges_rejects_duplicate_pairs(spark):
+    """r15 advice: a pair appearing at two ranks has no single
+    priority in the ranked-pair encoder (rank was keyed last-wins),
+    so the UDF tier could silently diverge from the positional chain/
+    sequential tiers. _validate_merges now rejects duplicates loudly
+    on every encode path."""
+    dup = [("a", "b"), ("b", "c"), ("a", "b")]
+    with pytest.raises(ValueError, match="appears at ranks 0 and 2"):
+        B._validate_merges(dup)
+    # the shared validation gate fires from the shipped count tiers
+    # (encode_col — the off-hot-path spec anchor — tolerates
+    # duplicates: the sequential fold just re-applies a no-op rule)
+    df = spark.createDataFrame([("abc",)], ["text"])
+    with pytest.raises(ValueError, match="appears at ranks"):
+        df.select(B.doc_nsub_col(dup))
+    # and the space-free check still fires first for space rules
+    with pytest.raises(ValueError, match="space"):
+        B._validate_merges([("a b", "c")])
+
+
+def test_ranked_rank_table_is_first_wins():
+    """Defense in depth behind the validation gate: if a duplicate
+    pair ever reaches the ranked encoder (a caller bypassing
+    _validate_merges), the rank table must keep the FIRST (lowest)
+    rank — the sequential tiers' effective priority — not the last."""
+    merges = [("a", "b"), ("b", "c"), ("a", "b")]
+    rank = {}
+    for i, pair in enumerate(merges):
+        rank.setdefault(pair, i)
+    assert rank[("a", "b")] == 0
+    # first-wins rank replays the sequential fold on the deduped table
+    assert B.bpe_encode_ranked("abc", rank) == B.bpe_encode(
+        "abc", [("a", "b"), ("b", "c")]
+    )

@@ -900,3 +900,63 @@ def test_corpus_release_funnel_invariants(spark, sf_smoke):
     assert 0 < released <= keeps
     for r in card:
         assert r.n_chars_total > 0 and r.id_checksum > 0
+
+
+def test_source_mix_fused_path_null_degenerates(spark):
+    """r15 advice: the fused (budget_rows) path rendered a NULL source
+    group key as the literal string 'None' and TypeError'd on a NULL
+    chars_in aggregate. Both degenerate shapes must now render
+    NULL-safe literals and produce EXACTLY what the computed-budget
+    path produces on the same frame: a NULL-source group audits with
+    zero kept (equi-join semantics drop NULL keys), an all-NULL-chars
+    source carries NULL through rate and keep-filter."""
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 100),
+            (2, "a", 50),
+            (3, None, 40),  # NULL source group key
+            (4, "b", None),  # all-NULL chars for source b
+            (5, "c", 60),
+        ],
+        "doc_id long, source string, n_chars int",
+    )
+    computed = sorted(
+        (r.asDict() for r in N._source_mix(df).collect()),
+        key=lambda r: (r["source"] is not None, r["source"]),
+    )
+    fused = sorted(
+        (
+            r.asDict()
+            for r in N._source_mix(df, N.mix_budgets(df)).collect()
+        ),
+        key=lambda r: (r["source"] is not None, r["source"]),
+    )
+    assert fused == computed
+    # the NULL source survived as a real NULL, not the string 'None'
+    assert any(r["source"] is None for r in fused)
+    assert not any(r["source"] == "None" for r in fused)
+
+
+def test_release_members_classifier_uses_weight_memo(spark, sf_smoke):
+    """r15 advice: release_members(quality_classifier=True) ran the
+    full-corpus n-gram fit eagerly at plan-BUILD time on every call,
+    bypassing the ngq_weights memo ngram_quality uses. Now it fetches
+    through the SAME memo key: warm the cache, poison the fit, and the
+    builder must still construct (and execute) without refitting."""
+    from unittest import mock
+
+    import etl_wikipedia_updates_spark.plans.corpus as C
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    # warm the shared memo the way ngram_quality does
+    C.ngram_quality(spark, sf_smoke)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_smoke, f"ngq_weights_{C.NGQ_BUCKETS}")
+    assert key in N._TEXT_MODEL_CACHE
+    with mock.patch.object(
+        C, "fit_ngram_weights", side_effect=AssertionError("refit!")
+    ):
+        out = N.release_members(spark, sf_smoke, quality_classifier=True)
+        assert out.count() > 0  # executes off the cached weights
