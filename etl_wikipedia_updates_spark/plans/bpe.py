@@ -902,7 +902,13 @@ BPE_QUERIES: list[DeclaredQuery] = [
         seq_pack_subword,
         SEQ_PACK_SUBWORD_SQL,
         "sequence-packing audit denominated in BPE subword tokens",
-        eager=True,  # shares the memoized BPE fit (collect at build)
+        # NOT eager (r16): the fit is _memo_model-memoized, so an
+        # eager rebuild repays ONLY the ~0.25s/run construction +
+        # analysis of the replace-chain Column tree (the r15 verdict's
+        # decomposition of the 2.76x pair) — the plan is a pure
+        # function of (session, sf_dir) and belongs in _PLAN_CACHE
+        # like every other steady-state builder. A cold session still
+        # pays the fit inside the first build.
     ),
     DeclaredQuery(
         "source_mix_subword",

@@ -2869,9 +2869,10 @@ def packed_sequences(docs: DataFrame) -> DataFrame:
     field). So the corpus text crosses the wire exactly once, in
     fragments, and no single task ever holds more than a sequence.
     Pytest-verified (round-trip + exact-length properties in
-    tests/test_plans.py); no tabular oracle — the registered
-    seq_pack/pack_assignments pair hash-certifies the same prefix-sum
-    math this view materializes."""
+    tests/test_plans.py) AND registered with a token-level DuckDB twin
+    (packed_sequences_q / PACKED_SEQUENCES_SQL) since r16, so the gate
+    hash-certifies the sequence text bodies alongside the packing
+    counts seq_pack/pack_assignments certify."""
     per = _seq_pack_cum(
         docs.filter(F.col("text").isNotNull()).select(
             "doc_id",
@@ -2908,18 +2909,29 @@ def packed_sequences(docs: DataFrame) -> DataFrame:
         )
     )
     return ex.groupBy("source", "seq_id").agg(
-        F.size(assembled).alias("n_tokens"),
+        F.size(assembled).cast("bigint").alias("n_tokens"),
         F.array_join(assembled, " ").alias("text"),
     )
 
 
-# DuckDB twin of packed_sequences — not yet a registered oracle (the
-# r15 window is full; the freshness test caps never-certified
-# additions at the head slots available), but differentially tested
-# every pytest run (tests/test_queries_oracle.py) so registering it in
-# r16 is one DeclaredQuery line. Token-level unnest is fine HERE (the
-# oracle is a single-node reference, not the scale path); string_agg
-# with ORDER BY pos makes the per-sequence text deterministic.
+def packed_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered form of packed_sequences — the documents table
+    through the fragment-level materializer, totally ordered on
+    (source, seq_id) per the oracle contract. The twin
+    (PACKED_SEQUENCES_SQL below) replays the same prefix sum at
+    token level (unnest + string_agg ORDER BY pos), so the hash
+    certifies the sequence TEXT BODIES, not just the packing counts
+    seq_pack/pack_assignments already certify."""
+    return packed_sequences(
+        spread(load_table(spark, sf_dir, "documents"))
+    ).transform(total_order, "source", "seq_id")
+
+
+# DuckDB twin of packed_sequences — registered in r16 (the r15 window
+# was full; the freshness test caps never-certified additions at the
+# head slots available). Token-level unnest is fine HERE (the oracle
+# is a single-node reference, not the scale path); string_agg with
+# ORDER BY pos makes the per-sequence text deterministic.
 PACKED_SEQUENCES_SQL = f"""
 WITH base AS (
   SELECT doc_id, source, string_split(lower(text), ' ') AS toks,
@@ -3310,6 +3322,129 @@ ORDER BY b.doc_id
 SPAN_REMOVAL_SQL = _span_removal_sql()
 
 
+# --- span_decontam: exact-substring benchmark decontamination ----------------
+def span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination audit (NEW r16): per TRAIN
+    source, how much of the corpus verbatim-overlaps the held-out
+    benchmark set — the span-level complement of `contamination`
+    (which pairs docs on shingle-OVERLAP counts; this flags any doc
+    carrying even ONE SPAN_W-token run that appears verbatim in a
+    benchmark doc, the leakage mode n-gram overlap thresholds miss
+    and the one GPT-3/PaLM-style decontamination actually removes).
+    The benchmark set is the CONTAM_BENCH_SOURCE stratum (same
+    convention as `contamination`); spans are the HOP-aligned
+    SPAN_W-token polynomial hashes of _span_occurrences — shared code
+    with span_dedup/span_removal, so the three span operators cannot
+    disagree on what a span is.
+
+    Scale shape — the decontamination asymmetry is the whole design:
+    a benchmark corpus is MBs-to-GBs while the train corpus is the
+    100 TB side, so the distinct bench span-hash set (8-byte hashes)
+    is broadcast and the train side is ONE map-side scan: Generate
+    span rows at stride, probe the broadcast set, partial-agg per
+    (doc, source) where span rows of a doc are partition-local by
+    construction (they come from one Generate parent row), then the
+    tiny |sources| audit agg. No train-side pre-agg shuffle, no
+    h-keyed corpus exchange (span_dedup needs one because BOTH sides
+    are corpus-scale; here the bench side is bounded). Past broadcast
+    reach (a multi-TB bench set — not a benchmark anymore) the same
+    plan degrades to an h-keyed shuffle join; the streaming twin
+    (streaming/decontam.py) keeps this exact hash set as its state
+    store, so batch and stream audit the same contract."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = _span_occurrences(docs).select("doc_id", "source", "h")
+    # the bench branch re-runs the span Generate, but its source
+    # filter pushes to the parquet scan, so it only tokenizes the
+    # benchmark stratum (at production scale the bench set is its own
+    # small table and this branch is a dictionary read)
+    bench_h = (
+        spans.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    marked = spans.filter(
+        F.col("source") != CONTAM_BENCH_SOURCE
+    ).join(F.broadcast(bench_h), "h", "left")
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("spans_doc"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("contam_doc"),
+    )
+    contaminated = F.col("contam_doc") > 0
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("spans_doc").cast("bigint").alias("total_spans"),
+            F.sum("contam_doc").cast("bigint").alias("contam_spans"),
+            F.sum(contaminated.cast("long"))
+            .cast("bigint")
+            .alias("contam_docs"),
+            F.sum(F.when(contaminated, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("contam_checksum"),
+        )
+        .withColumn(
+            "contam_frac",
+            det_round(
+                F.col("contam_spans").cast("double")
+                / F.col("total_spans").cast("double"),
+                4,
+            ),
+        )
+        .transform(total_order, "source")
+    )
+
+
+def _span_decontam_sql() -> str:
+    """Oracle: the span_dedup sp chain with source kept, bench hashes
+    deduplicated, train occurrences LEFT-joined to the bench set."""
+    tid = T.sql_term_hash("t")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS l FROM documents
+),
+tid AS (
+  SELECT doc_id, source,
+         list_transform(l, t -> {tid}) AS tids,
+         len(l) AS n
+  FROM t WHERE len(l) >= {SPAN_W}
+),
+sp AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_slice(tids, p + 1, p + {SPAN_W})),
+           (h, x) -> (h * {T.TERM_HASH_BASE} + x) % {HASH_P}) AS h
+  FROM tid, unnest(range(0, n - {SPAN_W} + 1, {SPAN_HOP})) AS u(p)
+),
+bench AS (
+  SELECT DISTINCT h FROM sp WHERE source = '{CONTAM_BENCH_SOURCE}'
+),
+pd AS (
+  SELECT s.doc_id, s.source, COUNT(*) AS spans_doc,
+         SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS contam_doc
+  FROM sp s LEFT JOIN bench b USING (h)
+  WHERE s.source != '{CONTAM_BENCH_SOURCE}'
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(spans_doc) AS BIGINT) AS total_spans,
+       CAST(SUM(contam_doc) AS BIGINT) AS contam_spans,
+       CAST(SUM(CASE WHEN contam_doc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS contam_docs,
+       CAST(SUM(CASE WHEN contam_doc > 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS contam_checksum,
+       {sql_det_round("CAST(SUM(contam_doc) AS DOUBLE) / CAST(SUM(spans_doc) AS DOUBLE)", 4)}
+         AS contam_frac
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
+SPAN_DECONTAM_SQL = _span_decontam_sql()
+
+
 # --- corpus_release: the end-to-end training-data release -------------------
 def release_members(
     spark: SparkSession,
@@ -3526,6 +3661,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         SPAN_REMOVAL_SQL,
         "per-doc duplicated-span excision extents (canonical copy kept)",
     ),
+    DeclaredQuery(
+        "span_decontam",
+        span_decontam,
+        SPAN_DECONTAM_SQL,
+        "exact-substring benchmark decontamination audit (broadcast span probe)",
+    ),
     DeclaredQuery("q23", q23, Q23_SQL, "word count (text analysis)"),
     DeclaredQuery("q24", q24, Q24_SQL, "exact dedup (R10)"),
     DeclaredQuery("q25", q25, Q25_SQL, "cosine top-k (brute force)"),
@@ -3666,5 +3807,11 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         pack_assignments,
         PACK_ASSIGNMENTS_SQL,
         "per-doc (sequence, offset) packing map — seq_pack's consumable half",
+    ),
+    DeclaredQuery(
+        "packed_sequences",
+        packed_sequences_q,
+        PACKED_SEQUENCES_SQL,
+        "materialized packed training sequences (fragment-level assembly)",
     ),
 ]

@@ -52,53 +52,29 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-15 rotation head: CHANGED this round (their old rows
-    # certify code that no longer exists). ngram_quality was replanned
-    # onto the collected-weight map-side scorer; source_mix_subword
-    # onto the memoized-budget single-job audit (its _source_mix body
-    # gained the fused path, so the character-denominated source_mix
-    # re-certifies conservatively too); seq_pack_subword +
-    # bpe_token_stats route through the new per_doc_subwords dispatch
-    # and the spread-then-filter builders; seq_pack's shared _seq_pack
-    # folded its split/fill math into the final aggregate; pii_scrub
-    # gained the spread() repartition ---
-    "pack_assignments",
-    "ngram_quality",
-    "source_mix_subword",
+    # --- round-16 rotation head: NEVER-CERTIFIED entries first.
+    # packed_sequences (registered this round with its token-level
+    # DuckDB twin — the r15 verdict's #1) and span_decontam (NEW
+    # r16 operator: exact-substring benchmark decontamination) have
+    # no official row ---
+    "packed_sequences",
+    "span_decontam",
+    # --- CHANGED this round (their old rows certify code that no
+    # longer exists): seq_pack_subword moved off the eager rebuild
+    # onto the standard _PLAN_CACHE path (the r15 verdict's #3);
+    # source_mix_subword's _source_mix body gained NULL-safe literal
+    # rendering on the fused path AND its encode tiers gained the
+    # duplicate-pair validation gate (r15 advice #1/#2). The other
+    # advice-touched surfaces (bpe_token_stats, source_mix,
+    # corpus_release) keep their fresh rows: their plans are
+    # byte-identical on certified inputs (the fixes guard degenerate
+    # inputs / bypassed validation only) and every one is still
+    # differentially oracle-tested locally on each pytest run ---
     "seq_pack_subword",
-    "bpe_token_stats",
-    "seq_pack",
-    "source_mix",
-    "pii_scrub",
-    # --- the round-15 refresh queue the r14 registry promised: the 11
-    # entries whose newest official row is r12 (the freshness test in
-    # tests/test_survey_contract.py now pins this policy) ---
-    "charlm_score",
-    "shard_manifest",
-    "dedup_corpus",
-    "span_dedup",
-    "token_stats",
-    "corpus_stats",
-    "minhash_lsh",
-    "lang_id",
-    "quantize_embeddings",
-    "lang_id_chargram",
-    "ann_sq8",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- remaining slots to 50: the approximate rows-only pair (their
-    # official record is the driver's err='no_oracle' rows count,
-    # last stamped r12 — stale under the same policy), then the oldest
-    # oracle-backed official row (r13), FIFO in tail order ---
-    "q12_approx",
-    "percentiles_approx",
-    # --- positions 51+: past the cutoff this round (incremental_dedup
-    # yielded its slot to the new pack_assignments; its r13 row is not
-    # yet stale at this gate and it heads the round-16 refresh queue
-    # with the rest of the r13 FIFO). Every oracle-backed entry is
-    # still differentially tested locally on each pytest run by
-    # tests/test_queries_oracle.py ---
+    "source_mix_subword",
+    # --- the r16 freshness obligation the r15 registry promised: the
+    # 17 entries whose newest official row is r13 hit the every-third-
+    # gate bound at this gate (tests/test_survey_contract.py) ---
     "incremental_dedup",
     "grouped_agg_udf",
     "kmeans_clusters",
@@ -116,6 +92,15 @@ DECLARATION_ORDER: list[str] = [
     "grouped_zscore",
     "doc_fingerprint",
     "text_normalize",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- positions 51+: past the cutoff this round. The r14-official
+    # entries head the round-17 refresh queue (they hit the 3-gate
+    # bound at r17), FIFO in tail order, then the r15-official rows
+    # (freshest — they yield this round). Every oracle-backed entry is
+    # still differentially tested locally on each pytest run by
+    # tests/test_queries_oracle.py ---
     "rep_filter",
     "corpus_release",
     "corpus_release_temp",
@@ -131,6 +116,25 @@ DECLARATION_ORDER: list[str] = [
     "zipf_fit",
     "length_hist",
     "embedding_stats",
+    "ngram_quality",
+    "bpe_token_stats",
+    "seq_pack",
+    "source_mix",
+    "pack_assignments",
+    "pii_scrub",
+    "charlm_score",
+    "shard_manifest",
+    "dedup_corpus",
+    "span_dedup",
+    "token_stats",
+    "corpus_stats",
+    "minhash_lsh",
+    "lang_id",
+    "quantize_embeddings",
+    "lang_id_chargram",
+    "ann_sq8",
+    "q12_approx",
+    "percentiles_approx",
 ]
 
 _declared = QueryRegistry()

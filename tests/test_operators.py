@@ -960,3 +960,55 @@ def test_release_members_classifier_uses_weight_memo(spark, sf_smoke):
     ):
         out = N.release_members(spark, sf_smoke, quality_classifier=True)
         assert out.count() > 0  # executes off the cached weights
+
+
+def test_span_decontam_semantics(spark, tmp_path):
+    """Hand-derivable decontamination fixture: a train doc carrying a
+    verbatim SPAN_W-token run copied from a benchmark doc is flagged;
+    a train doc sharing most-but-not-all of a window is NOT (exact
+    substring, not overlap); spans shared only BETWEEN train docs
+    never count; the benchmark stratum itself is absent from the
+    audit. Alignment note: the copied run sits at a HOP-aligned
+    offset in BOTH docs, so the strided windows line up (the
+    operator's documented stride/alignment trade)."""
+    import pandas as pd
+
+    import etl_wikipedia_updates_spark.plans.northstar as N
+
+    W, H = N.SPAN_W, N.SPAN_HOP
+    bench_toks = [f"b{i}" for i in range(2 * W)]
+    leak = bench_toks[H : H + W]  # HOP-aligned run inside the bench doc
+    near = list(leak)
+    near[W // 2] = "MUTATED"  # one token off -> no exact window match
+    rows = [
+        # the benchmark stratum (src0 = CONTAM_BENCH_SOURCE)
+        (0, " ".join(bench_toks), "en", "src0", 0),
+        # contaminated: pad to keep the leaked run HOP-aligned
+        (1, " ".join([f"p{i}" for i in range(H)] + leak), "en", "srcA", 0),
+        # near-miss: same run with one mutated token
+        (2, " ".join([f"q{i}" for i in range(H)] + near), "en", "srcA", 0),
+        # train-only duplication: two srcB docs share a run absent
+        # from the benchmark — must NOT count as contamination
+        (3, " ".join([f"t{i}" for i in range(W)]), "en", "srcB", 0),
+        (4, " ".join([f"t{i}" for i in range(W)]), "en", "srcB", 0),
+        # NULL text rides along
+        (5, None, "en", "srcA", 0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(str(tmp_path) + "/documents.parquet")
+
+    got = {
+        r["source"]: r.asDict()
+        for r in N.span_decontam(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"srcA", "srcB"}  # bench stratum absent
+    a = got["srcA"]
+    assert a["contam_docs"] == 1 and a["contam_checksum"] == 1
+    assert a["contam_spans"] >= 1  # doc 1's aligned window matched
+    assert a["n_docs"] == 2  # NULL-text doc carries no spans
+    b = got["srcB"]
+    assert b["contam_docs"] == 0 and b["contam_spans"] == 0

@@ -217,6 +217,24 @@ CASES = [
         ["replace(", "BroadcastHashJoin", "partial_", "LocalTableScan"],
         ["Generate", "SortMergeJoin", "aggregate(", "InMemoryTableScan"],
     ),
+    # span_decontam (r16): the decontamination asymmetry — the bench
+    # span-hash set broadcasts (LeftOuter probe), the train side is
+    # one Generate + map-side probe + partial aggs with NO corpus
+    # h-exchange and no merge join anywhere
+    (
+        "span_decontam",
+        ["Generate", "BroadcastHashJoin LeftOuter", "partial_"],
+        ["SortMergeJoin", "BatchEvalPython"],
+    ),
+    # packed_sequences (r16 registration): the shared _seq_pack_cum
+    # prefix-sum contract (bkt exchange + offsets broadcast), ONE
+    # fragment Generate above it, and the skew-free (source, seq_id)
+    # assembly agg — never a doc_id corpus shuffle or merge join
+    (
+        "packed_sequences",
+        ["hashpartitioning(bkt", "Window", "BroadcastHashJoin", "Generate"],
+        ["SortMergeJoin", "hashpartitioning(doc_id"],
+    ),
     # ngram_quality (r15 replan): the 4096-bucket weight model is
     # collected at build and folded into the scorer as an array
     # literal, so the steady plan is ONE map-side fold + the audit

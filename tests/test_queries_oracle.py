@@ -132,6 +132,12 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         "corpus_release_temp",
         "dedup_clusters",
         "pack_assignments",
+        # r16: the new registrations join. The fixture has NO src0
+        # stratum, so span_decontam exercises the EMPTY-benchmark
+        # edge (all-zero audit must still agree cross-engine);
+        # packed_sequences exercises NULL text + the huge-id doc.
+        "span_decontam",
+        "packed_sequences",
     ]
     failures = []
     for name in hardened:
@@ -175,12 +181,12 @@ def test_canon_cell_handles_array_cells():
 
 
 def test_packed_sequences_matches_duckdb(spark, sf_smoke):
-    """Oracle-grade differential check for the un-registered
-    packed_sequences materializer: the fragment-assembly Spark plan vs
-    a token-level DuckDB replay (unnest + string_agg ORDER BY pos) —
-    value-exact including the sequence text bodies. Kept out of the
-    registry only by the r15 window arithmetic; PACKED_SEQUENCES_SQL
-    is the ready-made oracle for its r16 registration."""
+    """Differential check for the packed_sequences materializer
+    (registered with this same twin since r16 — this predates the
+    registration and stays as the direct bare-function check): the
+    fragment-assembly Spark plan vs a token-level DuckDB replay
+    (unnest + string_agg ORDER BY pos) — value-exact including the
+    sequence text bodies."""
     from etl_wikipedia_updates_spark.plans.northstar import (
         PACKED_SEQUENCES_SQL,
         packed_sequences,

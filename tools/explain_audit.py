@@ -61,6 +61,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "hashpartitioning(h", "Window"],
         ["Exchange rangepartitioning", "BroadcastNestedLoopJoin"],
     ),
+    # r16: bench span set broadcasts; train side never h-shuffles
+    "span_decontam": (
+        ["Generate", "BroadcastHashJoin LeftOuter"],
+        ["SortMergeJoin", "BatchEvalPython"],
+    ),
+    # r16: the shared prefix-sum contract + one fragment Generate +
+    # the (source, seq_id) assembly agg; no doc_id corpus shuffle
+    "packed_sequences": (
+        ["hashpartitioning(bkt", "Window", "BroadcastHashJoin", "Generate"],
+        ["SortMergeJoin", "hashpartitioning(doc_id"],
+    ),
     # r10: top-k is per-partition heaps; the rank window sits above the
     # limit (structural bound checked by audit_unpartitioned_windows)
     "bm25_rank": (
