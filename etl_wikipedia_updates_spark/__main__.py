@@ -339,6 +339,18 @@ def cmd_dedup_ingest(args) -> int:
             else ingest_with_full_curation
         )
         extra = {}
+        if args.mode == "decontam":
+            # span mode is decontam-only: the one-pass curation's
+            # veto stage is pinned to the shingle rule its
+            # batch-equivalence tests certify
+            extra["mode"] = args.decontam_mode
+        elif args.decontam_mode != "shingles":
+            print(
+                "--decontam-mode applies to --mode decontam only "
+                f"(got --mode {args.mode})",
+                file=sys.stderr,
+            )
+            return 2
         if args.redact_pii:
             extra["redact_pii"] = True
         if getattr(args, "temperature_mix", False):
@@ -735,6 +747,14 @@ def main(argv: list[str] | None = None) -> int:
         help="decontam: parquet path of the held-out benchmark docs "
         "(needs doc_id/lang/text columns; default: the "
         "CONTAM_BENCH_SOURCE slice of sf-dir's documents table)",
+    )
+    ded.add_argument(
+        "--decontam-mode",
+        choices=["shingles", "spans"],
+        default="shingles",
+        help="decontam: the veto rule — 'shingles' (>= CONTAM_MIN_SHARED "
+        "shared shingles, the contamination rule) or 'spans' (one "
+        "exact SPAN_W-token run, the span_decontam rule)",
     )
     ded.add_argument(
         "--redact-pii", action="store_true",

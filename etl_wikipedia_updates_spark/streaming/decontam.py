@@ -1,4 +1,8 @@
-"""Ingest-time benchmark decontamination: stream-static shingle veto.
+"""Ingest-time benchmark decontamination: stream-static veto in two
+modes — shingle OVERLAP (the batch `contamination` rule) and, since
+r16, exact-substring SPANS (the batch `span_decontam` rule: one
+verbatim SPAN_W-token run vetoes; same _span_occurrences machinery,
+so stream and batch agree on what a span is).
 
 The batch `contamination` query (plans/northstar.py) audits a corpus
 at rest for benchmark n-gram overlap; a training-data pipeline also
@@ -87,6 +91,59 @@ def bench_shingles(
     )
 
 
+def bench_spans(bench_docs: DataFrame) -> DataFrame:
+    """(h, bench_doc): the benchmark corpus's distinct HOP-aligned
+    SPAN_W-token span hashes with their owning doc — the static frame
+    of SPAN mode (the stream-static statement of the batch
+    span_decontam audit; same _span_occurrences machinery, so stream
+    and batch agree on what a span is). No df cap: an exact SPAN_W-
+    token verbatim run is contamination signal regardless of how many
+    bench docs carry it (the shingle cap exists because single
+    shingles are weak evidence; a 16-token exact run is not)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+
+    return (
+        _span_occurrences(bench_docs)
+        .select("h", F.col("doc_id").alias("bench_doc"))
+        .distinct()
+    )
+
+
+def decontam_span_verdicts(
+    docs: DataFrame, bench_sp: DataFrame, exclude_self: bool = True
+) -> DataFrame:
+    """(doc_id, bench_doc, shared) for every doc carrying at least ONE
+    exact benchmark span — the span-mode rule (a single verbatim
+    SPAN_W-token run vetoes; there is no min-shared threshold like the
+    shingle rule's, matching the batch span_decontam contract of
+    contam_doc > 0). ``shared`` counts matched span occurrences
+    against the reported bench_doc; reporting shape (strongest match,
+    ties to smallest bench_doc) and ``exclude_self`` semantics are
+    identical to decontam_verdicts, so both modes share the
+    quarantine-table schema."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+
+    sp = _span_occurrences(docs).select("doc_id", "h")
+    joined = sp.join(F.broadcast(bench_sp), "h")
+    if exclude_self:
+        joined = joined.filter(F.col("doc_id") != F.col("bench_doc"))
+    counts = joined.groupBy("doc_id", "bench_doc").agg(
+        F.count("*").alias("shared")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("shared").desc(), F.col("bench_doc")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "bench_doc", "shared")
+    )
+
+
 def decontam_verdicts(
     docs: DataFrame, bench_sh: DataFrame, exclude_self: bool = True
 ) -> DataFrame:
@@ -122,6 +179,28 @@ def decontam_verdicts(
     )
 
 
+# mode name -> (static-frame builder, per-batch verdict function).
+# Both modes share the stream-static join shape, the quarantine-table
+# schema, and the idempotent batch-dir sink; they differ only in what
+# the broadcast frame holds (df-capped shingles vs distinct exact
+# span hashes) and the match rule (>= CONTAM_MIN_SHARED shingles vs
+# >= 1 exact SPAN_W-token span — the batch span_decontam contract).
+DECONTAM_MODES = {
+    "shingles": (bench_shingles, decontam_verdicts),
+    "spans": (bench_spans, decontam_span_verdicts),
+}
+
+
+def _mode_fns(mode: str):
+    try:
+        return DECONTAM_MODES[mode]
+    except KeyError:
+        raise ValueError(
+            f"unknown decontam mode {mode!r}; "
+            f"expected one of {sorted(DECONTAM_MODES)}"
+        ) from None
+
+
 def decontam_ingest_batch(
     batch_df: DataFrame,
     bench_sh: DataFrame,
@@ -129,13 +208,16 @@ def decontam_ingest_batch(
     batch_id: int,
     compact_every: int | None = None,
     exclude_self: bool = True,
+    mode: str = "shingles",
 ) -> None:
     """One micro-batch of decontaminating ingest: clean rows append to
     the sink, contaminated verdicts append to the quarantine table —
     both under this batch's idempotent dir, so an at-least-once replay
-    overwrites its own first attempt on both sides."""
+    overwrites its own first attempt on both sides. ``bench_sh`` must
+    be the ``mode``-matching static frame (bench_shingles output for
+    'shingles', bench_spans for 'spans')."""
     spark = batch_df.sparkSession
-    verdicts = decontam_verdicts(
+    verdicts = _mode_fns(mode)[1](
         batch_df, bench_sh, exclude_self=exclude_self
     ).persist()
     try:
@@ -211,6 +293,7 @@ def ingest_with_decontam(
     available_now: bool = True,
     compact_every: int | None = None,
     exclude_self: bool = True,
+    mode: str = "shingles",
 ) -> StreamingQuery:
     """Streamed documents -> benchmark-decontaminated sink, with the
     contaminated verdicts quarantined beside it. ``bench_docs`` is the
@@ -219,14 +302,17 @@ def ingest_with_decontam(
     stream terminates (a restarted curation stream rebuilds it — no
     cache leak across streams). ``exclude_self`` as in
     decontam_verdicts: True only when bench_docs is an id-shared
-    subset of the stream; False for an external benchmark."""
-    bench_sh = bench_shingles(bench_docs).persist()
+    subset of the stream; False for an external benchmark.
+    ``mode``: 'shingles' (overlap veto — the `contamination` rule) or
+    'spans' (exact-substring veto — the `span_decontam` rule)."""
+    bench_sh = _mode_fns(mode)[0](bench_docs).persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         decontam_ingest_batch(
             batch_df, bench_sh, sink_path, batch_id,
             compact_every=compact_every,
             exclude_self=exclude_self,
+            mode=mode,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -243,13 +329,15 @@ def batch_decontam_keep(
     docs: DataFrame,
     bench_docs: DataFrame,
     exclude_self: bool = True,
+    mode: str = "shingles",
 ) -> DataFrame:
     """The BATCH statement of the streaming rule (equivalence tests
     and backfills): keep docs with no benchmark match. The operator
     is stateless per doc, so the streamed sink equals this under ANY
     batching — no arrival-order caveat needed."""
-    drops = decontam_verdicts(
-        docs, bench_shingles(bench_docs), exclude_self=exclude_self
+    build, verdicts_fn = _mode_fns(mode)
+    drops = verdicts_fn(
+        docs, build(bench_docs), exclude_self=exclude_self
     ).select("doc_id")
     return docs.join(drops, "doc_id", "left_anti")
 

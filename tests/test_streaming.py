@@ -1734,3 +1734,74 @@ def test_static_temp_rates_is_materialized(spark):
     assert "Aggregate" not in plan, plan  # local rows, not the fit plan
     got = {r["source"]: r["rate_ppm"] for r in rates.collect()}
     assert got == {"a": 1_000_000, "b": 500_000}
+
+
+def test_streaming_span_decontam_equals_batch_and_audit(spark, tmp_path):
+    """SPAN mode (r16): the corpus replayed through
+    ingest_with_decontam(mode='spans') must equal
+    batch_decontam_keep(mode='spans') under multi-batch replay, and
+    the dropped TRAIN ids must be exactly the docs the registered
+    span_decontam audit counts as contaminated (contam_doc > 0) — the
+    stream, the batch rule, and the batch audit are three statements
+    of one contract."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+        span_decontam,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_decontam_keep,
+        contam_store_path,
+        ingest_with_decontam,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 4, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_decontam(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        mode="spans",
+    )
+    q.awaitTermination(300)
+
+    kept = read_sink(spark, sink)
+    expected = batch_decontam_keep(docs, bench, mode="spans")
+    assert _checksum_docs(kept) == _checksum_docs(expected)
+
+    # dropped TRAIN ids == the registered audit's contaminated docs
+    quarantine = read_sink(spark, contam_store_path(sink))
+    dropped_train = {
+        r["doc_id"]
+        for r in quarantine.join(
+            docs.filter(F.col("source") != CONTAM_BENCH_SOURCE).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        ).collect()
+    }
+    audit = span_decontam(spark, sf).collect()
+    assert sum(r["contam_docs"] for r in audit) == len(dropped_train)
+    assert sum(r["contam_checksum"] for r in audit) == sum(dropped_train)
+    assert dropped_train  # the rule bites on this corpus
+    # span verdicts need only ONE exact span (no min-shared threshold)
+    assert quarantine.filter(F.col("shared") < 1).count() == 0
+
+
+def test_decontam_mode_rejects_unknown(spark):
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_decontam_keep,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="unknown decontam mode"):
+        batch_decontam_keep(docs, docs, mode="hashes")
