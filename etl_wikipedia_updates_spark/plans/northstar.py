@@ -3370,20 +3370,31 @@ def span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus a stage of task scheduling (measured 1.02 -> 0.73s at
     # sf0.1 whole-query). At production scale the bench set is its
     # own small table and this branch is a dictionary read.
+    return span_decontam_audit(
+        docs.filter(F.col("source") != CONTAM_BENCH_SOURCE),
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("source") == CONTAM_BENCH_SOURCE
+        ),
+    )
+
+
+def span_decontam_audit(
+    train_docs: DataFrame, bench_docs: DataFrame
+) -> DataFrame:
+    """The frame-level core of span_decontam (the registered query
+    binds the CONTAM_BENCH_SOURCE stratum split; callers with an
+    external benchmark table pass it here directly): per train
+    source, the exact-substring contamination audit against
+    bench_docs' distinct span-hash set."""
     bench_h = (
-        _span_occurrences(
-            load_table(spark, sf_dir, "documents").filter(
-                F.col("source") == CONTAM_BENCH_SOURCE
-            )
-        )
+        _span_occurrences(bench_docs)
         .select("h")
         .distinct()
         .withColumn("hit", F.lit(1).cast("long"))
     )
     marked = (
-        _span_occurrences(docs)
+        _span_occurrences(train_docs)
         .select("doc_id", "source", "h")
-        .filter(F.col("source") != CONTAM_BENCH_SOURCE)
         .join(F.broadcast(bench_h), "h", "left")
     )
     per_doc = marked.groupBy("doc_id", "source").agg(

@@ -861,3 +861,68 @@ def test_ranked_encoder_matches_sequential_on_fit_tables(corpus, n_merges):
                 w,
                 table,
             )
+
+
+@given(corpus=_span_corpus())
+@SLOW
+def test_span_decontam_matches_python_reference(spark, corpus):
+    """span_decontam's audit (hashed spans, broadcast bench probe,
+    two-level aggregate) must equal a literal-token Python model on
+    ANY corpus: the lowest doc_id plays the benchmark, odd/even train
+    docs split across two sources, short docs carry no spans."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SPAN_HOP,
+        SPAN_W,
+        span_decontam_audit,
+    )
+
+    bench_id = min(corpus)
+    src = {d: ("sA" if d % 2 else "sB") for d in corpus}
+
+    def spans_of(toks):
+        if len(toks) < SPAN_W:
+            return []
+        return [
+            tuple(toks[p : p + SPAN_W])
+            for p in range(0, len(toks) - SPAN_W + 1, SPAN_HOP)
+        ]
+
+    bench_set = set(spans_of(corpus[bench_id]))
+    want: dict = {}
+    for d, toks in corpus.items():
+        if d == bench_id:
+            continue
+        sp = spans_of(toks)
+        if not sp:
+            continue
+        hits = sum(1 for t in sp if t in bench_set)
+        a = want.setdefault(
+            src[d],
+            {"n_docs": 0, "total_spans": 0, "contam_spans": 0,
+             "contam_docs": 0, "contam_checksum": 0},
+        )
+        a["n_docs"] += 1
+        a["total_spans"] += len(sp)
+        a["contam_spans"] += hits
+        if hits:
+            a["contam_docs"] += 1
+            a["contam_checksum"] += d
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in span_decontam_audit(
+            mk([
+                (d, " ".join(toks), "en", src[d])
+                for d, toks in corpus.items()
+                if d != bench_id
+            ]),
+            mk([(bench_id, " ".join(corpus[bench_id]), "en", "bench")]),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for s, a in want.items():
+        for k, v in a.items():
+            assert got[s][k] == v, (s, k, got[s], a)
