@@ -90,6 +90,7 @@ def cmd_release(args) -> int:
         mix_alpha=0.5 if args.temperature_mix else None,
         redact_pii=args.redact_pii,
         quality_classifier=args.quality_classifier,
+        decontam_spans=args.decontam_spans,
     )
     print(json.dumps(out))
     return 0
@@ -621,6 +622,15 @@ def main(argv: list[str] | None = None) -> int:
         "dropped before dedup survivorship and mixing (budgets and "
         "splits recompute over the surviving set, so --verify still "
         "matches the published card)",
+    )
+    rel.add_argument(
+        "--decontam-spans", action="store_true",
+        help="compose exact-substring benchmark decontamination (the "
+        "span_decontam rule: one verbatim SPAN_W-token run shared with "
+        "the CONTAM_BENCH_SOURCE stratum drops the doc) into the same "
+        "pre-mixing stage; budgets and splits recompute over the "
+        "decontaminated set, so --verify still matches the published "
+        "card",
     )
     rel.add_argument(
         "--verify",

