@@ -2707,8 +2707,41 @@ def _seq_pack_cum(docs: DataFrame) -> DataFrame:
     )
     rep = b.repartition("bkt", "source")
     # subtotal branch: grouping keys == exchange partitioning, so this
-    # plans as a co-located aggregate with no further exchange
-    sub = rep.groupBy("bkt", "source").agg(F.sum("n_tok").alias("sub"))
+    # plans as a co-located aggregate with no further exchange.
+    #
+    # SHUFFLE-STAGE REUSE (r16): the logical plan holds `rep` as two
+    # independent subtree copies (one per branch), so without help the
+    # optimizer narrows THIS branch's copy — column pruning drops
+    # doc_id (and toks, in packed_sequences) below the exchange, and
+    # the probe branch's join pushes an isnotnull(bkt, source) filter
+    # the subtotal copy lacks. The copies then canonicalize UNEQUAL
+    # and the shuffle — and everything under it: the parquet scan,
+    # and in the subword variant the whole BPE encode — runs TWICE
+    # per execution. Matching the filter explicitly (output-neutral:
+    # null-key groups were never consumed — the probe side's inner
+    # join drops those rows anyway) and folding a provably-zero,
+    # non-foldable term over each otherwise-pruned column into the
+    # subtotal keeps both copies identical, and AQE's stage cache
+    # materializes the exchange once. Interleaved A/B at sf0.1 on the
+    # encode-carrying variant: 0.85-0.99s -> 0.62-0.72s (min-of-4,
+    # both orders). The zero terms: least(0, shiftright(id,63)+1) is
+    # 0 for every non-null long; least(0, size(a)-size(a)) is 0 for
+    # any array under legacy sizeOfNull — neither is constant-folded
+    # (a simple coalesce(id,0)*0 WAS folded away, measured r16).
+    repA = rep.filter(
+        F.col("bkt").isNotNull() & F.col("source").isNotNull()
+    )
+    guard = F.least(
+        F.lit(0).cast("long"), F.shiftright(F.col("doc_id"), 63) + F.lit(1)
+    )
+    for c in docs.columns:
+        if c not in ("doc_id", "source", "n_tok"):
+            guard = guard + F.least(
+                F.lit(0), F.size(F.col(c)) - F.size(F.col(c))
+            )
+    sub = repA.groupBy("bkt", "source").agg(
+        F.sum(F.col("n_tok") + guard).alias("sub")
+    )
     wo = (
         W.partitionBy("source")
         .orderBy("bkt")
