@@ -95,12 +95,21 @@ DECLARATION_ORDER: list[str] = [
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    # --- positions 51+: past the cutoff this round. The r14-official
-    # entries head the round-17 refresh queue (they hit the 3-gate
-    # bound at r17), FIFO in tail order, then the r15-official rows
-    # (freshest — they yield this round). Every oracle-backed entry is
-    # still differentially tested locally on each pytest run by
+    # --- positions 51+: past the cutoff this round. seq_pack and
+    # pack_assignments lead the round-17 queue: the r16 shuffle-stage-
+    # reuse change to the shared _seq_pack_cum core touched their
+    # plans, and the window (2 never-certified + 2 changed + 17
+    # freshness-bound + 29 contract = 50) had no slot left — the
+    # changed CORE is certified this gate through its two in-window
+    # consumers (seq_pack_subword, packed_sequences), and their own
+    # r15 rows stay inside the 3-gate bound until r18, so the r17
+    # head-slot re-cert is still early. Then the r14-official entries
+    # (they hit the 3-gate bound at r17), FIFO in tail order, then the
+    # r15-official rows. Every oracle-backed entry is still
+    # differentially tested locally on each pytest run by
     # tests/test_queries_oracle.py ---
+    "seq_pack",
+    "pack_assignments",
     "rep_filter",
     "corpus_release",
     "corpus_release_temp",
@@ -118,9 +127,7 @@ DECLARATION_ORDER: list[str] = [
     "embedding_stats",
     "ngram_quality",
     "bpe_token_stats",
-    "seq_pack",
     "source_mix",
-    "pack_assignments",
     "pii_scrub",
     "charlm_score",
     "shard_manifest",
