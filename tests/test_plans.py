@@ -414,3 +414,37 @@ def test_packed_sequences_roundtrip_and_lengths(spark, sf_smoke):
         ):
             want_stream.extend(d["text"].lower().split(" "))
         assert got_stream == want_stream, src
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["seq_pack", "seq_pack_subword", "pack_assignments", "packed_sequences"],
+)
+def test_prefix_sum_exchange_is_reused(spark, sf_smoke, name):
+    """The r16 stage-reuse guarantee, pinned structurally: both
+    _seq_pack_cum branches must canonicalize to the SAME exchange so
+    the shuffle (and the scan/encode under it) materializes once per
+    execution. Under AQE the reuse happens in the runtime stage cache
+    (invisible to explain), but with adaptive execution disabled the
+    static ReuseExchange rule performs the identical canonical
+    comparison — so its marker in the formatted plan is the proxy.
+    If a Spark upgrade or a _seq_pack_cum edit makes the copies drift
+    apart again (column pruning or a pushed filter differing between
+    branches — or the optimizer constant-folding the zero guards),
+    this goes red instead of silently doubling the BPE encode."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # the raw builder, NOT the plan cache: a cached DataFrame may
+        # carry a queryExecution already materialized under AQE
+        df = REGISTRY.queries[name].builder(spark, sf_smoke)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, (
+        f"{name}: the two prefix-sum branches no longer canonicalize "
+        "to one exchange — the shuffle (scan + encode) runs twice"
+    )
