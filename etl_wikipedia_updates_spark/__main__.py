@@ -341,17 +341,9 @@ def cmd_dedup_ingest(args) -> int:
         )
         extra = {}
         if args.mode == "decontam":
-            # span mode is decontam-only: the one-pass curation's
-            # veto stage is pinned to the shingle rule its
-            # batch-equivalence tests certify
             extra["mode"] = args.decontam_mode
-        elif args.decontam_mode != "shingles":
-            print(
-                "--decontam-mode applies to --mode decontam only "
-                f"(got --mode {args.mode})",
-                file=sys.stderr,
-            )
-            return 2
+        else:  # curate: same veto rule dial, curation param name
+            extra["decontam_mode"] = args.decontam_mode
         if args.redact_pii:
             extra["redact_pii"] = True
         if getattr(args, "temperature_mix", False):
@@ -762,9 +754,10 @@ def main(argv: list[str] | None = None) -> int:
         "--decontam-mode",
         choices=["shingles", "spans"],
         default="shingles",
-        help="decontam: the veto rule — 'shingles' (>= CONTAM_MIN_SHARED "
-        "shared shingles, the contamination rule) or 'spans' (one "
-        "exact SPAN_W-token run, the span_decontam rule)",
+        help="decontam/curate: the veto rule — 'shingles' "
+        "(>= CONTAM_MIN_SHARED shared shingles, the contamination "
+        "rule) or 'spans' (one exact SPAN_W-token run, the "
+        "span_decontam rule)",
     )
     ded.add_argument(
         "--redact-pii", action="store_true",

@@ -352,13 +352,16 @@ def full_curation_ingest_batch(
     exclude_self: bool = True,
     redact_pii: bool = False,
     temp_rates: DataFrame | None = None,
+    decontam_mode: str = "shingles",
 ) -> None:
     """One micro-batch of the COMPLETE per-doc curation pipeline — the
     ingest-time twin of corpus_release's per-doc stages in one pass:
     (0) optional PII redaction (stateless TRANSFORM — the shared
     plans.corpus.pii_redact expression the pii_scrub audit certifies),
     (1) the Gopher-style repetition quality gate (stateless),
-    (2) the benchmark shingle veto (stateless, quarantined),
+    (2) the benchmark veto (stateless, quarantined; ``decontam_mode``
+    picks shingle-overlap or exact-span, as in ingest_with_decontam —
+    ``bench_sh`` must be the matching static frame),
     (3) near-dup dedup against the accumulating bucket store,
     (4) optional temperature mixing (``temp_rates``: a STATIC
     (source, rate_ppm) frame — plans.northstar.static_temp_rates over
@@ -399,7 +402,7 @@ def full_curation_ingest_batch(
     # map cost — the same reasoning as verified_ingest_batch's dtok
     # persist.
     kept = quality_keep(batch_df).persist()
-    verdicts = decontam_verdicts(
+    verdicts = _mode_fns(decontam_mode)[1](
         kept, bench_sh, exclude_self=exclude_self
     ).persist()
     clean = kept.join(
@@ -429,15 +432,17 @@ def ingest_with_full_curation(
     exclude_self: bool = True,
     redact_pii: bool = False,
     temp_rates: DataFrame | None = None,
+    decontam_mode: str = "shingles",
 ) -> StreamingQuery:
     """Streamed documents -> (optionally PII-redacted,) quality-gated,
     decontaminated, near-dup-deduped, (optionally temperature-mixed)
     sink: the one-command crawl-curation ingest. ``temp_rates`` is the
     stream-static temperature model (see full_curation_ingest_batch) —
     fit it with plans.northstar.static_temp_rates over a DECLARED
-    static frame. Persisted-bench (released on stream termination) and
-    exclude_self notes as in ingest_with_decontam."""
-    bench_sh = bench_shingles(bench_docs).persist()
+    static frame. Persisted-bench (released on stream termination),
+    exclude_self, and ``decontam_mode`` notes as in
+    ingest_with_decontam."""
+    bench_sh = _mode_fns(decontam_mode)[0](bench_docs).persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         full_curation_ingest_batch(
@@ -446,6 +451,7 @@ def ingest_with_full_curation(
             exclude_self=exclude_self,
             redact_pii=redact_pii,
             temp_rates=temp_rates,
+            decontam_mode=decontam_mode,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -464,6 +470,7 @@ def batch_full_curation_keep(
     exclude_self: bool = True,
     redact_pii: bool = False,
     temp_rates: DataFrame | None = None,
+    decontam_mode: str = "shingles",
 ) -> DataFrame:
     """The BATCH statement of the full pipeline: optional PII
     redaction, quality gate, then benchmark veto, then the
@@ -486,7 +493,10 @@ def batch_full_curation_keep(
         docs = pii_redact(docs)
     kept = quality_keep(docs)
     out = batch_neardup_keep(
-        batch_decontam_keep(kept, bench_docs, exclude_self=exclude_self)
+        batch_decontam_keep(
+            kept, bench_docs, exclude_self=exclude_self,
+            mode=decontam_mode,
+        )
     )
     if temp_rates is not None:
         out = temp_membership(out, temp_rates)

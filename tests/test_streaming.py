@@ -1805,3 +1805,46 @@ def test_decontam_mode_rejects_unknown(spark):
     )
     with pytest.raises(ValueError, match="unknown decontam mode"):
         batch_decontam_keep(docs, docs, mode="hashes")
+
+
+def test_streaming_full_curation_span_mode_equals_batch(spark, tmp_path):
+    """The one-pass curation with the SPAN veto (r16,
+    decontam_mode='spans'): streamed sink == the composed batch
+    statement under doc_id-order replay, the quarantine carries
+    span-rule verdicts (>= 1 exact span — no min-shared threshold),
+    and the two modes genuinely differ on this corpus (different veto
+    sets), so the dial is doing something."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        batch_full_curation_keep,
+        contam_store_path,
+        ingest_with_full_curation,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 4, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_full_curation(
+        read_replay_stream(spark, replay, docs.schema),
+        bench,
+        sink,
+        ckpt,
+        decontam_mode="spans",
+    )
+    q.awaitTermination(300)
+
+    expected = batch_full_curation_keep(docs, bench, decontam_mode="spans")
+    assert _checksum_docs(read_sink(spark, sink)) == _checksum_docs(expected)
+    quarantine = read_sink(spark, contam_store_path(sink))
+    assert quarantine.filter(F.col("shared") < 1).count() == 0
+    span_vetoed = {r["doc_id"] for r in quarantine.select("doc_id").collect()}
+    assert span_vetoed  # the span veto bites on this corpus
+    # and picks a different keep-set than the shingle rule — the dial
+    # is doing something
+    shingle_kept = batch_full_curation_keep(docs, bench)
+    assert _checksum_docs(shingle_kept) != _checksum_docs(expected)
