@@ -8,8 +8,8 @@ pipeline, graceful shutdown).
         [--max-rows N]            # file-replay ingest with retention (R11-R14)
     python -m etl_wikipedia_updates_spark dedup-ingest --replay DIR --sink DIR
         [--mode doc|quality|verified|embedding|embedding-verified|
-                decontam|curate] [--compact-every N]
-                                  # near-dup dedup at ingest
+                decontam|curate] [--decontam-mode shingles|spans]
+        [--compact-every N]       # near-dup dedup / curation at ingest
     python -m etl_wikipedia_updates_spark index build|append|query|stats
         --root DIR [--vectors PARQUET]  # persistent IVF index lifecycle
                                   # (stats: per-cell balance readout)
