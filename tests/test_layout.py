@@ -115,3 +115,53 @@ def test_salted_join_matches_plain(spark):
         (r.k, r.v, r.grp) for r in L.salted_join(fact, dim, "k", salts=8).collect()
     )
     assert salted == plain
+
+
+def test_make_tier_replicates_documents(tmp_path):
+    """tools/make_tier.py (the reproducible SCALE 10x tier): K copies
+    with disjoint 1M-offset id ranges, copy 0 byte-identical to the
+    base, later copies suffix-mutated (near- not exact-duplicates)
+    with n_chars tracking the mutated text, and every other table
+    copied through unchanged."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.make_tier import make_tier
+
+    base = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tier")
+    n = make_tier(base, out, copies=3)
+    con = duckdb.connect()
+    nb = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{base}/documents.parquet')"
+    ).fetchone()[0]
+    assert n == 3 * nb
+    t = f"read_parquet('{out}/documents.parquet')"
+    # disjoint id ranges, one block per copy
+    assert con.sql(
+        f"SELECT COUNT(DISTINCT doc_id // 1000000) FROM {t}"
+    ).fetchone()[0] == 3
+    # copy 0 is byte-identical to the base
+    assert con.sql(
+        f"""SELECT COUNT(*) FROM {t} a
+            JOIN read_parquet('{base}/documents.parquet') b USING (doc_id)
+            WHERE a.doc_id < 1000000
+              AND (a.text IS DISTINCT FROM b.text
+                   OR a.n_chars IS DISTINCT FROM b.n_chars)"""
+    ).fetchone()[0] == 0
+    # later copies: mutated (not exact dups) but share the base prefix,
+    # and n_chars tracks the mutated text
+    assert con.sql(
+        f"""SELECT COUNT(*) FROM {t} a
+            JOIN read_parquet('{base}/documents.parquet') b
+              ON a.doc_id = b.doc_id + 1000000
+            WHERE b.text IS NOT NULL
+              AND (a.text = b.text OR a.text NOT LIKE b.text || '%'
+                   OR a.n_chars != len(a.text))"""
+    ).fetchone()[0] == 0
+    # other tables copied through
+    import os
+
+    assert os.path.exists(out + "/lineitem.parquet")

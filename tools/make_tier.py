@@ -44,7 +44,7 @@ SELECT doc_id + {k * 1_000_000} AS doc_id,
        CASE WHEN {k} = 0 THEN text
             ELSE text || '{suffix}' END AS text,
        lang, source,
-       CAST(CASE WHEN {k} = 0 THEN n_chars
+       CAST(CASE WHEN {k} = 0 OR text IS NULL THEN n_chars
                  ELSE n_chars + {len(suffix)} END AS BIGINT) AS n_chars
 FROM read_parquet('{src}')"""
         )
