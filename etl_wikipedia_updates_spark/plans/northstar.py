@@ -2725,9 +2725,16 @@ def _seq_pack_cum(docs: DataFrame) -> DataFrame:
     # materializes the exchange once. Interleaved A/B at sf0.1 on the
     # encode-carrying variant: 0.85-0.99s -> 0.62-0.72s (min-of-4,
     # both orders). The zero terms: least(0, shiftright(id,63)+1) is
-    # 0 for every non-null long; least(0, size(a)-size(a)) is 0 for
-    # any array under legacy sizeOfNull — neither is constant-folded
+    # 0 for every non-null long; the array term wraps size() in
+    # coalesce(·, 0) so it stays exactly 0 for NULL arrays under ANY
+    # sizeOfNull/ANSI setting (r16 advice: bare size(a)-size(a) is
+    # only zero under legacy sizeOfNull) — neither is constant-folded
     # (a simple coalesce(id,0)*0 WAS folded away, measured r16).
+    # TRIPWIRE: tests/test_plans.py::test_prefix_sum_exchange_is_reused
+    # pins "ReusedExchange" in the AQE-off plan for every consumer —
+    # if a future Spark version constant-folds these guards the copies
+    # drift, the pin fails loudly, and the scan/encode would otherwise
+    # silently run twice.
     repA = rep.filter(
         F.col("bkt").isNotNull() & F.col("source").isNotNull()
     )
@@ -2736,9 +2743,8 @@ def _seq_pack_cum(docs: DataFrame) -> DataFrame:
     )
     for c in docs.columns:
         if c not in ("doc_id", "source", "n_tok"):
-            guard = guard + F.least(
-                F.lit(0), F.size(F.col(c)) - F.size(F.col(c))
-            )
+            _sz = F.coalesce(F.size(F.col(c)), F.lit(0))
+            guard = guard + F.least(F.lit(0), _sz - _sz)
     sub = repA.groupBy("bkt", "source").agg(
         F.sum(F.col("n_tok") + guard).alias("sub")
     )

@@ -11,23 +11,23 @@ entries share ~21 slots, so the feasible bound is a refresh every
 THIRD gate — any entry about to exceed it, or never certified, must
 sit inside the next window):
 
-- Entries with NO official row ever go FIRST. Round 15:
-  pack_assignments (new — seq_pack's consumable per-doc map).
-- Every entry CHANGED this round must re-certify (its old row
-  certifies code that no longer exists). Round 15: ngram_quality
-  (map-side scorer replan), source_mix_subword (+ source_mix, the
-  shared _source_mix body), seq_pack_subword + bpe_token_stats (the
-  per_doc_subwords dispatch), seq_pack (shared aggregate fold),
-  pii_scrub (spread).
-- Then the promised refresh queue: the 11 entries whose newest
-  official row is r12 (charlm_score .. ann_sq8).
-- The contract rows Q1-Q28 + wiki stay inside the gate window, as
-  every round.
-- The remaining slots refresh the OLDEST official rows, FIFO in tail
-  order: the approximate rows-only pair (their err='no_oracle' record
-  is also r12-stale) fits this round; incremental_dedup through
-  text_normalize (r13) head the round-16 refresh queue.
-- The entries that yield are the r14-certified ones (freshest rows) —
+- Entries with NO official row ever go FIRST, then entries CHANGED
+  this round (their old rows certify code that no longer exists),
+  then the entries hitting the 3-gate freshness bound, then the
+  contract rows Q1-Q28 + wiki (inside the window every round), with
+  any spare slots refreshing the OLDEST remaining rows FIFO.
+- Round-17 window arithmetic (2 changed-core re-certs: seq_pack +
+  pack_assignments, whose r16 stage-reuse change was certified that
+  gate only through in-window consumers) + (15 r14-official entries
+  at the bound: rep_filter .. embedding_stats) + (29 contract) = 46,
+  leaving 4 spare: 3 go to the oldest r15 rows (ngram_quality,
+  bpe_token_stats, source_mix) to lighten r18, 1 held for this
+  round's new/changed registrations.
+- Round-18 horizon: the remaining r15-official block (pii_scrub ..
+  percentiles_approx, 14 entries incl. the rows-only approximate
+  pair) hits its bound at r18; with 29 contract rows that window is
+  43/50 full before new work.
+- The entries that yield are the freshest (r16-certified) ones —
   every oracle-backed one still differentially tested locally on each
   pytest run by tests/test_queries_oracle.py.
 
@@ -52,29 +52,67 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- round-16 rotation head: NEVER-CERTIFIED entries first.
-    # packed_sequences (registered this round with its token-level
-    # DuckDB twin — the r15 verdict's #1) and span_decontam (NEW
-    # r16 operator: exact-substring benchmark decontamination) have
-    # no official row ---
+    # --- round-17 rotation head, executing the window the r16
+    # registry promised (r16 verdict #1). seq_pack and pack_assignments
+    # re-certify FIRST: the r16 shuffle-stage-reuse change to their
+    # shared _seq_pack_cum core altered their physical plans, and
+    # their r16-gate certification rested only on the core's two
+    # in-window consumers (seq_pack_subword, packed_sequences) — this
+    # is the direct re-certification the r16 advice asked for ---
+    "seq_pack",
+    "pack_assignments",
+    # --- the 15 entries whose newest official row is r14: they hit
+    # the every-third-gate freshness bound at this gate
+    # (tests/test_survey_contract.py), FIFO in prior tail order ---
+    "rep_filter",
+    "corpus_release",
+    "corpus_release_temp",
+    "multimodal_bytes",
+    "ann_lsh",
+    "ann_ivf",
+    "bm25_rank",
+    "span_removal",
+    "ann_lsh_multiprobe",
+    "temperature_mix",
+    "distinct_kmv",
+    "ann_pq",
+    "zipf_fit",
+    "length_hist",
+    "embedding_stats",
+    # --- spare-slot early refresh: the oldest r15-official rows,
+    # FIFO, pulled forward to lighten the r18 window (the full
+    # r15-official block hits its bound at r18; with 29 contract rows
+    # that window would otherwise be 48/50 full — r16 verdict #6) ---
+    "ngram_quality",
+    "bpe_token_stats",
+    "source_mix",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- positions 51+: past the cutoff this round. The remaining
+    # r15-official entries head the round-18 queue (they hit the
+    # 3-gate bound at r18), FIFO in tail order, followed by the
+    # freshest r16-certified block. Every oracle-backed entry is
+    # still differentially tested locally on each pytest run by
+    # tests/test_queries_oracle.py ---
+    "pii_scrub",
+    "charlm_score",
+    "shard_manifest",
+    "dedup_corpus",
+    "span_dedup",
+    "token_stats",
+    "corpus_stats",
+    "minhash_lsh",
+    "lang_id",
+    "quantize_embeddings",
+    "lang_id_chargram",
+    "ann_sq8",
+    "q12_approx",
+    "percentiles_approx",
     "packed_sequences",
     "span_decontam",
-    # --- CHANGED this round (their old rows certify code that no
-    # longer exists): seq_pack_subword moved off the eager rebuild
-    # onto the standard _PLAN_CACHE path (the r15 verdict's #3);
-    # source_mix_subword's _source_mix body gained NULL-safe literal
-    # rendering on the fused path AND its encode tiers gained the
-    # duplicate-pair validation gate (r15 advice #1/#2). The other
-    # advice-touched surfaces (bpe_token_stats, source_mix,
-    # corpus_release) keep their fresh rows: their plans are
-    # byte-identical on certified inputs (the fixes guard degenerate
-    # inputs / bypassed validation only) and every one is still
-    # differentially oracle-tested locally on each pytest run ---
     "seq_pack_subword",
     "source_mix_subword",
-    # --- the r16 freshness obligation the r15 registry promised: the
-    # 17 entries whose newest official row is r13 hit the every-third-
-    # gate bound at this gate (tests/test_survey_contract.py) ---
     "incremental_dedup",
     "grouped_agg_udf",
     "kmeans_clusters",
@@ -92,56 +130,6 @@ DECLARATION_ORDER: list[str] = [
     "grouped_zscore",
     "doc_fingerprint",
     "text_normalize",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- positions 51+: past the cutoff this round. seq_pack and
-    # pack_assignments lead the round-17 queue: the r16 shuffle-stage-
-    # reuse change to the shared _seq_pack_cum core touched their
-    # plans, and the window (2 never-certified + 2 changed + 17
-    # freshness-bound + 29 contract = 50) had no slot left — the
-    # changed CORE is certified this gate through its two in-window
-    # consumers (seq_pack_subword, packed_sequences), and their own
-    # r15 rows stay inside the 3-gate bound until r18, so the r17
-    # head-slot re-cert is still early. Then the r14-official entries
-    # (they hit the 3-gate bound at r17), FIFO in tail order, then the
-    # r15-official rows. Every oracle-backed entry is still
-    # differentially tested locally on each pytest run by
-    # tests/test_queries_oracle.py ---
-    "seq_pack",
-    "pack_assignments",
-    "rep_filter",
-    "corpus_release",
-    "corpus_release_temp",
-    "multimodal_bytes",
-    "ann_lsh",
-    "ann_ivf",
-    "bm25_rank",
-    "span_removal",
-    "ann_lsh_multiprobe",
-    "temperature_mix",
-    "distinct_kmv",
-    "ann_pq",
-    "zipf_fit",
-    "length_hist",
-    "embedding_stats",
-    "ngram_quality",
-    "bpe_token_stats",
-    "source_mix",
-    "pii_scrub",
-    "charlm_score",
-    "shard_manifest",
-    "dedup_corpus",
-    "span_dedup",
-    "token_stats",
-    "corpus_stats",
-    "minhash_lsh",
-    "lang_id",
-    "quantize_embeddings",
-    "lang_id_chargram",
-    "ann_sq8",
-    "q12_approx",
-    "percentiles_approx",
 ]
 
 _declared = QueryRegistry()

@@ -116,7 +116,17 @@ def main() -> None:
                     text=True,
                     timeout=args.cap,
                 )
-                t = json.loads(r.stdout.strip().splitlines()[-1])
+                out = r.stdout.strip()
+                if r.returncode != 0 or not out:
+                    # child died (DuckDB error, OOM kill, ...) rather
+                    # than timing out — record WHICH query and why
+                    # instead of crashing the whole bench run.
+                    err = (r.stderr or "").strip().splitlines()
+                    t = "error: rc={} {}".format(
+                        r.returncode, err[-1][:200] if err else "(no stderr)"
+                    )
+                else:
+                    t = json.loads(out.splitlines()[-1])
             except subprocess.TimeoutExpired:
                 t = f"timeout>{args.cap:g}"
         timings[name] = t

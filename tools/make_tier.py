@@ -35,6 +35,17 @@ def make_tier(base: str, out_dir: str, copies: int = 10) -> int:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     src = os.path.join(base, "documents.parquet")
+    lo, hi = con.sql(
+        f"SELECT MIN(doc_id), MAX(doc_id) FROM read_parquet('{src}')"
+    ).fetchone()
+    # the per-copy offset keys the id->copy map; ids outside
+    # [0, 1_000_000) would collide across copies and silently corrupt
+    # the tier's near-dup ground truth (r16 advice).
+    if lo is None or lo < 0 or hi >= 1_000_000:
+        raise SystemExit(
+            f"base doc_id range [{lo}, {hi}] incompatible with the "
+            "1,000,000 per-copy offset — tier would have colliding ids"
+        )
     parts = []
     for k in range(copies):
         suffix = MUT_SUFFIX.format(k=k)
