@@ -388,8 +388,20 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ceil(a*n/b) = (a*n + b - 1) div b) — no FP interpolation, so both
     engines select the identical row. One shuffle on the group key
     serves the ranking window, the count window, and the aggregation.
-    At 100 TB the same selection runs on approx ranks (percentile_approx)
-    when exactness isn't contractual."""
+
+    Plan adjudication (r17, SCALE.md): the per-group sort runs on
+    #groups tasks (5 here) — a parallelism ceiling, but a SPILLABLE
+    one, and measured best at both sf0.1 (0.61s) and the 10x
+    events/orders tier (0.76s vs DuckDB 0.21s; the gap is 3 stage
+    floors + the 5-task sort). The tested alternative,
+    percentile_disc's ObjectHashAggregate, is WORSE on both axes
+    (0.80/0.87s): partial buffers serialize each split's full value
+    multiset across the shuffle and the #groups merge buffers whole
+    group multisets with no spill path (falsified r17 — don't retry).
+    At 100 TB the exact variant's escape hatches are
+    percentiles_approx (KLL sketch, fixed memory, single pass —
+    registered alongside; 0.38s flat at 10x) or an approx-pivot
+    two-pass refinement when exactness is contractual."""
     orders = load_table(spark, sf_dir, "orders")
     wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wn = W.partitionBy("o_orderpriority")

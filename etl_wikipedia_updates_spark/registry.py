@@ -20,9 +20,9 @@ sit inside the next window):
   pack_assignments, whose r16 stage-reuse change was certified that
   gate only through in-window consumers) + (15 r14-official entries
   at the bound: rep_filter .. embedding_stats) + (29 contract) = 46,
-  leaving 4 spare: 3 go to the oldest r15 rows (ngram_quality,
-  bpe_token_stats, source_mix) to lighten r18, 1 held for this
-  round's new/changed registrations.
+  leaving 4 spare: 2 go to the oldest r15 rows (ngram_quality,
+  bpe_token_stats) to lighten r18, 2 held for this round's new
+  registrations.
 - Round-18 horizon: the remaining r15-official block (pii_scrub ..
   percentiles_approx, 14 entries incl. the rows-only approximate
   pair) hits its bound at r18; with 29 contract rows that window is
@@ -85,7 +85,6 @@ DECLARATION_ORDER: list[str] = [
     # that window would otherwise be 48/50 full — r16 verdict #6) ---
     "ngram_quality",
     "bpe_token_stats",
-    "source_mix",
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
@@ -95,6 +94,7 @@ DECLARATION_ORDER: list[str] = [
     # freshest r16-certified block. Every oracle-backed entry is
     # still differentially tested locally on each pytest run by
     # tests/test_queries_oracle.py ---
+    "source_mix",
     "pii_scrub",
     "charlm_score",
     "shard_manifest",

@@ -165,3 +165,44 @@ def test_make_tier_replicates_documents(tmp_path):
     import os
 
     assert os.path.exists(out + "/lineitem.parquet")
+
+
+def test_make_tier_replicates_events_orders(tmp_path):
+    """r17 extension: --tables documents,events,orders replicates the
+    time-series tables too — disjoint 10M-offset id blocks, timestamps
+    nudged +k seconds per copy (denser per-key timelines, no exact
+    K-way ties), key columns (user_id / o_custkey) carried through
+    unchanged so key cardinality is scale-invariant."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.make_tier import make_tier
+
+    base = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tier")
+    make_tier(base, out, copies=3, tables=("documents", "events", "orders"))
+    con = duckdb.connect()
+    for tbl, idc, key, ts in (
+        ("events", "event_id", "user_id", "ts"),
+        ("orders", "o_orderkey", "o_custkey", "o_orderdate"),
+    ):
+        t = f"read_parquet('{out}/{tbl}.parquet')"
+        b = f"read_parquet('{base}/{tbl}.parquet')"
+        nb = con.sql(f"SELECT COUNT(*) FROM {b}").fetchone()[0]
+        n, blocks, keys = con.sql(
+            f"SELECT COUNT(*), COUNT(DISTINCT {idc} // 10000000), "
+            f"COUNT(DISTINCT {key}) FROM {t}"
+        ).fetchone()
+        assert n == 3 * nb and blocks == 3
+        assert keys == con.sql(
+            f"SELECT COUNT(DISTINCT {key}) FROM {b}"
+        ).fetchone()[0]
+        # copy k's timestamps are base + k seconds, keys unchanged
+        assert con.sql(
+            f"""SELECT COUNT(*) FROM {t} a
+                JOIN {b} o ON a.{idc} = o.{idc} + 20000000
+                WHERE a.{ts} != o.{ts} + INTERVAL 2 SECOND
+                   OR a.{key} IS DISTINCT FROM o.{key}"""
+        ).fetchone()[0] == 0

@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Materialize the 10x documents scale tier (SCALE.md's /tmp/sfx10).
+"""Materialize a 10x scale tier (SCALE.md's /tmp/sfx10 protocol).
 
-The tier replicates the base SF's documents table K times: doc_id
-offset by 1,000,000 per copy (keeps ids disjoint and the id->copy map
-obvious), text suffix-mutated per copy (' mut{k}a mut{k}b mut{k}c') so
-replicas stay NEAR- rather than exact-duplicates — the near-dup
-operators see a realistic 1-original-to-(K-1)-near-dups corpus instead
-of trivially-exact copies — and n_chars adjusted to match. Every other
-table is copied unchanged (only the documents family is interpretable
-at a different scale).
+Default (`--tables documents`) replicates the base SF's documents
+table K times: doc_id offset by 1,000,000 per copy (keeps ids disjoint
+and the id->copy map obvious), text suffix-mutated per copy
+(' mut{k}a mut{k}b mut{k}c') so replicas stay NEAR- rather than exact-
+duplicates — the near-dup operators see a realistic
+1-original-to-(K-1)-near-dups corpus instead of trivially-exact copies
+— and n_chars adjusted to match. This is the r16 protocol and keeps
+SCALE.md's per-round 10x numbers comparable.
+
+`--tables documents,events,orders` additionally replicates the
+events/orders tables (r17, for the q22 as-of join and percentiles 10x
+rows): ids offset by 10,000,000 per copy, timestamps nudged +k seconds
+per copy (denser per-key timelines without exact K-way ties — the
+realistic scale shape: same key cardinality, K times the rows per
+key), every other column carried through. Non-selected tables are
+copied unchanged (only these three are interpretable at a different
+scale).
 
 Usage:
     python tools/make_tier.py [out_dir] [--base /root/testdata/sf0.1]
-                              [--copies 10]
+                              [--copies 10] [--tables documents]
 
 Then measure both engines against it:
     SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
@@ -30,45 +39,100 @@ import duckdb
 
 MUT_SUFFIX = " mut{k}a mut{k}b mut{k}c"
 
+# per-table replication spec: (id column, per-copy id offset,
+# SELECT-body template with {k} = copy index, {off} = k * offset)
+_DOC_SELECT = """
+SELECT doc_id + {off} AS doc_id,
+       CASE WHEN {k} = 0 THEN text
+            ELSE text || '{suffix}' END AS text,
+       lang, source,
+       CAST(CASE WHEN {k} = 0 OR text IS NULL THEN n_chars
+                 ELSE n_chars + {suffix_len} END AS BIGINT) AS n_chars
+FROM read_parquet('{src}')"""
 
-def make_tier(base: str, out_dir: str, copies: int = 10) -> int:
-    os.makedirs(out_dir, exist_ok=True)
-    con = duckdb.connect()
-    src = os.path.join(base, "documents.parquet")
+_EVENTS_SELECT = """
+SELECT event_id + {off} AS event_id,
+       ts + INTERVAL ({k}) SECOND AS ts,
+       user_id, event_type, value, props
+FROM read_parquet('{src}')"""
+
+_ORDERS_SELECT = """
+SELECT o_orderkey + {off} AS o_orderkey,
+       o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate + INTERVAL ({k}) SECOND AS o_orderdate,
+       o_orderpriority
+FROM read_parquet('{src}')"""
+
+SPECS = {
+    "documents": ("doc_id", 1_000_000, _DOC_SELECT),
+    "events": ("event_id", 10_000_000, _EVENTS_SELECT),
+    "orders": ("o_orderkey", 10_000_000, _ORDERS_SELECT),
+}
+
+
+def _replicate(
+    con: duckdb.DuckDBPyConnection,
+    table: str,
+    src: str,
+    out: str,
+    copies: int,
+) -> None:
+    id_col, offset, template = SPECS[table]
     lo, hi = con.sql(
-        f"SELECT MIN(doc_id), MAX(doc_id) FROM read_parquet('{src}')"
+        f"SELECT MIN({id_col}), MAX({id_col}) FROM read_parquet('{src}')"
     ).fetchone()
     # the per-copy offset keys the id->copy map; ids outside
-    # [0, 1_000_000) would collide across copies and silently corrupt
-    # the tier's near-dup ground truth (r16 advice).
-    if lo is None or lo < 0 or hi >= 1_000_000:
+    # [0, offset) would collide across copies and silently corrupt the
+    # tier's ground truth (r16 advice).
+    if lo is None or lo < 0 or hi >= offset:
         raise SystemExit(
-            f"base doc_id range [{lo}, {hi}] incompatible with the "
-            "1,000,000 per-copy offset — tier would have colliding ids"
+            f"{table}: base {id_col} range [{lo}, {hi}] incompatible "
+            f"with the {offset:,} per-copy offset — tier would have "
+            "colliding ids"
         )
     parts = []
     for k in range(copies):
         suffix = MUT_SUFFIX.format(k=k)
         parts.append(
-            f"""
-SELECT doc_id + {k * 1_000_000} AS doc_id,
-       CASE WHEN {k} = 0 THEN text
-            ELSE text || '{suffix}' END AS text,
-       lang, source,
-       CAST(CASE WHEN {k} = 0 OR text IS NULL THEN n_chars
-                 ELSE n_chars + {len(suffix)} END AS BIGINT) AS n_chars
-FROM read_parquet('{src}')"""
+            template.format(
+                k=k,
+                off=k * offset,
+                src=src,
+                suffix=suffix,
+                suffix_len=len(suffix),
+            )
         )
-    out = os.path.join(out_dir, "documents.parquet")
     con.sql(
         "COPY ("
         + " UNION ALL ".join(parts)
         + f") TO '{out}' (FORMAT PARQUET)"
     )
+
+
+def make_tier(
+    base: str,
+    out_dir: str,
+    copies: int = 10,
+    tables: tuple[str, ...] = ("documents",),
+) -> int:
+    unknown = set(tables) - set(SPECS)
+    if unknown:
+        raise SystemExit(f"no replication spec for tables: {sorted(unknown)}")
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in tables:
+        _replicate(
+            con,
+            t,
+            os.path.join(base, f"{t}.parquet"),
+            os.path.join(out_dir, f"{t}.parquet"),
+            copies,
+        )
     for t in glob.glob(os.path.join(base, "*.parquet")):
-        if os.path.basename(t) != "documents.parquet":
+        if os.path.basename(t)[:-8] not in tables:
             shutil.copy(t, os.path.join(out_dir, os.path.basename(t)))
-    n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+    first = os.path.join(out_dir, f"{tables[0]}.parquet")
+    n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{first}')").fetchone()[0]
     return n
 
 
@@ -77,9 +141,15 @@ def main() -> None:
     ap.add_argument("out_dir", nargs="?", default="/tmp/sfx10")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default="documents",
+        help="comma-separated subset of documents,events,orders",
+    )
     args = ap.parse_args()
-    n = make_tier(args.base, args.out_dir, args.copies)
-    print(f"{args.out_dir}: documents rows = {n}")
+    tables = tuple(t.strip() for t in args.tables.split(",") if t.strip())
+    n = make_tier(args.base, args.out_dir, args.copies, tables)
+    print(f"{args.out_dir}: {tables[0]} rows = {n}")
 
 
 if __name__ == "__main__":
