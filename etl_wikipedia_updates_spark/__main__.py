@@ -102,7 +102,13 @@ def cmd_pack(args) -> int:
     against the seq_pack audit recomputed from the corpus: per source,
     the written sequence count, token total, and exact-SEQ_LEN body
     lengths must match the audit card — the verify-after-write pattern
-    write_sharded/write_release use."""
+    write_sharded/write_release use.
+
+    --shard (r17) routes the stream through the manifest-verified
+    snapshot layout instead: write_packed publishes one file per
+    (source, seq_id div seqs-per-file) shard with the per-shard
+    manifest in the version metadata; --shard --verify recomputes the
+    manifest from the produced files (verify_packed)."""
     import json
 
     from pyspark.sql import functions as F
@@ -115,6 +121,24 @@ def cmd_pack(args) -> int:
     from etl_wikipedia_updates_spark.tables import load_table, spread
 
     spark = _spark()
+    if args.shard:
+        from etl_wikipedia_updates_spark.release import (
+            verify_packed,
+            write_packed,
+        )
+
+        if args.verify:
+            out = verify_packed(spark, args.out)
+            print(json.dumps(out))
+            return 0 if out["ok"] else 1
+        out = write_packed(
+            spark,
+            args.sf_dir,
+            args.out,
+            seqs_per_file=args.seqs_per_file,
+        )
+        print(json.dumps(out))
+        return 0
     audit = {
         r["source"]: r for r in seq_pack(spark, args.sf_dir).collect()
     }
@@ -675,6 +699,20 @@ def main(argv: list[str] | None = None) -> int:
         help="recompute per-source sequence counts / token totals from "
         "the written files and compare to the audit (exit 1 on "
         "mismatch) instead of writing",
+    )
+    pk.add_argument(
+        "--shard",
+        action="store_true",
+        help="publish through the manifest-verified snapshot layout "
+        "(one file per (source, seq_id div seqs-per-file) shard); "
+        "with --verify, recompute the manifest from the files",
+    )
+    pk.add_argument(
+        "--seqs-per-file",
+        type=int,
+        default=None,
+        help="sequences per output shard file (default 64) — the "
+        "packed layout's file-size dial, only with --shard",
     )
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"

@@ -369,3 +369,180 @@ def verify_sharded(
         "recomputed": recomputed,
         "mismatches": mismatches,
     }
+
+
+# --- packed-stream sharded release (r17: pack x shard composition) ----------
+
+# Fixture-scale default: enough to give multi-file layouts at the test
+# SFs. Like write_sharded's n_shards, this is THE scale dial — a
+# sequence is SEQ_LEN tokens, so seqs_per_file x SEQ_LEN x ~6 bytes
+# is the target file size (a 100 TB run raises it to land ~1-10 GB
+# files; the mapping stays deterministic at any value).
+SEQS_PER_FILE = 64
+
+
+def _packed_manifest_frame(packed: DataFrame) -> DataFrame:
+    """Adapt a packed frame (source, seq_id, seq_block, n_tokens, ...)
+    to manifest_of's (doc_id, source, n_chars, shard) contract — the
+    SAME shared aggregation write_sharded/verify_sharded use, so the
+    packed plan and its post-write audit cannot diverge either.
+    xxhash64(source, seq_id) is the row uid the id_checksum folds
+    (seq_id alone repeats across sources); n_tokens stands in for
+    n_chars (the packed stream's mass unit); the shard label is the
+    human-readable '{source}/{seq_block}' key the layout partitions
+    by. Computed identically on the write side (from the plan) and
+    the verify side (from the files)."""
+    return packed.select(
+        F.xxhash64("source", "seq_id").alias("doc_id"),
+        "source",
+        F.col("n_tokens").alias("n_chars"),
+        F.concat_ws("/", "source", "seq_block").alias("shard"),
+    )
+
+
+def write_packed(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    seqs_per_file: int | None = None,
+    keep_last: int = 2,
+    docs: DataFrame | None = None,
+    source_desc: str | None = None,
+) -> dict:
+    """Publish the packed training stream (plans.northstar.
+    packed_sequences) as a manifest-verified one-file-per-shard
+    snapshot — the composition pack_assignments' docstring plans:
+    shard key (source, seq_id div seqs_per_file), so each output file
+    holds a CONTIGUOUS run of one source's sequences (a dataloader
+    seeks shard k of source s by path, reads sequences in stream
+    order) and the doc -> file map is pure integer math over
+    pack_assignments' seq_first/seq_last.
+
+    Layout: hive-partitioned ``v{N}/source=S/seq_block=K/`` with
+    exactly one data file per leaf (the stream repartitions on the
+    shard key, so each (source, block) is wholly owned by one task);
+    the per-shard manifest (shared manifest_of aggregation) rides in
+    the version metadata and ``verify_packed`` recomputes it from the
+    produced files. ``docs`` overrides the corpus frame (a curated
+    release version is the natural caller, mirroring write_sharded).
+
+    Returns {"version": N, "seqs_per_file": K, "manifest": [...]}.
+    """
+    from etl_wikipedia_updates_spark.plans.corpus import manifest_of
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SEQ_LEN,
+        packed_sequences,
+    )
+    from etl_wikipedia_updates_spark.tables import spread
+
+    if seqs_per_file is None:
+        seqs_per_file = SEQS_PER_FILE
+    from_sf_dir = docs is None
+    if docs is None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        if source_desc is None:
+            source_desc = f"{sf_dir}/documents"
+    elif source_desc is None:
+        source_desc = "caller-supplied frame (no provenance declared)"
+    packed = packed_sequences(docs).withColumn(
+        "seq_block", F.expr(f"seq_id div {seqs_per_file}")
+    )
+    manifest = [
+        r.asDict() for r in manifest_of(_packed_manifest_frame(packed)).collect()
+    ]
+    table = SnapshotTable(out_root)
+    version = table.publish(
+        packed.repartition(F.col("source"), F.col("seq_block")),
+        meta={
+            "sf_dir": sf_dir if from_sf_dir else None,
+            "source": source_desc,
+            "kind": "packed",
+            "seq_len": SEQ_LEN,
+            "seqs_per_file": seqs_per_file,
+            "manifest": manifest,
+        },
+        partition_by=["source", "seq_block"],
+    )
+    table.vacuum(keep_last=keep_last)
+    return {
+        "version": version,
+        "seqs_per_file": seqs_per_file,
+        "manifest": manifest,
+    }
+
+
+def verify_packed(
+    spark: SparkSession, out_root: str, version: int | None = None
+) -> dict:
+    """Integrity check of a packed sharded write, mirroring
+    verify_sharded: recompute the per-shard manifest FROM THE
+    MATERIALIZED FILES with the same shared aggregation and compare
+    shard-by-shard; assert the physical layout (exactly one data file
+    per source=S/seq_block=K leaf); and check block-key consistency
+    (every row's partition-dir seq_block must equal
+    seq_id div seqs_per_file — a file moved between shard dirs changes
+    its partition column and shows up here even when its content is
+    intact). Same caveat as verify_sharded: an integrity check against
+    corruption and writer bugs, not an adversarial seal."""
+    import os
+
+    from etl_wikipedia_updates_spark.plans.corpus import manifest_of
+
+    table = SnapshotTable(out_root)
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published packed write under {out_root}")
+    meta = table.meta_for(v)
+    expected = meta.get("manifest") or []
+    spf = int(meta.get("seqs_per_file") or SEQS_PER_FILE)
+    data = table.read(spark, v)
+    recomputed = [
+        r.asDict()
+        for r in manifest_of(_packed_manifest_frame(data)).collect()
+    ]
+    mismatches = []
+    misplaced = data.filter(
+        F.col("seq_block").cast("long") != F.expr(f"seq_id div {spf}")
+    ).count()
+    if misplaced:
+        mismatches.append(
+            {"error": f"{misplaced} rows in the wrong seq_block dir"}
+        )
+    exp = {r["shard"]: r for r in expected}
+    got = {r["shard"]: r for r in recomputed}
+    for k in sorted(set(exp) | set(got)):
+        if k not in exp:
+            mismatches.append({"shard": k, "error": "not in manifest"})
+        elif k not in got:
+            mismatches.append({"shard": k, "error": "not in data"})
+        elif exp[k] != got[k]:
+            mismatches.append(
+                {"shard": k, "expected": exp[k], "recomputed": got[k]}
+            )
+    # physical layout: one data file per source=S/seq_block=K leaf
+    vdir = table.version_path(v)
+    for sdir in sorted(os.listdir(vdir)):
+        if not sdir.startswith("source="):
+            continue
+        for bdir in sorted(os.listdir(os.path.join(vdir, sdir))):
+            if not bdir.startswith("seq_block="):
+                continue
+            files = [
+                f
+                for f in os.listdir(os.path.join(vdir, sdir, bdir))
+                if f.endswith(".parquet")
+            ]
+            if len(files) != 1:
+                mismatches.append(
+                    {
+                        "shard": f"{sdir}/{bdir}",
+                        "error": f"{len(files)} files, expected 1",
+                    }
+                )
+    return {
+        "version": v,
+        "ok": not mismatches,
+        "expected": expected,
+        "recomputed": recomputed,
+        "mismatches": mismatches,
+    }

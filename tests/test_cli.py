@@ -645,3 +645,47 @@ def test_cli_pack_write_and_verify(spark, sf_smoke, tmp_path, capsys):
     assert main(["pack", "--out", out, "--sf-dir", sf_smoke, "--verify"]) == 1
     v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not v["ok"]
+
+
+def test_cli_pack_shard_write_and_verify(spark, sf_smoke, tmp_path, capsys):
+    """`pack --shard` (r17) publishes the packed stream through the
+    manifest-verified snapshot layout (one file per
+    (source, seq_id div seqs-per-file) shard); `pack --shard --verify`
+    recomputes the manifest from the files; a removed shard dir fails
+    the verify."""
+    import json
+    import shutil
+
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    root = str(tmp_path / "packed_shards")
+    assert (
+        main(
+            [
+                "pack", "--shard", "--out", root,
+                "--sf-dir", sf_smoke, "--seqs-per-file", "4",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["manifest"]
+    assert out["seqs_per_file"] == 4
+    meta = SnapshotTable(root).meta_for(1)
+    assert meta["manifest"] == out["manifest"]
+    assert meta["kind"] == "packed"
+
+    assert main(["pack", "--shard", "--out", root, "--verify"]) == 0
+    capsys.readouterr()
+
+    vdir = SnapshotTable(root).version_path(1)
+    srcdir = sorted(
+        d for d in os.listdir(vdir) if d.startswith("source=")
+    )[0]
+    victim = sorted(
+        b
+        for b in os.listdir(os.path.join(vdir, srcdir))
+        if b.startswith("seq_block=")
+    )[0]
+    shutil.rmtree(os.path.join(vdir, srcdir, victim))
+    assert main(["pack", "--shard", "--out", root, "--verify"]) == 1

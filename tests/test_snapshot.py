@@ -613,3 +613,109 @@ def test_write_release_with_quality_classifier_gate(spark, sf_smoke, tmp_path):
     }
     assert plain_ids & low, "fixture must have low scorers to gate out"
     assert got_ids != plain_ids
+
+
+def test_write_packed_manifest_layout_and_tamper(spark, sf_smoke, tmp_path):
+    """r17 pack x shard composition: write_packed publishes the packed
+    stream one-file-per-(source, seq_block) with the shared-aggregation
+    manifest in version metadata; verify_packed recomputes it from the
+    files; pack_assignments' seq_first div seqs_per_file IS the file a
+    doc's first token lands in (the dataloader map); and tampering —
+    deleting a shard dir, or editing a row's tokens — is detected."""
+    import glob
+    import shutil
+
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        pack_assignments,
+        seq_pack,
+    )
+    from etl_wikipedia_updates_spark.release import (
+        verify_packed,
+        write_packed,
+    )
+
+    root = str(tmp_path / "packed")
+    spf = 4
+    out = write_packed(spark, sf_smoke, root, seqs_per_file=spf)
+    assert out["version"] == 1 and out["seqs_per_file"] == spf
+
+    res = verify_packed(spark, root)
+    assert res["ok"], res["mismatches"]
+    assert res["recomputed"] == out["manifest"]
+
+    # manifest totals == seq_pack audit totals (the two views of the
+    # same stream agree)
+    audit = {r["source"]: r for r in seq_pack(spark, sf_smoke).collect()}
+    assert sum(r["n_docs"] for r in out["manifest"]) == sum(
+        a["n_seqs"] for a in audit.values()
+    )
+    assert sum(r["n_chars_total"] for r in out["manifest"]) == sum(
+        a["total_tokens"] for a in audit.values()
+    )
+    # every shard holds exactly one source (contiguous-run layout)
+    assert all(r["n_sources"] == 1 for r in out["manifest"])
+
+    # layout: one parquet per leaf; block dirs contiguous from 0
+    t = SnapshotTable(root)
+    vdir = t.version_path(out["version"])
+    leaves = glob.glob(os.path.join(vdir, "source=*", "seq_block=*"))
+    assert len(leaves) == len(out["manifest"])
+    for leaf in leaves:
+        assert len(glob.glob(os.path.join(leaf, "*.parquet"))) == 1, leaf
+    for sdir in glob.glob(os.path.join(vdir, "source=*")):
+        blocks = sorted(
+            int(os.path.basename(b).split("=")[1])
+            for b in glob.glob(os.path.join(sdir, "seq_block=*"))
+        )
+        assert blocks == list(range(len(blocks))), sdir
+
+    # dataloader map: pack_assignments' seq_first div spf names the
+    # shard file whose sequence actually CONTAINS the doc's first token
+    pa = {
+        (r["source"], r["seq_first"]): r["seq_first"] // spf
+        for r in pack_assignments(spark, sf_smoke).collect()
+    }
+    data = t.read(spark, out["version"]).collect()
+    blocks_by_seq = {
+        (r["source"], r["seq_id"]): int(r["seq_block"]) for r in data
+    }
+    for (src, seq_first), blk in pa.items():
+        assert blocks_by_seq[(src, seq_first)] == blk
+
+    # tamper 1: delete one shard dir -> flagged "not in data"
+    victim = sorted(leaves)[0]
+    shutil.rmtree(victim)
+    res2 = verify_packed(spark, root)
+    assert not res2["ok"]
+    assert any(m.get("error") == "not in data" for m in res2["mismatches"])
+
+    # tamper 2 (fresh write): rewrite one shard file with a truncated
+    # sequence -> n_chars_total (token-mass checksum) mismatch
+    root2 = str(tmp_path / "packed2")
+    out2 = write_packed(spark, sf_smoke, root2, seqs_per_file=spf)
+    t2 = SnapshotTable(root2)
+    vdir2 = t2.version_path(out2["version"])
+    leaf = sorted(glob.glob(os.path.join(vdir2, "source=*", "seq_block=*")))[0]
+    f = glob.glob(os.path.join(leaf, "*.parquet"))[0]
+    df = spark.read.parquet(f)
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("n_tokens", F.col("n_tokens") + 1)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f + ".tmp")
+    )
+    new = glob.glob(os.path.join(f + ".tmp", "*.parquet"))[0]
+    os.remove(f)
+    # drop Hadoop's local-FS CRC sidecar too — the swap must get past
+    # the transport-level checksum so the MANIFEST check is what
+    # detects it (on object stores there is no sidecar to save you)
+    crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.move(new, f)
+    shutil.rmtree(f + ".tmp")
+    res3 = verify_packed(spark, root2)
+    assert not res3["ok"]
+    assert any("expected" in m for m in res3["mismatches"])
