@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 from etl_wikipedia_updates_spark.operators import dedup as D
 from etl_wikipedia_updates_spark.operators import text as T
 from etl_wikipedia_updates_spark.operators.text import HASH_P
+from etl_wikipedia_updates_spark.functions.deterministic import (
+    det_round,
+    sql_det_round,
+)
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.plans.northstar import (
     JACCARD_THRESHOLD,
@@ -205,6 +209,209 @@ FROM nd GROUP BY source ORDER BY source
 
 INCREMENTAL_DEDUP_SQL = _incremental_sql()
 
+
+# --- incremental_span_dedup (r17): the recrawl story for SPANS ---------------
+def span_audit_vs_prior(
+    new_spans: DataFrame, prior_hashes: DataFrame
+) -> DataFrame:
+    """Per-source audit of a NEW crawl's span duplication against a
+    PRIOR published corpus — the shared frame-level core: the
+    registered query derives both sides from the table (synthetic id
+    threshold), release.publish_span_store's probe path feeds the
+    prior side from the persisted store, and the equivalence tests
+    feed it adversarial frames. ``new_spans`` is (doc_id, source, h)
+    span occurrences (plans.northstar._span_occurrences — the SAME
+    machinery as span_dedup/span_removal/span_decontam, so all four
+    agree on what a span is); ``prior_hashes`` is any frame with an
+    ``h`` column (raw occurrences or the store's distinct hashes —
+    max(is_prior) is multiplicity-blind, so both give identical
+    audits).
+
+    Scale shape: ONE h-keyed exchange over the union — span_dedup's
+    exact shuffle with a side tag. A sort window computes, per span
+    hash, whether ANY prior occurrence exists (has_prior) and the
+    min/max NEW doc ids (dup within the snapshot = min != max, the
+    span_dedup rule); prior x prior duplication is never computed —
+    the term a per-recrawl from-scratch span_dedup re-pays at 100 TB.
+    The prior side ships as bare hashes (the store artifact), not
+    text: the probe's shuffle mass is 8 bytes per stored span.
+
+    Per new doc: spans_doc occurrences, dup_prior (h in the prior
+    corpus), dup_new (h shared with another new doc), dup_any
+    (either). Per source over new docs (docs shorter than SPAN_W
+    carry no spans and are absent, as in span_dedup).
+    """
+    return _span_audit_tagged(
+        new_spans.select(
+            "doc_id", "source", "h", F.lit(0).alias("is_prior")
+        ).unionByName(
+            prior_hashes.select(
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("string").alias("source"),
+                "h",
+                F.lit(1).alias("is_prior"),
+            )
+        )
+    )
+
+
+def _span_audit_tagged(u: DataFrame) -> DataFrame:
+    """The audit body over a single TAGGED occurrence frame
+    (doc_id, source, h, is_prior) — split out so the registered query
+    can tag one scan's output by the id threshold instead of unioning
+    two filtered copies of the same corpus subtree (which would run
+    the scan + span hashing twice; the _seq_pack_cum lesson). Prior
+    rows may carry real or NULL doc_id/source — both are ignored
+    (the is_prior filter runs before either is consumed)."""
+    from pyspark.sql import Window as W
+
+    wh = W.partitionBy("h")
+    new_doc = F.when(F.col("is_prior") == 0, F.col("doc_id"))
+    flagged = (
+        u.select(
+            "doc_id",
+            "source",
+            "is_prior",
+            F.max("is_prior").over(wh).alias("has_prior"),
+            F.min(new_doc).over(wh).alias("mn"),
+            F.max(new_doc).over(wh).alias("mx"),
+        )
+        .filter(F.col("is_prior") == 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("has_prior").cast("long").alias("dup_prior"),
+            (F.col("mn") != F.col("mx")).cast("long").alias("dup_new"),
+        )
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("spans_doc"),
+        F.sum("dup_prior").alias("dp"),
+        F.sum("dup_new").alias("dn"),
+        F.sum(F.greatest("dup_prior", "dup_new")).alias("da"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("new_docs"),
+            F.sum("spans_doc").cast("bigint").alias("total_spans"),
+            F.sum("dp").cast("bigint").alias("dup_prior_spans"),
+            F.sum("dn").cast("bigint").alias("dup_new_spans"),
+            F.sum("da").cast("bigint").alias("dup_spans"),
+            F.sum((F.col("da") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_affected"),
+        )
+        .withColumn(
+            "dup_frac",
+            det_round(
+                F.col("dup_spans").cast("double")
+                / F.col("total_spans").cast("double"),
+                4,
+            ),
+        )
+        .transform(total_order, "source")
+    )
+
+
+def incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: the same synthetic snapshot boundary as
+    incremental_dedup (top id quarter = "the new crawl", shared
+    memoized threshold), prior side recomputed from the table here —
+    in a real recrawl it is READ from the persisted span-hash store
+    (release.publish_span_store), never recomputed; equivalence of
+    the two prior-side feeds is pinned by tests/test_incremental.py.
+    Incremental == from-scratch contract (also pinned): a new doc's
+    occurrence is dup here iff it is dup in span_dedup run over the
+    whole union — dup_prior | dup_new decomposes span_dedup's
+    min(doc)!=max(doc) rule across the snapshot boundary, so the
+    recrawl shortcut loses nothing.
+
+    Plan shape: since both sides come from ONE table here, the
+    occurrences are TAGGED by the threshold instead of unioned as two
+    filtered copies — one scan + one span-hash pass + one h-keyed
+    exchange (a union of two filters over the same subtree would scan
+    and hash the corpus twice; plan-pinned in tests/test_plans.py)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    thr = _memo_model(
+        spark, sf_dir, "incr_thr", lambda: snapshot_threshold(docs)
+    )
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+
+    return _span_audit_tagged(
+        _span_occurrences(docs).select(
+            "doc_id",
+            "source",
+            "h",
+            (F.col("doc_id") < thr).cast("int").alias("is_prior"),
+        )
+    )
+
+
+def _incremental_span_sql() -> str:
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SPAN_HOP,
+        SPAN_W,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS l FROM documents
+),
+thr AS (SELECT ((MAX(doc_id) + 1) * 3) // 4 AS t FROM documents),
+tid AS (
+  SELECT doc_id, source,
+         list_transform(l, t -> {T.sql_term_hash('t')}) AS tids,
+         len(l) AS n
+  FROM t WHERE len(l) >= {SPAN_W}
+),
+sp AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_slice(tids, p + 1, p + {SPAN_W})),
+           (h, x) -> (h * {T.TERM_HASH_BASE} + x) % {HASH_P}) AS h
+  FROM tid, unnest(range(0, n - {SPAN_W} + 1, {SPAN_HOP})) AS u(p)
+),
+hs AS (
+  SELECT h,
+         MAX(CASE WHEN doc_id < (SELECT t FROM thr) THEN 1 ELSE 0 END)
+           AS has_prior,
+         MIN(CASE WHEN doc_id >= (SELECT t FROM thr) THEN doc_id END) AS mn,
+         MAX(CASE WHEN doc_id >= (SELECT t FROM thr) THEN doc_id END) AS mx
+  FROM sp GROUP BY h
+),
+flags AS (
+  SELECT s.doc_id, s.source,
+         hs.has_prior AS dup_prior,
+         CASE WHEN hs.mn != hs.mx THEN 1 ELSE 0 END AS dup_new
+  FROM sp s JOIN hs USING (h)
+  WHERE s.doc_id >= (SELECT t FROM thr)
+),
+pd AS (
+  SELECT doc_id, source, COUNT(*) AS spans_doc,
+         SUM(dup_prior) AS dp, SUM(dup_new) AS dn,
+         SUM(GREATEST(dup_prior, dup_new)) AS da
+  FROM flags GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*) AS new_docs,
+       CAST(SUM(spans_doc) AS BIGINT) AS total_spans,
+       CAST(SUM(dp) AS BIGINT) AS dup_prior_spans,
+       CAST(SUM(dn) AS BIGINT) AS dup_new_spans,
+       CAST(SUM(da) AS BIGINT) AS dup_spans,
+       CAST(SUM(CASE WHEN da > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       {sql_det_round("CAST(SUM(da) AS DOUBLE) / CAST(SUM(spans_doc) AS DOUBLE)", 4)}
+         AS dup_frac
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
+INCREMENTAL_SPAN_DEDUP_SQL = _incremental_span_sql()
+
 INCREMENTAL_QUERIES: list[DeclaredQuery] = [
     DeclaredQuery(
         "incremental_dedup",
@@ -212,5 +419,13 @@ INCREMENTAL_QUERIES: list[DeclaredQuery] = [
         INCREMENTAL_DEDUP_SQL,
         "incremental cross-snapshot near-dup: new crawl vs prior corpus",
         eager=True,  # threshold collect + CC strategy probe run at build
+    ),
+    DeclaredQuery(
+        "incremental_span_dedup",
+        incremental_span_dedup,
+        INCREMENTAL_SPAN_DEDUP_SQL,
+        "incremental span-level dedup: new crawl's spans vs the prior "
+        "corpus' span-hash store",
+        eager=True,  # shared threshold collect runs at build
     ),
 ]

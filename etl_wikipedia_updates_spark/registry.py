@@ -1,28 +1,29 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 82
-entries. The external correctness gate records the first 50 entries
-per round, so the surplus sits past the cutoff each round; the
-rotation policy keeps every official row as fresh as the window
-allows (pinned by tests/test_survey_contract.py's freshness test
-since r15: with ~29 contract rows pinned every round, the 53 rotating
-entries share ~21 slots, so the feasible bound is a refresh every
-THIRD gate — any entry about to exceed it, or never certified, must
-sit inside the next window):
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 85
+entries (83 oracle-backed + 2 bench-only approximate). The external
+correctness gate records the first 50 entries per round, so the
+surplus sits past the cutoff each round; the rotation policy keeps
+every official row as fresh as the window allows (pinned by
+tests/test_survey_contract.py's freshness test since r15: with ~29
+contract rows pinned every round, the ~56 rotating entries share ~21
+slots, so the feasible bound is a refresh every THIRD gate — any
+entry about to exceed it, or never certified, must sit inside the
+next window):
 
 - Entries with NO official row ever go FIRST, then entries CHANGED
   this round (their old rows certify code that no longer exists),
   then the entries hitting the 3-gate freshness bound, then the
   contract rows Q1-Q28 + wiki (inside the window every round), with
   any spare slots refreshing the OLDEST remaining rows FIFO.
-- Round-17 window arithmetic (2 changed-core re-certs: seq_pack +
+- Round-17 window arithmetic: (1 never-certified: the NEW
+  incremental_span_dedup) + (2 changed-core re-certs: seq_pack +
   pack_assignments, whose r16 stage-reuse change was certified that
   gate only through in-window consumers) + (15 r14-official entries
-  at the bound: rep_filter .. embedding_stats) + (29 contract) = 46,
-  leaving 4 spare: 2 go to the oldest r15 rows (ngram_quality,
-  bpe_token_stats) to lighten r18, 2 held for this round's new
-  registrations.
+  at the bound: rep_filter .. embedding_stats) + (2 early refreshes
+  of the oldest r15 rows — ngram_quality, bpe_token_stats — to
+  lighten r18) + (29 contract) = 49, 1 slot spare.
 - Round-18 horizon: the remaining r15-official block (pii_scrub ..
   percentiles_approx, 14 entries incl. the rows-only approximate
   pair) hits its bound at r18; with 29 contract rows that window is
@@ -52,6 +53,11 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
+    # --- NEVER-CERTIFIED first: incremental_span_dedup (NEW r17 —
+    # the recrawl story for spans: new crawl's span occurrences
+    # probed against the prior corpus' span-hash store) has no
+    # official row ---
+    "incremental_span_dedup",
     # --- round-17 rotation head, executing the window the r16
     # registry promised (r16 verdict #1). seq_pack and pack_assignments
     # re-certify FIRST: the r16 shuffle-stage-reuse change to their

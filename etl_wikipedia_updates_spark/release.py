@@ -546,3 +546,91 @@ def verify_packed(
         "recomputed": recomputed,
         "mismatches": mismatches,
     }
+
+
+# --- persistent span-hash store (r17: incremental_span_dedup's state) -------
+
+
+def publish_span_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_root: str,
+    keep_last: int = 2,
+    merge_prior: bool = False,
+    source_desc: str | None = None,
+) -> dict:
+    """Persist the corpus' DISTINCT span hashes as a SnapshotTable
+    version — the prior-side artifact incremental_span_dedup's
+    docstring points at: the next recrawl probes its new spans against
+    THIS store instead of re-hashing the published corpus (the store
+    row is 8 bytes per distinct span; the corpus it replaces is the
+    full text). ``merge_prior=True`` is the recrawl append: the new
+    snapshot's hashes union-distinct into the current version and
+    publish as the next one (versions stay immutable — a training run
+    pins the store version like any release artifact; the union plans
+    as one h-keyed partial-agg distinct, no driver materialization).
+
+    The store keeps EVERY published span hash, including dropped
+    docs' (a span seen once is still a dup when re-crawled — the same
+    shadowing rule the streaming bucket stores apply).
+
+    Returns {"version": N}."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SPAN_HOP,
+        SPAN_W,
+        _span_occurrences,
+    )
+
+    spans = _span_occurrences(docs).select("h")
+    table = SnapshotTable(store_root)
+    cur = table.current_version()
+    if merge_prior and cur is not None:
+        spans = spans.unionByName(table.read(spark, cur).select("h"))
+    version = table.publish(
+        spans.distinct(),
+        meta={
+            "kind": "span_store",
+            "span_w": SPAN_W,
+            "span_hop": SPAN_HOP,
+            "merged_prior_version": cur if merge_prior else None,
+            "source": source_desc or "caller-supplied frame",
+        },
+    )
+    table.vacuum(keep_last=keep_last)
+    return {"version": version}
+
+
+def span_store_audit(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_root: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Probe a NEW crawl against a persisted span-hash store: the
+    production feed of plans.incremental.span_audit_vs_prior (the
+    registered incremental_span_dedup recomputes the prior side from
+    the table; this reads it from the store — equivalence of the two
+    feeds is pinned in tests/test_incremental.py). Same audit schema:
+    per new-crawl source, span totals, dup-vs-prior / dup-within-new /
+    dup-any counts, affected docs, dup fraction."""
+    from etl_wikipedia_updates_spark.plans.incremental import (
+        span_audit_vs_prior,
+    )
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+
+    table = SnapshotTable(store_root)
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published span store under {store_root}")
+    meta = table.meta_for(v)
+    if meta.get("kind") != "span_store":
+        raise ValueError(
+            f"{store_root} v{v} is not a span store (kind="
+            f"{meta.get('kind')!r})"
+        )
+    return span_audit_vs_prior(
+        _span_occurrences(new_docs).select("doc_id", "source", "h"),
+        table.read(spark, v).select("h"),
+    )

@@ -157,3 +157,190 @@ def test_incremental_prior_is_never_dropped(spark):
     assert {r["doc_id"] for r in flagged} == {10}
     (row,) = flagged
     assert row["cluster_id"] == 0  # canonical = the prior doc
+
+
+# --- incremental_span_dedup (r17): the recrawl story for spans ---------------
+
+
+def _span_docs(spark, rows):
+    """(doc_id, source, text) frames for the span tests; texts are
+    concatenations of 8-token blocks so the HOP=8-aligned SPAN_W=16
+    windows line up exactly on block pairs."""
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def _block(name: str) -> str:
+    return " ".join(f"{name}t{i}" for i in range(8))
+
+
+def _from_scratch_span_audit(docs, thr):
+    """From-scratch reference: span_dedup's union-wide min!=max dup
+    rule, then the incremental audit's per-source aggregation
+    restricted to new docs — what the incremental pass must equal."""
+    from etl_wikipedia_updates_spark.functions.deterministic import (
+        det_round,
+    )
+    from etl_wikipedia_updates_spark.plans.base import total_order
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+    from pyspark.sql import Window as W
+
+    spans = _span_occurrences(docs)
+    wh = W.partitionBy("h")
+    marked = spans.select(
+        "doc_id",
+        "source",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh))
+        .cast("long")
+        .alias("dup"),
+        F.max((F.col("doc_id") < thr).cast("long"))
+        .over(wh)
+        .alias("has_prior"),
+        F.min(F.when(F.col("doc_id") >= thr, F.col("doc_id")))
+        .over(wh)
+        .alias("mn"),
+        F.max(F.when(F.col("doc_id") >= thr, F.col("doc_id")))
+        .over(wh)
+        .alias("mx"),
+    ).filter(F.col("doc_id") >= thr)
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("spans_doc"),
+        F.sum("has_prior").alias("dp"),
+        F.sum((F.col("mn") != F.col("mx")).cast("long")).alias("dn"),
+        F.sum("dup").alias("da"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("new_docs"),
+            F.sum("spans_doc").cast("bigint").alias("total_spans"),
+            F.sum("dp").cast("bigint").alias("dup_prior_spans"),
+            F.sum("dn").cast("bigint").alias("dup_new_spans"),
+            F.sum("da").cast("bigint").alias("dup_spans"),
+            F.sum((F.col("da") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_affected"),
+        )
+        .withColumn(
+            "dup_frac",
+            det_round(
+                F.col("dup_spans").cast("double")
+                / F.col("total_spans").cast("double"),
+                4,
+            ),
+        )
+        .transform(total_order, "source")
+    )
+
+
+_SPAN_ROWS_PRIOR = [
+    (0, "wiki", " ".join(map(_block, ["A", "B", "C", "D"]))),
+    (1, "web", " ".join(map(_block, ["E", "F", "G", "H"]))),
+]
+_SPAN_ROWS_NEW = [
+    # A+B verbatim from prior doc 0 (dup_prior), tail unique
+    (100, "wiki", " ".join(map(_block, ["A", "B", "X1", "X2"]))),
+    # Y1+Y2 shared between the two new docs (dup_new), never in prior
+    (101, "web", " ".join(map(_block, ["Y1", "Y2", "Z1", "Z2"]))),
+    (102, "web", " ".join(map(_block, ["Y1", "Y2", "W1", "W2"]))),
+    # C+D from prior doc 0 at a DIFFERENT aligned offset (hash is
+    # content-only), E+F from prior doc 1 -> dup_prior from two docs
+    (103, "wiki", " ".join(map(_block, ["C", "D", "E", "F"]))),
+    # all-unique doc
+    (104, "web", " ".join(map(_block, ["U1", "U2", "U3", "U4"]))),
+]
+
+
+def test_incremental_span_equals_from_scratch(spark):
+    """The span analog of the MinHash equivalence contract: the
+    one-exchange incremental audit (span_audit_vs_prior) over
+    new-vs-prior equals the from-scratch union span_dedup rule
+    aggregated the same way — dup_prior | dup_new decomposes
+    min(doc)!=max(doc) across the snapshot boundary exactly."""
+    from etl_wikipedia_updates_spark.plans.incremental import (
+        span_audit_vs_prior,
+    )
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+
+    thr = 100
+    union = _span_docs(spark, _SPAN_ROWS_PRIOR + _SPAN_ROWS_NEW)
+    spans = _span_occurrences(union)
+    inc = span_audit_vs_prior(
+        spans.filter(F.col("doc_id") >= thr).select(
+            "doc_id", "source", "h"
+        ),
+        spans.filter(F.col("doc_id") < thr).select("h"),
+    ).collect()
+    ref = _from_scratch_span_audit(union, thr).collect()
+    assert [r.asDict() for r in inc] == [r.asDict() for r in ref]
+    # and the fixture exercises every branch: dup-vs-prior only,
+    # dup-within-new only, and clean
+    by_src = {r["source"]: r for r in inc}
+    assert by_src["wiki"]["dup_prior_spans"] > 0
+    assert by_src["wiki"]["dup_new_spans"] == 0
+    assert by_src["web"]["dup_new_spans"] > 0
+    assert by_src["web"]["dup_prior_spans"] == 0
+    assert by_src["web"]["docs_affected"] == 2  # 101, 102; 104 clean
+    assert by_src["wiki"]["docs_affected"] == 2  # 100, 103
+
+
+def test_span_store_feed_equals_recomputed_and_merges(spark, tmp_path):
+    """publish_span_store -> span_store_audit gives the IDENTICAL
+    audit as recomputing the prior side from the corpus (the
+    registered query's feed), and merge_prior appends a snapshot so
+    the two-step store equals the from-scratch store over the union."""
+    from etl_wikipedia_updates_spark.plans.incremental import (
+        span_audit_vs_prior,
+    )
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+    from etl_wikipedia_updates_spark.release import (
+        publish_span_store,
+        span_store_audit,
+    )
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    prior = _span_docs(spark, _SPAN_ROWS_PRIOR)
+    new = _span_docs(spark, _SPAN_ROWS_NEW)
+    root = str(tmp_path / "span_store")
+    out = publish_span_store(spark, prior, root, source_desc="prior")
+    assert out["version"] == 1
+
+    via_store = span_store_audit(spark, new, root).collect()
+    recomputed = span_audit_vs_prior(
+        _span_occurrences(new).select("doc_id", "source", "h"),
+        _span_occurrences(prior).select("h"),
+    ).collect()
+    assert [r.asDict() for r in via_store] == [
+        r.asDict() for r in recomputed
+    ]
+
+    # recrawl append: store v2 = v1 union new snapshot's hashes ==
+    # from-scratch store over prior ∪ new
+    out2 = publish_span_store(spark, new, root, merge_prior=True)
+    assert out2["version"] == 2
+    got = {
+        r["h"]
+        for r in SnapshotTable(root).read(spark, 2).select("h").collect()
+    }
+    want = {
+        r["h"]
+        for r in _span_occurrences(
+            _span_docs(spark, _SPAN_ROWS_PRIOR + _SPAN_ROWS_NEW)
+        )
+        .select("h")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # store meta guards: probing a non-store snapshot fails loudly
+    import pytest
+
+    other = str(tmp_path / "not_a_store")
+    SnapshotTable(other).publish(prior, meta={"kind": "other"})
+    with pytest.raises(ValueError):
+        span_store_audit(spark, new, other)

@@ -41,6 +41,11 @@ CASES = [
     ("percentiles", ["Window", "partial_"], ["ObjectHashAggregate"]),
     # the tiny (doc_id, source) side broadcasts onto the exploded shingles
     ("contamination", ["BroadcastHashJoin"], []),
+    # incremental_span_dedup (r17): both sides tagged out of ONE scan —
+    # no Union of two filtered copies of the corpus subtree (that
+    # would scan + span-hash twice), no Join (the h-window carries the
+    # prior flag)
+    ("incremental_span_dedup", ["Window", "Generate"], ["Union", "Join"]),
     # k-means: assignment is a projection and cent1 a literal array
     # lookup — the whole summary is join-free (one agg + final sort)
     ("kmeans_clusters", ["HashAggregate"], ["SortMergeJoin", "Join"]),

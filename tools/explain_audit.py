@@ -51,6 +51,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "hashpartitioning(doc_id"],
     ),
     "span_dedup": (["Generate", "hashpartitioning(h", "Window"], ["Join"]),
+    # r17: both snapshot sides tagged out of ONE scan — a Union of two
+    # filtered copies would scan + span-hash the corpus twice
+    "incremental_span_dedup": (
+        ["Generate", "hashpartitioning(h", "Window"],
+        ["Join", "Union"],
+    ),
     # r15: seq_pack's consumable half — same prefix-sum contract
     "pack_assignments": (
         ["hashpartitioning(bkt", "Window", "BroadcastHashJoin"],
