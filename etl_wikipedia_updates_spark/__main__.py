@@ -226,6 +226,41 @@ def cmd_shard(args) -> int:
     return 0
 
 
+def cmd_span_store(args) -> int:
+    """Publish / append / probe the persistent span-hash store (r17):
+    `span-store --store R` publishes the sf-dir corpus' distinct span
+    hashes as the store's next version (--merge unions in the current
+    version — the per-recrawl append); `span-store --store R --audit`
+    probes the sf-dir corpus as a NEW crawl against the store and
+    prints the per-source dup audit. A real recrawl points --sf-dir
+    at the new snapshot's tables."""
+    import json
+
+    from etl_wikipedia_updates_spark.release import (
+        publish_span_store,
+        span_store_audit,
+    )
+    from etl_wikipedia_updates_spark.tables import load_table, spread
+
+    spark = _spark()
+    docs = spread(load_table(spark, args.sf_dir, "documents"))
+    if args.audit:
+        rows = [
+            r.asDict() for r in span_store_audit(spark, docs, args.store).collect()
+        ]
+        print(json.dumps({"store": args.store, "audit": rows}))
+        return 0
+    out = publish_span_store(
+        spark,
+        docs,
+        args.store,
+        merge_prior=args.merge,
+        source_desc=f"{args.sf_dir}/documents",
+    )
+    print(json.dumps({"store": args.store, **out}))
+    return 0
+
+
 def cmd_index(args) -> int:
     import json
 
@@ -714,6 +749,26 @@ def main(argv: list[str] | None = None) -> int:
         help="sequences per output shard file (default 64) — the "
         "packed layout's file-size dial, only with --shard",
     )
+    sps = sub.add_parser(
+        "span-store",
+        help="publish the corpus' distinct span hashes as a versioned "
+        "store (--merge appends the current version — the recrawl "
+        "update), or --audit a new crawl against it",
+    )
+    sps.add_argument("--store", required=True, help="store root dir")
+    sps.add_argument("--sf-dir", default=sf_default)
+    sps.add_argument(
+        "--merge",
+        action="store_true",
+        help="union the current store version into the publish "
+        "(per-recrawl append; versions stay immutable)",
+    )
+    sps.add_argument(
+        "--audit",
+        action="store_true",
+        help="probe the sf-dir corpus as a NEW crawl against the "
+        "store and print the per-source span-dup audit",
+    )
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"
     )
@@ -856,6 +911,7 @@ def main(argv: list[str] | None = None) -> int:
         "release": cmd_release,
         "pack": cmd_pack,
         "shard": cmd_shard,
+        "span-store": cmd_span_store,
         "index": cmd_index,
         "dedup-ingest": cmd_dedup_ingest,
         "maintain": cmd_maintain,

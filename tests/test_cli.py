@@ -689,3 +689,45 @@ def test_cli_pack_shard_write_and_verify(spark, sf_smoke, tmp_path, capsys):
     )[0]
     shutil.rmtree(os.path.join(vdir, srcdir, victim))
     assert main(["pack", "--shard", "--out", root, "--verify"]) == 1
+
+
+def test_cli_span_store_publish_merge_audit(spark, sf_smoke, tmp_path, capsys):
+    """`span-store` (r17): publish the corpus' span hashes, --merge a
+    second snapshot in as v2, --audit a crawl against the store —
+    audit rows must equal the library path's."""
+    import json
+
+    from etl_wikipedia_updates_spark.release import span_store_audit
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    root = str(tmp_path / "span_store")
+    assert main(["span-store", "--store", root, "--sf-dir", sf_smoke]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1
+
+    assert (
+        main(
+            ["span-store", "--store", root, "--sf-dir", sf_smoke, "--merge"]
+        )
+        == 0
+    )
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["version"] == 2
+
+    assert (
+        main(
+            ["span-store", "--store", root, "--sf-dir", sf_smoke, "--audit"]
+        )
+        == 0
+    )
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lib = [
+        r.asDict()
+        for r in span_store_audit(
+            spark, load_table(spark, sf_smoke, "documents"), root
+        ).collect()
+    ]
+    assert audit["audit"] == lib
+    # self-probe against a store containing the same corpus: every
+    # span is a prior dup
+    assert all(r["dup_prior_spans"] == r["total_spans"] for r in lib)
