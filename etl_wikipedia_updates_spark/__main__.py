@@ -343,6 +343,7 @@ def cmd_dedup_ingest(args) -> int:
         ingest_with_embedding_neardup,
         ingest_with_neardup,
         ingest_with_quality_neardup,
+        ingest_with_span_neardup,
         ingest_with_verified_embedding_neardup,
         ingest_with_verified_neardup,
     )
@@ -431,6 +432,7 @@ def cmd_dedup_ingest(args) -> int:
             "doc": ingest_with_neardup,
             "quality": ingest_with_quality_neardup,
             "verified": ingest_with_verified_neardup,
+            "span": ingest_with_span_neardup,
             "embedding": ingest_with_embedding_neardup,
             "embedding-verified": ingest_with_verified_embedding_neardup,
         }[args.mode]
@@ -829,6 +831,7 @@ def main(argv: list[str] | None = None) -> int:
             "doc",
             "quality",
             "verified",
+            "span",
             "embedding",
             "embedding-verified",
             "decontam",

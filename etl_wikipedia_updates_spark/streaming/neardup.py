@@ -546,6 +546,90 @@ def batch_neardup_keep(docs: DataFrame) -> DataFrame:
     return _batch_keep(docs, doc_band_rows, "doc_id")
 
 
+# --- span-mode (exact-substring) ingest dedup ---------------------------------
+# The sixth variant (r17): a doc is dropped iff it shares ONE verbatim
+# SPAN_W-token span with any earlier-arrived doc — the streaming
+# statement of the span_dedup / incremental_span_dedup rule (Lee et
+# al. 2021's dup-span test applied as a doc-level veto at ingest),
+# where the MinHash variant blocks on APPROXIMATE whole-doc
+# similarity. Everything reuses the shared bucket engine: the span
+# hashes ARE the bucket rows (band=0, band_key=h), so the store
+# layout, replay idempotence, compaction, and the first-arriver
+# shadowing rule (dropped docs' spans still stored) come for free —
+# and the store is exactly release.publish_span_store's artifact
+# denominated in the streaming sink's per-batch format. At 100 TB the
+# store rows are (h, doc_id) — ~n_tok/HOP per doc, the span-level
+# analog of the band store's MINHASH_BANDS rows per doc.
+
+
+def doc_span_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, band_key) SPAN-occurrence rows for a
+    document frame — plans.northstar._span_occurrences (the same
+    machinery as the four batch span operators, so stream and batch
+    agree on what a span is) shaped for the shared bucket engine:
+    lang='*' (verbatim spans collide across langs), band=0, the span
+    hash as the bucket key. Docs shorter than SPAN_W emit no rows and
+    are never dropped."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        _span_occurrences,
+    )
+
+    return _span_occurrences(docs).select(
+        "doc_id",
+        F.lit("*").alias("lang"),
+        F.lit(0).alias("band"),
+        F.col("h").cast("string").alias("band_key"),
+    )
+
+
+def span_dedup_ingest_batch(
+    batch_df: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
+    sink_transform=None,
+) -> None:
+    """Span-mode dedup ingest micro-batch (shared engine body)."""
+    _ingest_dedup_batch(
+        batch_df, sink_path, batch_id, doc_span_rows, "doc_id",
+        compact_every=compact_every,
+        sink_transform=sink_transform,
+    )
+
+
+def ingest_with_span_neardup(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streamed documents -> span-dedup'd sink: a doc lands only if
+    none of its SPAN_W-token spans was seen from an earlier doc.
+    Checkpointed; ``compact_every=N`` folds the span store every N
+    batches."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        span_dedup_ingest_batch(
+            batch_df, sink_path, batch_id, compact_every=compact_every
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_span_keep(docs: DataFrame) -> DataFrame:
+    """Batch statement of the span streaming rule (equivalence tests
+    and backfills): a doc survives iff no smaller doc_id holds any of
+    its span hashes — span_removal's min-id ownership rule lifted
+    from span excision to a whole-doc veto."""
+    return _batch_keep(docs, doc_span_rows, "doc_id")
+
+
 # --- verified (precision-mode) ingest dedup -----------------------------------
 # The aggressive pipelines above drop on ANY band collision (recall-
 # first, zero extra state). Verified mode adds the precision pass the

@@ -731,3 +731,33 @@ def test_cli_span_store_publish_merge_audit(spark, sf_smoke, tmp_path, capsys):
     # self-probe against a store containing the same corpus: every
     # span is a prior dup
     assert all(r["dup_prior_spans"] == r["total_spans"] for r in lib)
+
+
+def test_cli_dedup_ingest_span_mode(spark, sf_smoke, tmp_path, capsys):
+    """--mode span (r17): the kept set must equal the batch span rule
+    exactly (replay arrives in doc_id order)."""
+    from etl_wikipedia_updates_spark.sources.replay import write_replay_splits
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import batch_span_keep
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 2, "doc_id")
+    sink = str(tmp_path / "sink")
+    assert (
+        main(
+            [
+                "dedup-ingest",
+                "--replay", replay,
+                "--sink", sink,
+                "--sf-dir", sf_smoke,
+                "--mode", "span",
+            ]
+        )
+        == 0
+    )
+    assert "rows kept:" in capsys.readouterr().out
+    assert sorted(
+        r["doc_id"] for r in read_sink(spark, sink).collect()
+    ) == sorted(r["doc_id"] for r in batch_span_keep(docs).collect())

@@ -1848,3 +1848,67 @@ def test_streaming_full_curation_span_mode_equals_batch(spark, tmp_path):
     # is doing something
     shingle_kept = batch_full_curation_keep(docs, bench)
     assert _checksum_docs(shingle_kept) != _checksum_docs(expected)
+
+
+def test_span_neardup_stream_equals_batch_and_shadows(spark, tmp_path):
+    """Span-mode ingest (r17, the sixth dedup-ingest variant): a doc
+    lands iff none of its SPAN_W-token spans was seen from an earlier
+    doc. Streamed in doc_id order over 5 batches == the batch rule
+    (batch_span_keep, shared batch_neardup_drops engine); a replay
+    over the same checkpoint changes nothing; a DROPPED doc's spans
+    still shadow later arrivals (first-arriver rule); and the rule
+    composes with the incremental story: the sink's span set drives
+    span_store_audit-style probes the way the batch side's store
+    does."""
+    from etl_wikipedia_updates_spark.sources.replay import (
+        read_replay_stream,
+        write_replay_splits,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        batch_span_keep,
+        ingest_with_span_neardup,
+    )
+
+    def blk(name):
+        return " ".join(f"{name}t{i}" for i in range(8))
+
+    rows = [
+        # 0 owns A+B; 1 copies the A+B span -> dropped; 2 copies a
+        # span of the DROPPED doc 1's unique tail (C2+D2) -> must
+        # still drop (shadowing); 3 clean; 4 dups doc 3's span.
+        (0, "en", "wiki", " ".join([blk("A"), blk("B")])),
+        (1, "en", "wiki", " ".join([blk("A"), blk("B"), blk("C2"), blk("D2")])),
+        (2, "en", "web", " ".join([blk("C2"), blk("D2"), blk("E2"), blk("F2")])),
+        (3, "en", "web", " ".join([blk("G"), blk("H")])),
+        (4, "en", "web", " ".join([blk("G"), blk("H"), blk("Z")])),
+        (5, "en", "web", " ".join([blk("U"), blk("V")])),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text"]
+    )
+    replay = str(tmp_path / "replay")
+    write_replay_splits(docs, replay, 5, "doc_id")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = ingest_with_span_neardup(
+        read_replay_stream(spark, replay, docs.schema), sink, ckpt
+    )
+    q.awaitTermination(300)
+
+    kept_stream = sorted(
+        r["doc_id"] for r in read_sink(spark, sink).collect()
+    )
+    kept_batch = sorted(
+        r["doc_id"] for r in batch_span_keep(docs).collect()
+    )
+    assert kept_stream == kept_batch == [0, 3, 5]  # 2 shadowed by 1
+
+    # replay idempotence
+    q2 = ingest_with_span_neardup(
+        read_replay_stream(spark, replay, docs.schema), sink, ckpt
+    )
+    q2.awaitTermination(300)
+    assert sorted(
+        r["doc_id"] for r in read_sink(spark, sink).collect()
+    ) == [0, 3, 5]
