@@ -355,6 +355,13 @@ def cmd_dedup_ingest(args) -> int:
         if args.mode in ("embedding", "embedding-verified")
         else "documents"
     )
+    if getattr(args, "seed_span_store", None) and args.mode != "span":
+        print(
+            "--seed-span-store seeds the span-veto store: it requires "
+            f"--mode span (got --mode {args.mode})",
+            file=sys.stderr,
+        )
+        return 2
     if getattr(args, "redact_pii", False) and args.mode != "curate":
         # a privacy control must apply or fail loudly, never no-op
         print(
@@ -428,6 +435,13 @@ def cmd_dedup_ingest(args) -> int:
             **extra,
         )
     else:
+        if getattr(args, "seed_span_store", None):
+            from etl_wikipedia_updates_spark.streaming.neardup import (
+                seed_span_store_from,
+            )
+
+            n = seed_span_store_from(spark, args.sink, args.seed_span_store)
+            print(f"seeded {n} span hashes from {args.seed_span_store}")
         start = {
             "doc": ingest_with_neardup,
             "quality": ingest_with_quality_neardup,
@@ -845,6 +859,13 @@ def main(argv: list[str] | None = None) -> int:
         help="decontam: parquet path of the held-out benchmark docs "
         "(needs doc_id/lang/text columns; default: the "
         "CONTAM_BENCH_SOURCE slice of sf-dir's documents table)",
+    )
+    ded.add_argument(
+        "--seed-span-store",
+        help="span mode: seed a FRESH sink's span store from a prior "
+        "release's span-hash store (release.publish_span_store / the "
+        "span-store CLI) so the new crawl streams against the prior "
+        "release from batch 0",
     )
     ded.add_argument(
         "--decontam-mode",

@@ -630,6 +630,75 @@ def batch_span_keep(docs: DataFrame) -> DataFrame:
     return _batch_keep(docs, doc_span_rows, "doc_id")
 
 
+def seed_span_store_from(
+    spark: SparkSession,
+    sink_path: str,
+    span_store_root: str,
+    version: int | None = None,
+) -> int:
+    """Seed a FRESH span-mode ingest sink with a prior release's
+    span-hash store (release.publish_span_store) — the full recrawl
+    composition: the new crawl streams against the PRIOR release from
+    batch 0, so a doc verbatim-overlapping last release's corpus never
+    lands even though that corpus was ingested in another lifetime.
+
+    The seed publishes as the bucket store's initial snapshot version
+    with folded_through=-1: the committed view (``_store_view``) is
+    'snapshot + batch dirs above the fold marker', so every future
+    batch sees the seed without any special-casing, compaction folds
+    on top of it, and replay semantics are untouched. Store hashes
+    carry doc_id=-1 / lang='*' — collision reads are key-only
+    (left_semi on (lang, band, band_key)), the id is never consulted
+    for seeded rows. Refuses a non-empty store: seeding is a creation-
+    time act; injecting hashes under a live store would change history.
+
+    Returns the number of seeded span hashes."""
+    from etl_wikipedia_updates_spark.streaming.ingest import sink_snapshot
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+
+    src = SnapshotTable(span_store_root)
+    v = src.current_version() if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"no published span store under {span_store_root}"
+        )
+    if src.meta_for(v).get("kind") != "span_store":
+        raise ValueError(
+            f"{span_store_root} v{v} is not a span store"
+        )
+    store_path = bucket_store_path(sink_path)
+    snap = sink_snapshot(store_path)
+    if snap.current_version() is not None or _committed_batch_dirs_any(
+        store_path
+    ):
+        raise RuntimeError(
+            f"span store at {store_path} already has state — seeding "
+            "must happen before the first ingest batch"
+        )
+    rows = src.read(spark, v).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("*").alias("lang"),
+        F.lit(0).alias("band"),
+        F.col("h").cast("string").alias("band_key"),
+    )
+    snap.publish(
+        rows,
+        meta={
+            "folded_through": -1,
+            "seeded_from": f"{span_store_root} v{v}",
+        },
+    )
+    return rows.count()
+
+
+def _committed_batch_dirs_any(store_path: str) -> bool:
+    from etl_wikipedia_updates_spark.streaming.ingest import (
+        _committed_batch_dirs,
+    )
+
+    return bool(_committed_batch_dirs(store_path))
+
+
 # --- verified (precision-mode) ingest dedup -----------------------------------
 # The aggressive pipelines above drop on ANY band collision (recall-
 # first, zero extra state). Verified mode adds the precision pass the

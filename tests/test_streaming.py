@@ -1912,3 +1912,63 @@ def test_span_neardup_stream_equals_batch_and_shadows(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_sink(spark, sink).collect()
     ) == [0, 3, 5]
+
+
+def test_span_ingest_seeded_from_release_store(spark, tmp_path):
+    """The full recrawl composition (r17): a prior release publishes
+    its span-hash store; a NEW crawl's span-mode ingest is SEEDED from
+    it, so docs verbatim-overlapping the prior release never land —
+    and the kept set equals the incremental contract: a new doc
+    survives iff span_audit_vs_prior flags none of its spans
+    (dup_prior or dup_new against earlier arrivals)."""
+    import pytest
+
+    from etl_wikipedia_updates_spark.release import publish_span_store
+    from etl_wikipedia_updates_spark.sources.replay import (
+        read_replay_stream,
+        write_replay_splits,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import read_sink
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        ingest_with_span_neardup,
+        seed_span_store_from,
+    )
+
+    def blk(name):
+        return " ".join(f"{name}t{i}" for i in range(8))
+
+    prior = spark.createDataFrame(
+        [
+            (0, "en", "wiki", " ".join([blk("A"), blk("B")])),
+            (1, "en", "web", " ".join([blk("E"), blk("F")])),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "en", "wiki", " ".join([blk("A"), blk("B"), blk("X")])),
+            (101, "en", "web", " ".join([blk("Y"), blk("Z")])),
+            (102, "en", "web", " ".join([blk("Y"), blk("Z"), blk("W")])),
+            (103, "en", "web", " ".join([blk("U"), blk("V")])),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    )
+    store_root = str(tmp_path / "release_span_store")
+    publish_span_store(spark, prior, store_root, source_desc="prior release")
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    n = seed_span_store_from(spark, sink, store_root)
+    assert n > 0
+    # double-seed refused (store now has state)
+    with pytest.raises(RuntimeError):
+        seed_span_store_from(spark, sink, store_root)
+
+    replay = str(tmp_path / "replay")
+    write_replay_splits(new, replay, 3, "doc_id")
+    q = ingest_with_span_neardup(
+        read_replay_stream(spark, replay, new.schema), sink, ckpt
+    )
+    q.awaitTermination(300)
+    kept = sorted(r["doc_id"] for r in read_sink(spark, sink).collect())
+    # 100 vetoed by the prior release's A+B span; 102 by earlier 101
+    assert kept == [101, 103]
