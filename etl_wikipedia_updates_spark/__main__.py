@@ -120,6 +120,14 @@ def cmd_pack(args) -> int:
     )
     from etl_wikipedia_updates_spark.tables import load_table, spread
 
+    if args.seqs_per_file is not None and not args.shard:
+        # a layout dial must apply or fail loudly, never no-op
+        print(
+            "--seqs-per-file shapes the sharded layout: it requires "
+            "--shard",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark()
     if args.shard:
         from etl_wikipedia_updates_spark.release import (
@@ -437,11 +445,35 @@ def cmd_dedup_ingest(args) -> int:
     else:
         if getattr(args, "seed_span_store", None):
             from etl_wikipedia_updates_spark.streaming.neardup import (
+                bucket_store_path,
                 seed_span_store_from,
             )
+            from etl_wikipedia_updates_spark.streaming.ingest import (
+                sink_snapshot,
+            )
 
-            n = seed_span_store_from(spark, args.sink, args.seed_span_store)
-            print(f"seeded {n} span hashes from {args.seed_span_store}")
+            # checkpointed-resume friendliness: re-running the same
+            # seeded command must resume, not crash — an existing seed
+            # FROM THE SAME STORE is skipped; any other prior state is
+            # a clean usage error (r17 review)
+            store_snap = sink_snapshot(bucket_store_path(args.sink))
+            cur_v = store_snap.current_version()
+            seeded_from = (
+                store_snap.meta_for(cur_v).get("seeded_from", "")
+                if cur_v is not None
+                else ""
+            )
+            if seeded_from.startswith(f"{args.seed_span_store} v"):
+                print(f"span store already seeded ({seeded_from}); resuming")
+            else:
+                try:
+                    n = seed_span_store_from(
+                        spark, args.sink, args.seed_span_store
+                    )
+                except RuntimeError as e:
+                    print(str(e), file=sys.stderr)
+                    return 2
+                print(f"seeded {n} span hashes from {args.seed_span_store}")
         start = {
             "doc": ingest_with_neardup,
             "quality": ingest_with_quality_neardup,

@@ -25,9 +25,10 @@ next window):
   of the oldest r15 rows — ngram_quality, bpe_token_stats — to
   lighten r18) + (29 contract) = 49, 1 slot spare.
 - Round-18 horizon: the remaining r15-official block (pii_scrub ..
-  percentiles_approx, 14 entries incl. the rows-only approximate
-  pair) hits its bound at r18; with 29 contract rows that window is
-  43/50 full before new work.
+  percentiles_approx, 13 entries incl. the rows-only approximate
+  pair — source_mix sits at position 50 of THIS window and gets its
+  r17 row) hits its bound at r18; with 29 contract rows that window
+  is 42/50 full before new work.
 - The entries that yield are the freshest (r16-certified) ones —
   every oracle-backed one still differentially tested locally on each
   pytest run by tests/test_queries_oracle.py.
@@ -94,13 +95,17 @@ DECLARATION_ORDER: list[str] = [
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    # --- positions 51+: past the cutoff this round. The remaining
-    # r15-official entries head the round-18 queue (they hit the
-    # 3-gate bound at r18), FIFO in tail order, followed by the
-    # freshest r16-certified block. Every oracle-backed entry is
-    # still differentially tested locally on each pytest run by
-    # tests/test_queries_oracle.py ---
+    # --- position 50: source_mix takes the window's one spare slot
+    # (oldest remaining r15 row after the two early refreshes above),
+    # so it certifies r17 and leaves the r18 block one lighter ---
     "source_mix",
+    # --- positions 51+: past the cutoff this round. The remaining
+    # 13 r15-official entries (pii_scrub .. ann_sq8 + the rows-only
+    # approximate pair) head the round-18 queue (they hit the 3-gate
+    # bound at r18), FIFO in tail order, followed by the freshest
+    # r16-certified block. Every oracle-backed entry is still
+    # differentially tested locally on each pytest run by
+    # tests/test_queries_oracle.py ---
     "pii_scrub",
     "charlm_score",
     "shard_manifest",

@@ -437,6 +437,11 @@ def write_packed(
 
     if seqs_per_file is None:
         seqs_per_file = SEQS_PER_FILE
+    if seqs_per_file < 1:
+        # div 0 -> NULL seq_block -> one __HIVE_DEFAULT_PARTITION__
+        # leaf per source that verify_packed's NULL-propagating
+        # misplaced filter would wave through (r17 review)
+        raise ValueError(f"seqs_per_file must be >= 1, got {seqs_per_file}")
     from_sf_dir = docs is None
     if docs is None:
         docs = spread(load_table(spark, sf_dir, "documents"))
@@ -493,6 +498,11 @@ def verify_packed(
     if v is None:
         raise FileNotFoundError(f"no published packed write under {out_root}")
     meta = table.meta_for(v)
+    if meta.get("kind") != "packed":
+        raise ValueError(
+            f"{out_root} v{v} is not a packed write (kind="
+            f"{meta.get('kind')!r})"
+        )
     expected = meta.get("manifest") or []
     spf = int(meta.get("seqs_per_file") or SEQS_PER_FILE)
     data = table.read(spark, v)
@@ -551,6 +561,26 @@ def verify_packed(
 # --- persistent span-hash store (r17: incremental_span_dedup's state) -------
 
 
+def _require_span_params(meta: dict, what: str) -> None:
+    """A span-hash store is only probeable under the SPAN_W/SPAN_HOP
+    it was built with — different params are a different hash universe
+    and every probe silently misses (dup_prior=0 for verbatim dups,
+    a veto-nothing seed). The store records its params at publish;
+    consumers fail loudly on mismatch (r17 review)."""
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        SPAN_HOP,
+        SPAN_W,
+    )
+
+    got = (meta.get("span_w"), meta.get("span_hop"))
+    if got != (SPAN_W, SPAN_HOP):
+        raise ValueError(
+            f"{what}: span store built with (span_w, span_hop)={got} "
+            f"but the engine runs ({SPAN_W}, {SPAN_HOP}) — hashes are "
+            "incomparable; rebuild the store under the current params"
+        )
+
+
 def publish_span_store(
     spark: SparkSession,
     docs: DataFrame,
@@ -585,6 +615,10 @@ def publish_span_store(
     table = SnapshotTable(store_root)
     cur = table.current_version()
     if merge_prior and cur is not None:
+        # a prior store hashed under different span params lives in a
+        # different hash universe — unioning it would look merged but
+        # never match anything (r17 review)
+        _require_span_params(table.meta_for(cur), f"{store_root} v{cur}")
         spans = spans.unionByName(table.read(spark, cur).select("h"))
     version = table.publish(
         spans.distinct(),
@@ -630,6 +664,7 @@ def span_store_audit(
             f"{store_root} v{v} is not a span store (kind="
             f"{meta.get('kind')!r})"
         )
+    _require_span_params(meta, f"{store_root} v{v}")
     return span_audit_vs_prior(
         _span_occurrences(new_docs).select("doc_id", "source", "h"),
         table.read(spark, v).select("h"),

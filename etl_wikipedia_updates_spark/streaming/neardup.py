@@ -662,10 +662,14 @@ def seed_span_store_from(
         raise FileNotFoundError(
             f"no published span store under {span_store_root}"
         )
-    if src.meta_for(v).get("kind") != "span_store":
+    src_meta = src.meta_for(v)
+    if src_meta.get("kind") != "span_store":
         raise ValueError(
             f"{span_store_root} v{v} is not a span store"
         )
+    from etl_wikipedia_updates_spark.release import _require_span_params
+
+    _require_span_params(src_meta, f"{span_store_root} v{v}")
     store_path = bucket_store_path(sink_path)
     snap = sink_snapshot(store_path)
     if snap.current_version() is not None or _committed_batch_dirs_any(
@@ -681,14 +685,16 @@ def seed_span_store_from(
         F.lit(0).alias("band"),
         F.col("h").cast("string").alias("band_key"),
     )
-    snap.publish(
+    sv = snap.publish(
         rows,
         meta={
             "folded_through": -1,
             "seeded_from": f"{span_store_root} v{v}",
         },
     )
-    return rows.count()
+    # count the MATERIALIZED snapshot, not the source plan again — the
+    # publish already paid the store scan (r17 review)
+    return snap.read(spark, sv).count()
 
 
 def _committed_batch_dirs_any(store_path: str) -> bool:

@@ -344,3 +344,27 @@ def test_span_store_feed_equals_recomputed_and_merges(spark, tmp_path):
     SnapshotTable(other).publish(prior, meta={"kind": "other"})
     with pytest.raises(ValueError):
         span_store_audit(spark, new, other)
+
+
+def test_span_store_param_guard(spark, tmp_path, monkeypatch):
+    """A store built under different SPAN_W/SPAN_HOP is a different
+    hash universe: probing or merging it must fail loudly, not return
+    an all-zero audit (r17 review)."""
+    import pytest
+
+    import etl_wikipedia_updates_spark.plans.northstar as ns
+    from etl_wikipedia_updates_spark.release import (
+        publish_span_store,
+        span_store_audit,
+    )
+
+    prior = _span_docs(spark, _SPAN_ROWS_PRIOR)
+    new = _span_docs(spark, _SPAN_ROWS_NEW)
+    root = str(tmp_path / "store")
+    publish_span_store(spark, prior, root)
+
+    monkeypatch.setattr(ns, "SPAN_W", ns.SPAN_W + 2)
+    with pytest.raises(ValueError, match="incomparable"):
+        span_store_audit(spark, new, root)
+    with pytest.raises(ValueError, match="incomparable"):
+        publish_span_store(spark, new, root, merge_prior=True)

@@ -719,3 +719,25 @@ def test_write_packed_manifest_layout_and_tamper(spark, sf_smoke, tmp_path):
     res3 = verify_packed(spark, root2)
     assert not res3["ok"]
     assert any("expected" in m for m in res3["mismatches"])
+
+
+def test_write_packed_guards(spark, sf_smoke, tmp_path):
+    """r17 review regressions: seqs_per_file<1 fails loudly (div 0
+    would NULL every seq_block and verify's NULL-propagating filter
+    would wave the garbage layout through); verify_packed refuses a
+    non-packed snapshot root with a clean error."""
+    import pytest
+
+    from etl_wikipedia_updates_spark.release import (
+        verify_packed,
+        write_packed,
+        write_sharded,
+    )
+
+    with pytest.raises(ValueError, match="seqs_per_file"):
+        write_packed(spark, sf_smoke, str(tmp_path / "p"), seqs_per_file=0)
+
+    sharded = str(tmp_path / "sharded")
+    write_sharded(spark, sf_smoke, sharded)
+    with pytest.raises(ValueError, match="not a packed write"):
+        verify_packed(spark, sharded)

@@ -1972,3 +1972,30 @@ def test_span_ingest_seeded_from_release_store(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in read_sink(spark, sink).collect())
     # 100 vetoed by the prior release's A+B span; 102 by earlier 101
     assert kept == [101, 103]
+
+
+def test_seeded_span_ingest_resumes_cleanly(spark, tmp_path):
+    """r17 review: re-running the seeded command must RESUME (skip the
+    seed when the store is already seeded from the same root), not
+    crash — the checkpointed-resume pattern every other mode supports.
+    Pinned at the library level: the seed refuses a seeded store, and
+    the CLI path detects the matching seeded_from meta."""
+    from etl_wikipedia_updates_spark.release import publish_span_store
+    from etl_wikipedia_updates_spark.streaming.ingest import sink_snapshot
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        bucket_store_path,
+        seed_span_store_from,
+    )
+
+    prior = spark.createDataFrame(
+        [(0, "en", "wiki", " ".join(f"w{i}" for i in range(20)))],
+        ["doc_id", "lang", "source", "text"],
+    )
+    store_root = str(tmp_path / "rel_store")
+    publish_span_store(spark, prior, store_root)
+    sink = str(tmp_path / "sink")
+    seed_span_store_from(spark, sink, store_root)
+    snap = sink_snapshot(bucket_store_path(sink))
+    v = snap.current_version()
+    assert snap.meta_for(v)["seeded_from"].startswith(store_root)
+    assert snap.meta_for(v)["folded_through"] == -1

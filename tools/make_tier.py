@@ -115,6 +115,8 @@ def make_tier(
     copies: int = 10,
     tables: tuple[str, ...] = ("documents",),
 ) -> int:
+    if not tables:
+        raise SystemExit("--tables must name at least one table")
     unknown = set(tables) - set(SPECS)
     if unknown:
         raise SystemExit(f"no replication spec for tables: {sorted(unknown)}")
