@@ -128,6 +128,13 @@ def cmd_pack(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if getattr(args, "from_release", None) and not args.shard:
+        print(
+            "--from-release packs a published release through the "
+            "sharded layout: it requires --shard",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark()
     if args.shard:
         from etl_wikipedia_updates_spark.release import (
@@ -139,11 +146,24 @@ def cmd_pack(args) -> int:
             out = verify_packed(spark, args.out)
             print(json.dumps(out))
             return 0 if out["ok"] else 1
+        docs = None
+        source_desc = None
+        if args.from_release:
+            from etl_wikipedia_updates_spark.streaming.snapshot import (
+                SnapshotTable,
+            )
+
+            rel = SnapshotTable(args.from_release)
+            v = rel.current_version()
+            docs = rel.read(spark, v)
+            source_desc = f"release {args.from_release} v{v}"
         out = write_packed(
             spark,
             args.sf_dir,
             args.out,
             seqs_per_file=args.seqs_per_file,
+            docs=docs,
+            source_desc=source_desc,
         )
         print(json.dumps(out))
         return 0
@@ -789,6 +809,13 @@ def main(argv: list[str] | None = None) -> int:
         help="publish through the manifest-verified snapshot layout "
         "(one file per (source, seq_id div seqs-per-file) shard); "
         "with --verify, recompute the manifest from the files",
+    )
+    pk.add_argument(
+        "--from-release",
+        help="pack the current version of a published release "
+        "(SnapshotTable root) instead of the raw documents table — "
+        "the curated stream a training run actually loads; requires "
+        "--shard",
     )
     pk.add_argument(
         "--seqs-per-file",

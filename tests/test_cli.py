@@ -761,3 +761,57 @@ def test_cli_dedup_ingest_span_mode(spark, sf_smoke, tmp_path, capsys):
     assert sorted(
         r["doc_id"] for r in read_sink(spark, sink).collect()
     ) == sorted(r["doc_id"] for r in batch_span_keep(docs).collect())
+
+
+def test_cli_pack_shard_from_release(spark, sf_smoke, tmp_path, capsys):
+    """`pack --shard --from-release` (r17): the packed sharded
+    snapshot is built from the CURATED release corpus — its manifest
+    token mass equals packed_sequences over the release members, not
+    the raw table — and verifies clean. Without --shard the flag
+    fails loudly."""
+    import json
+
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        packed_sequences,
+    )
+    from etl_wikipedia_updates_spark.release import write_release
+    from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
+    from pyspark.sql import functions as F
+
+    rel_root = str(tmp_path / "release")
+    write_release(spark, sf_smoke, rel_root)
+    capsys.readouterr()
+
+    root = str(tmp_path / "packed_rel")
+    assert (
+        main(
+            [
+                "pack", "--shard", "--out", root,
+                "--sf-dir", sf_smoke,
+                "--from-release", rel_root,
+                "--seqs-per-file", "4",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    meta = SnapshotTable(root).meta_for(out["version"])
+    assert meta["source"].startswith(f"release {rel_root} v")
+    rel_docs = SnapshotTable(rel_root).read(spark)
+    want = packed_sequences(rel_docs).agg(
+        F.sum("n_tokens").alias("s")
+    ).first()["s"]
+    assert sum(r["n_chars_total"] for r in out["manifest"]) == want
+
+    assert main(["pack", "--shard", "--out", root, "--verify"]) == 0
+    capsys.readouterr()
+
+    assert (
+        main(
+            [
+                "pack", "--out", str(tmp_path / "x"),
+                "--sf-dir", sf_smoke, "--from-release", rel_root,
+            ]
+        )
+        == 2
+    )
