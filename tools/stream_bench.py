@@ -112,6 +112,39 @@ def main() -> None:
             }
         )
     )
+
+    # Third line: span-mode dedup ingest (r17) — exact-substring veto;
+    # the per-batch cost is the span hashing (one Generate, ~n_tok/HOP
+    # rows per doc) plus the same store collision join, i.e. a larger
+    # store row count than MinHash's fixed bands-per-doc in exchange
+    # for exact span semantics.
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        ingest_with_span_neardup,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        replay = f"{tmp}/replay"
+        write_replay_splits(docs, replay, N_SPLITS, "doc_id")
+        stream = read_replay_stream(spark, replay, docs.schema)
+        t0 = time.perf_counter()
+        q = ingest_with_span_neardup(stream, f"{tmp}/sink", f"{tmp}/ckpt")
+        _await_or_die(q, "span_ingest")
+        elapsed = time.perf_counter() - t0
+        kept = read_sink(spark, f"{tmp}/sink").count()
+    print(
+        json.dumps(
+            {
+                "metric": "span_ingest_docs_per_sec",
+                "value": round(n_docs / elapsed, 1),
+                "unit": "docs/sec",
+                "docs_in": n_docs,
+                "docs_kept": kept,
+                "elapsed_sec": round(elapsed, 2),
+                "micro_batches": N_SPLITS,
+                "sf": sf_dir,
+            }
+        )
+    )
     spark.stop()
 
 
