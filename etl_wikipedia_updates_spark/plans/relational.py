@@ -400,8 +400,12 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group multisets with no spill path (falsified r17 — don't retry).
     At 100 TB the exact variant's escape hatches are
     percentiles_approx (KLL sketch, fixed memory, single pass —
-    registered alongside; 0.38s flat at 10x) or an approx-pivot
-    two-pass refinement when exactness is contractual."""
+    registered alongside; 0.38s flat at 10x) or, when exactness is
+    contractual, the approx-pivot two-pass refinement implemented in
+    operators/quantiles.py (exact_quantiles_refined: full scan
+    parallelism, pass-2 sorts only an O(n/accuracy) bracket per
+    (group, quantile) — bit-identical to this query by
+    tests/test_quantiles.py)."""
     orders = load_table(spark, sf_dir, "orders")
     wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wn = W.partitionBy("o_orderpriority")
