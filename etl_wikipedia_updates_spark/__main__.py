@@ -135,9 +135,21 @@ def cmd_pack(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.verify and (
+        getattr(args, "from_release", None) or args.seqs_per_file is not None
+    ):
+        # verify reads the written snapshot's own metadata; write-side
+        # flags would be silently ignored (apply-or-fail-loudly)
+        print(
+            "--verify recomputes from the written snapshot; "
+            "--from-release/--seqs-per-file are write-side flags",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark()
     if args.shard:
         from etl_wikipedia_updates_spark.release import (
+            release_docs,
             verify_packed,
             write_packed,
         )
@@ -149,13 +161,11 @@ def cmd_pack(args) -> int:
         docs = None
         source_desc = None
         if args.from_release:
-            from etl_wikipedia_updates_spark.streaming.snapshot import (
-                SnapshotTable,
-            )
-
-            rel = SnapshotTable(args.from_release)
-            v = rel.current_version()
-            docs = rel.read(spark, v)
+            try:
+                docs, v = release_docs(spark, args.from_release)
+            except (FileNotFoundError, ValueError) as e:
+                print(str(e), file=sys.stderr)
+                return 2
             source_desc = f"release {args.from_release} v{v}"
         out = write_packed(
             spark,
@@ -238,13 +248,13 @@ def cmd_shard(args) -> int:
     docs = None
     source_desc = None
     if args.from_release:
-        from etl_wikipedia_updates_spark.streaming.snapshot import (
-            SnapshotTable,
-        )
+        from etl_wikipedia_updates_spark.release import release_docs
 
-        rel = SnapshotTable(args.from_release)
-        v = rel.current_version()
-        docs = rel.read(spark, v)
+        try:
+            docs, v = release_docs(spark, args.from_release)
+        except (FileNotFoundError, ValueError) as e:
+            print(str(e), file=sys.stderr)
+            return 2
         source_desc = f"release {args.from_release} v{v}"
     out = write_sharded(
         spark, args.sf_dir, args.out, keep_last=args.keep_last, docs=docs,
@@ -464,33 +474,34 @@ def cmd_dedup_ingest(args) -> int:
         )
     else:
         if getattr(args, "seed_span_store", None):
+            import os as _os
+
             from etl_wikipedia_updates_spark.streaming.neardup import (
-                bucket_store_path,
                 seed_span_store_from,
-            )
-            from etl_wikipedia_updates_spark.streaming.ingest import (
-                sink_snapshot,
+                seeded_from,
             )
 
             # checkpointed-resume friendliness: re-running the same
-            # seeded command must resume, not crash — an existing seed
-            # FROM THE SAME STORE is skipped; any other prior state is
-            # a clean usage error (r17 review)
-            store_snap = sink_snapshot(bucket_store_path(args.sink))
-            cur_v = store_snap.current_version()
-            seeded_from = (
-                store_snap.meta_for(cur_v).get("seeded_from", "")
-                if cur_v is not None
-                else ""
-            )
-            if seeded_from.startswith(f"{args.seed_span_store} v"):
-                print(f"span store already seeded ({seeded_from}); resuming")
+            # seeded command must resume, not crash — the durable
+            # sidecar marker (which survives store compaction, unlike
+            # snapshot meta) says whether THIS store already seeded
+            # the sink; paths are normalized so a trailing slash or
+            # relative form still matches. Any other prior state is a
+            # clean usage error, as are a missing / wrong-kind /
+            # wrong-span-params source store (r17 review).
+            marker = seeded_from(args.sink)
+            want = _os.path.normpath(_os.path.abspath(args.seed_span_store))
+            if marker is not None and marker.get("store_root") == want:
+                print(
+                    f"span store already seeded (from {want} "
+                    f"v{marker.get('version')}); resuming"
+                )
             else:
                 try:
                     n = seed_span_store_from(
                         spark, args.sink, args.seed_span_store
                     )
-                except RuntimeError as e:
+                except (RuntimeError, FileNotFoundError, ValueError) as e:
                     print(str(e), file=sys.stderr)
                     return 2
                 print(f"seeded {n} span hashes from {args.seed_span_store}")

@@ -52,10 +52,16 @@ def exact_quantiles_refined(
     ``qs`` are rational targets as (numerator, denominator) pairs,
     e.g. [(1, 2), (9, 10), (99, 100)]. Returns (group_col, q_num,
     q_den, value). NULL values are excluded (they are unrankable);
-    a group whose values are all NULL is absent.
+    a group whose values are all NULL is absent. A NULL GROUP KEY is
+    a group like any other (null-safe joins throughout).
     """
     if accuracy < 4:
         raise ValueError(f"accuracy must be >= 4, got {accuracy}")
+    if len(set(qs)) != len(qs):
+        # a duplicated target would double its bracket rows: c_lt
+        # doubles and row_number runs over duplicated rows, silently
+        # selecting a wrong-rank value (r17 review)
+        raise ValueError(f"duplicate quantile targets in {qs}")
     for num, den in qs:
         if not 0 < num <= den:
             raise ValueError(f"quantile {num}/{den} outside (0, 1]")
@@ -107,8 +113,24 @@ def exact_quantiles_refined(
     )
 
     # broadcast the (groups x quantiles)-row bracket table onto the
-    # data — no shuffle of the corpus
-    j = data.join(F.broadcast(brackets), group_col)
+    # data — no shuffle of the corpus. Joins are NULL-SAFE on the
+    # group key so a NULL group ranks like any other, matching the
+    # rank-selection reference (r17 review: a plain key join silently
+    # dropped NULL groups).
+    d = data.alias("d")
+    b = brackets.alias("b")
+    j = d.join(
+        F.broadcast(b),
+        F.col(f"d.{group_col}").eqNullSafe(F.col(f"b.{group_col}")),
+    ).select(
+        F.col(f"b.{group_col}").alias(group_col),
+        F.col(f"d.{value_col}").alias(value_col),
+        "q_num",
+        "q_den",
+        "v_lo",
+        "v_hi",
+        "target",
+    )
     c_lt = j.groupBy(group_col, "q_num", "q_den").agg(
         F.sum((F.col(value_col) < F.col("v_lo")).cast("long")).alias("c_lt")
     )
@@ -116,15 +138,22 @@ def exact_quantiles_refined(
         (F.col(value_col) >= F.col("v_lo"))
         & (F.col(value_col) <= F.col("v_hi"))
     ).select(group_col, "q_num", "q_den", "target", value_col)
+    r = bracket_rows.alias("r")
+    c = c_lt.alias("c")
     w = W.partitionBy(group_col, "q_num", "q_den").orderBy(value_col)
     return (
-        bracket_rows.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(c_lt), [group_col, "q_num", "q_den"])
+        r.withColumn("rk", F.row_number().over(w))
+        .join(
+            F.broadcast(c),
+            F.col(f"r.{group_col}").eqNullSafe(F.col(f"c.{group_col}"))
+            & (F.col("r.q_num") == F.col("c.q_num"))
+            & (F.col("r.q_den") == F.col("c.q_den")),
+        )
         .filter(F.col("rk") == F.col("target") - F.col("c_lt"))
         .select(
-            group_col,
-            "q_num",
-            "q_den",
-            F.col(value_col).alias("value"),
+            F.col(f"r.{group_col}").alias(group_col),
+            F.col("r.q_num").alias("q_num"),
+            F.col("r.q_den").alias("q_den"),
+            F.col(f"r.{value_col}").alias("value"),
         )
     )

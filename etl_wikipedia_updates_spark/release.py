@@ -371,6 +371,29 @@ def verify_sharded(
     }
 
 
+def release_docs(spark: SparkSession, release_root: str):
+    """Read the current version of a published release for downstream
+    composition — the shared reader of `shard --from-release` and
+    `pack --shard --from-release` (r17 review: was duplicated in both
+    CLI commands, and neither validated the root). Returns (docs, v).
+    Fails cleanly on a missing release or a root publishing a FOREIGN
+    kind (packed / span_store — releases publish audit metadata with
+    no kind field), instead of packing the wrong corpus under false
+    provenance or dying in a missing-column traceback downstream."""
+    table = SnapshotTable(release_root)
+    v = table.current_version()
+    if v is None:
+        raise FileNotFoundError(
+            f"no published release under {release_root}"
+        )
+    kind = table.meta_for(v).get("kind")
+    if kind is not None:
+        raise ValueError(
+            f"{release_root} v{v} is a {kind!r} snapshot, not a release"
+        )
+    return table.read(spark, v), v
+
+
 # --- packed-stream sharded release (r17: pack x shard composition) ----------
 
 # Fixture-scale default: enough to give multi-file layouts at the test

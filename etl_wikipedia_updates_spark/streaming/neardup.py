@@ -653,6 +653,8 @@ def seed_span_store_from(
     time act; injecting hashes under a live store would change history.
 
     Returns the number of seeded span hashes."""
+    import json
+
     from etl_wikipedia_updates_spark.streaming.ingest import sink_snapshot
     from etl_wikipedia_updates_spark.streaming.snapshot import SnapshotTable
 
@@ -692,9 +694,43 @@ def seed_span_store_from(
             "seeded_from": f"{span_store_root} v{v}",
         },
     )
+    # The durable seed marker is a SIDECAR file, not (only) snapshot
+    # meta: compaction republishes the store with fresh meta
+    # (folded_through only), so meta alone cannot answer "was this
+    # sink seeded, and from where?" after the first fold (r17 review).
+    # Paths are normalized so resume matching survives trailing-slash /
+    # relative-vs-absolute differences.
+    with open(seed_marker_path(sink_path), "w") as f:
+        json.dump(
+            {
+                "store_root": os.path.normpath(
+                    os.path.abspath(span_store_root)
+                ),
+                "version": v,
+            },
+            f,
+        )
     # count the MATERIALIZED snapshot, not the source plan again — the
     # publish already paid the store scan (r17 review)
     return snap.read(spark, sv).count()
+
+
+def seed_marker_path(sink_path: str) -> str:
+    """Sidecar recording what (if anything) seeded this sink's span
+    store — durable across store compactions, unlike snapshot meta."""
+    return os.path.join(bucket_store_path(sink_path), "_seeded_from.json")
+
+
+def seeded_from(sink_path: str) -> dict | None:
+    """The seed marker's content ({'store_root', 'version'}, paths
+    normalized) or None when the sink was never seeded."""
+    import json
+
+    p = seed_marker_path(sink_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def _committed_batch_dirs_any(store_path: str) -> bool:

@@ -83,6 +83,7 @@ def test_refined_on_adversarial_duplicates(spark):
         + [("a", 3.0)] * 20
         + [("b", 7.0)] * 5
         + [("c", 1.0), ("c", None)]
+        + [(None, 5.0), (None, 6.0), (None, 7.0)]  # NULL group key
     )
     df = spark.createDataFrame(rows, ["g", "v"])
     got = _as_set(exact_quantiles_refined(df, "g", "v", QS, 10), "g")
@@ -92,6 +93,7 @@ def test_refined_on_adversarial_duplicates(spark):
     # p50 = value at rank 50 = 2.0 (ranks 41..80 are 2.0)
     assert ("a", 1, 2, 2.0) in got
     assert ("b", 99, 100, 7.0) in got
+    assert (None, 1, 2, 6.0) in got  # NULL group ranks like any other
 
 
 def test_refined_rejects_bad_params(spark):
@@ -102,3 +104,5 @@ def test_refined_rejects_bad_params(spark):
         exact_quantiles_refined(df, "g", "v", [(3, 2)])
     with pytest.raises(ValueError):
         exact_quantiles_refined(df, "g", "v", QS, accuracy=2)
+    with pytest.raises(ValueError, match="duplicate"):
+        exact_quantiles_refined(df, "g", "v", [(1, 2), (1, 2)])

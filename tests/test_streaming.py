@@ -1987,6 +1987,15 @@ def test_seeded_span_ingest_resumes_cleanly(spark, tmp_path):
         seed_span_store_from,
     )
 
+    import os
+
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        compact_bucket_store,
+        doc_span_rows,
+        seeded_from,
+    )
+    from etl_wikipedia_updates_spark.streaming.ingest import append_batch
+
     prior = spark.createDataFrame(
         [(0, "en", "wiki", " ".join(f"w{i}" for i in range(20)))],
         ["doc_id", "lang", "source", "text"],
@@ -1999,3 +2008,21 @@ def test_seeded_span_ingest_resumes_cleanly(spark, tmp_path):
     v = snap.current_version()
     assert snap.meta_for(v)["seeded_from"].startswith(store_root)
     assert snap.meta_for(v)["folded_through"] == -1
+    marker = seeded_from(sink)
+    assert marker["store_root"] == os.path.normpath(
+        os.path.abspath(store_root)
+    )
+
+    # the durable marker SURVIVES store compaction, which republishes
+    # the snapshot meta without seeded_from (r17 review: the resume
+    # check must not depend on snapshot meta)
+    batch = spark.createDataFrame(
+        [(5, "en", "web", " ".join(f"x{i}" for i in range(20)))],
+        ["doc_id", "lang", "source", "text"],
+    )
+    append_batch(doc_span_rows(batch), bucket_store_path(sink), 0)
+    append_batch(doc_span_rows(batch), bucket_store_path(sink), 1)
+    assert compact_bucket_store(spark, sink, below=1) is not None
+    snap2 = sink_snapshot(bucket_store_path(sink))
+    assert "seeded_from" not in snap2.meta_for(snap2.current_version())
+    assert seeded_from(sink) == marker  # sidecar unaffected
