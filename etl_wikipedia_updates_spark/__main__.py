@@ -496,6 +496,26 @@ def cmd_dedup_ingest(args) -> int:
                     f"span store already seeded (from {want} "
                     f"v{marker.get('version')}); resuming"
                 )
+                # root-only matching can mask drift: the SOURCE store
+                # may have advanced (a --merge published v2) since the
+                # seed. Resuming is still correct — the seed is
+                # creation-time state — but say so loudly instead of
+                # letting the print read as "seeded with the newest
+                # release" (r17 advice).
+                from etl_wikipedia_updates_spark.streaming.snapshot import (
+                    SnapshotTable as _ST,
+                )
+
+                _cur = _ST(args.seed_span_store).current_version()
+                if _cur is not None and _cur != marker.get("version"):
+                    print(
+                        f"WARNING: source span store is now at v{_cur} "
+                        f"but this sink was seeded from "
+                        f"v{marker.get('version')}; the newer spans are "
+                        "NOT in this sink's store (re-seed a fresh sink "
+                        "to pick them up)",
+                        file=sys.stderr,
+                    )
             else:
                 try:
                     n = seed_span_store_from(

@@ -24,7 +24,14 @@ accuracy is THE memory dial: the bracket holds ~6n/accuracy rows, so
 choosing accuracy ~ n / rows_per_task bounds the pass-2 sort to a
 task-sized slice at ANY n (e.g. n=10^12, accuracy=10^7 -> ~6x10^5-row
 brackets); pass-1 sketch memory grows ~linearly with accuracy and is
-per-sketch bounded. Targets are rational (num, den) pairs and ranks
+per-sketch bounded. Ties caveat (r17 advice): the bracket is value-
+delimited, so its true size is O(n/accuracy) PLUS the multiplicity of
+values tied at the bracket edges — when v_lo == v_hi == a massively
+duplicated value, the bracket spans every tied row (results stay
+correct, as the duplicates fixture pins; only the task-sized bound
+is distribution-dependent). A heavy-ties workload wanting the bound
+back can dedupe to (value, count) rows first and select by cumulative
+count. Targets are rational (num, den) pairs and ranks
 use the same ceil((num*n + den - 1) div den) integer arithmetic as
 the registered query, so results are bit-identical to it —
 pinned by tests/test_quantiles.py at multiple SFs plus a duplicates-

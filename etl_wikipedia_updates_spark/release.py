@@ -475,22 +475,32 @@ def write_packed(
     packed = packed_sequences(docs).withColumn(
         "seq_block", F.expr(f"seq_id div {seqs_per_file}")
     )
-    manifest = [
-        r.asDict() for r in manifest_of(_packed_manifest_frame(packed)).collect()
-    ]
-    table = SnapshotTable(out_root)
-    version = table.publish(
-        packed.repartition(F.col("source"), F.col("seq_block")),
-        meta={
-            "sf_dir": sf_dir if from_sf_dir else None,
-            "source": source_desc,
-            "kind": "packed",
-            "seq_len": SEQ_LEN,
-            "seqs_per_file": seqs_per_file,
-            "manifest": manifest,
-        },
-        partition_by=["source", "seq_block"],
-    )
+    # persist across the two actions below: without it the full
+    # packing plan runs TWICE (manifest collect + publish write) —
+    # the same double-scan class as the _seq_pack_cum lesson — and
+    # the manifest matching the files would rest on the plan being
+    # bit-deterministic across evaluations (r17 advice).
+    packed = packed.persist()
+    try:
+        manifest = [
+            r.asDict()
+            for r in manifest_of(_packed_manifest_frame(packed)).collect()
+        ]
+        table = SnapshotTable(out_root)
+        version = table.publish(
+            packed.repartition(F.col("source"), F.col("seq_block")),
+            meta={
+                "sf_dir": sf_dir if from_sf_dir else None,
+                "source": source_desc,
+                "kind": "packed",
+                "seq_len": SEQ_LEN,
+                "seqs_per_file": seqs_per_file,
+                "manifest": manifest,
+            },
+            partition_by=["source", "seq_block"],
+        )
+    finally:
+        packed.unpersist()
     table.vacuum(keep_last=keep_last)
     return {
         "version": version,

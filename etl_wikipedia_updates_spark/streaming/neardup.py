@@ -674,12 +674,44 @@ def seed_span_store_from(
     _require_span_params(src_meta, f"{span_store_root} v{v}")
     store_path = bucket_store_path(sink_path)
     snap = sink_snapshot(store_path)
-    if snap.current_version() is not None or _committed_batch_dirs_any(
-        store_path
-    ):
+    prior_v = snap.current_version()
+    if prior_v is not None or _committed_batch_dirs_any(store_path):
+        # Crash-recovery path (r17 advice): a crash between the seed
+        # publish and the sidecar write leaves a seeded store with no
+        # marker, after which the CLI resume check misses and this
+        # function would refuse forever. If the ONLY state is a seed
+        # snapshot from THIS store (no ingest batches yet — so
+        # compaction can't have erased the seeded_from meta), rewrite
+        # the missing marker and return idempotently.
+        if prior_v is not None and not _committed_batch_dirs_any(store_path):
+            prior_meta = snap.meta_for(prior_v)
+            sf = prior_meta.get("seeded_from") or ""
+            proot, _, pv = sf.rpartition(" v")
+            if (
+                prior_meta.get("folded_through") == -1
+                and proot
+                and os.path.normpath(os.path.abspath(proot))
+                == os.path.normpath(os.path.abspath(span_store_root))
+            ):
+                with open(seed_marker_path(sink_path), "w") as f:
+                    json.dump(
+                        {
+                            "store_root": os.path.normpath(
+                                os.path.abspath(span_store_root)
+                            ),
+                            "version": int(pv),
+                        },
+                        f,
+                    )
+                return snap.read(spark, prior_v).count()
         raise RuntimeError(
             f"span store at {store_path} already has state — seeding "
-            "must happen before the first ingest batch"
+            "must happen before the first ingest batch. To recover: "
+            "either recreate the sink (delete it and its checkpoint) "
+            "and re-seed, or — if this store DID seed the sink and "
+            "only the marker is missing — hand-write "
+            f"{seed_marker_path(sink_path)} with "
+            '{"store_root": <normalized abs path>, "version": N}'
         )
     rows = src.read(spark, v).select(
         F.lit(-1).cast("long").alias("doc_id"),

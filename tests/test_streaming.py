@@ -2026,3 +2026,58 @@ def test_seeded_span_ingest_resumes_cleanly(spark, tmp_path):
     snap2 = sink_snapshot(bucket_store_path(sink))
     assert "seeded_from" not in snap2.meta_for(snap2.current_version())
     assert seeded_from(sink) == marker  # sidecar unaffected
+
+
+def test_seed_marker_crash_recovery(spark, tmp_path):
+    """r17 advice: a crash between the seed publish and the sidecar
+    write used to leave a stuck store (marker missing -> CLI resume
+    check misses -> seed_span_store_from refuses 'already has state'
+    forever). Now re-seeding a store whose ONLY state is a seed
+    snapshot from the SAME root rewrites the marker and returns
+    idempotently; any other prior state still refuses, with a
+    recovery hint in the message."""
+    import os
+
+    import pytest
+
+    from etl_wikipedia_updates_spark.release import publish_span_store
+    from etl_wikipedia_updates_spark.streaming.ingest import append_batch
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        bucket_store_path,
+        doc_span_rows,
+        seed_marker_path,
+        seed_span_store_from,
+        seeded_from,
+    )
+
+    prior = spark.createDataFrame(
+        [(0, "en", "wiki", " ".join(f"w{i}" for i in range(20)))],
+        ["doc_id", "lang", "source", "text"],
+    )
+    store_root = str(tmp_path / "rel_store")
+    publish_span_store(spark, prior, store_root)
+    sink = str(tmp_path / "sink")
+    n1 = seed_span_store_from(spark, sink, store_root)
+    marker = seeded_from(sink)
+
+    # simulate the crash window: seed snapshot landed, sidecar didn't
+    os.remove(seed_marker_path(sink))
+    assert seeded_from(sink) is None
+    n2 = seed_span_store_from(spark, sink, store_root)  # recovers
+    assert n2 == n1
+    assert seeded_from(sink) == marker
+
+    # a DIFFERENT source store still refuses (not a recovery case) ...
+    other_root = str(tmp_path / "other_store")
+    publish_span_store(spark, prior, other_root)
+    with pytest.raises(RuntimeError, match="To recover"):
+        seed_span_store_from(spark, sink, other_root)
+    # ... and so does a store with ingest batches on top of the seed
+    batch = spark.createDataFrame(
+        [(5, "en", "web", " ".join(f"x{i}" for i in range(20)))],
+        ["doc_id", "lang", "source", "text"],
+    )
+    append_batch(doc_span_rows(batch), bucket_store_path(sink), 0)
+    os.remove(seed_marker_path(sink))
+    with pytest.raises(RuntimeError, match="already has state"):
+        seed_span_store_from(spark, sink, store_root)

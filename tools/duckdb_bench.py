@@ -126,7 +126,16 @@ def main() -> None:
                         r.returncode, err[-1][:200] if err else "(no stderr)"
                     )
                 else:
-                    t = json.loads(out.splitlines()[-1])
+                    try:
+                        t = json.loads(out.splitlines()[-1])
+                    except (json.JSONDecodeError, ValueError):
+                        # rc==0 but the last stdout line isn't the
+                        # timing JSON (stray warning after it): record
+                        # an error row, don't crash the run (r17
+                        # advice — same class as the rc!=0 hardening).
+                        t = "error: non-JSON stdout tail {!r}".format(
+                            out.splitlines()[-1][:200]
+                        )
             except subprocess.TimeoutExpired:
                 t = f"timeout>{args.cap:g}"
         timings[name] = t
