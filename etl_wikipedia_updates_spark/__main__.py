@@ -270,16 +270,27 @@ def cmd_span_store(args) -> int:
     hashes as the store's next version (--merge unions in the current
     version — the per-recrawl append); `span-store --store R --audit`
     probes the sf-dir corpus as a NEW crawl against the store and
-    prints the per-source dup audit. A real recrawl points --sf-dir
-    at the new snapshot's tables."""
+    prints the per-source dup audit; `--stats` prints per-version
+    telemetry (n_spans, n_bytes, growth) from snapshot metadata
+    without a Spark session. A real recrawl points --sf-dir at the
+    new snapshot's tables."""
     import json
 
     from etl_wikipedia_updates_spark.release import (
         publish_span_store,
         span_store_audit,
+        span_store_stats,
     )
     from etl_wikipedia_updates_spark.tables import load_table, spread
 
+    if args.stats:
+        # metadata-only: no SparkSession, no data read
+        print(
+            json.dumps(
+                {"store": args.store, "versions": span_store_stats(args.store)}
+            )
+        )
+        return 0
     spark = _spark()
     docs = spread(load_table(spark, args.sf_dir, "documents"))
     if args.audit:
@@ -874,6 +885,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="probe the sf-dir corpus as a NEW crawl against the "
         "store and print the per-source span-dup audit",
+    )
+    sps.add_argument(
+        "--stats",
+        action="store_true",
+        help="print per-version store telemetry (n_spans, n_bytes, "
+        "growth vs the superseded version) from snapshot metadata — "
+        "no Spark session, no data read",
     )
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"

@@ -1961,16 +1961,20 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs before summing, so the per-doc score is an exact integer —
     ranking ties cannot flip across engines.
 
-    Scale shape — ZERO corpus-wide shuffles. The query-term set is a
-    small fixed list, so everything per-doc happens inside the token
-    ARRAY on the map side: dl = size(tokens) (no explode), per-term
-    tf = size(filter(tokens, = term)), and the corpus stats (total
-    length, N, per-term df) are ONE single-row aggregate broadcast
-    back. The old explode -> groupBy(doc_id) / groupBy(doc_id, term)
-    forms shuffled corpus-scale rows for what a per-row array
-    expression computes in place; only docs matching >= 1 query term
-    reach the final sort+limit top-k (TakeOrderedAndProject — see the
-    inline note)."""
+    Scale shape — ONE corpus scan, ONE narrow shuffle. The query-term
+    set is a small fixed list, so everything per-doc happens inside
+    the token ARRAY on the map side: dl = size(tokens) (no explode),
+    per-term tf = size(filter(tokens, = term)). The corpus stats
+    (total length, N, per-term df) and the per-doc scoring rows both
+    derive from that SAME (doc_id, dl, tf_*) projection, shared
+    through one explicit repartition exchange (~40 bytes/doc — r18;
+    previously each branch scanned and tokenized the corpus
+    separately, 2x the dominant cost) with stats broadcast back as a
+    single row. The old explode -> groupBy(doc_id) / groupBy(doc_id,
+    term) forms shuffled corpus-scale TOKEN rows for what a per-row
+    array expression computes in place; only docs matching >= 1 query
+    term reach the final sort+limit top-k (TakeOrderedAndProject —
+    see the inline note)."""
     # The oracle derives every corpus stat (n_docs, total_len, df)
     # from exploded tokens, so a NULL-text doc contributes nothing
     # there; size(NULL)=-1 under this session's legacy sizeOfNull
@@ -1988,14 +1992,6 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F.filter as (element, index)
         return lambda x: x == F.lit(t)
 
-    stats = docs.agg(
-        F.sum(F.size(toks)).alias("total_len"),
-        F.count("*").alias("n_docs"),
-        *[
-            F.sum(F.array_contains(toks, t).cast("long")).alias(f"df_{i}")
-            for i, t in enumerate(BM25_TERMS)
-        ],
-    )
     # r17 replan of the hot projection: one isin-filter pass extracts
     # the query-term occurrences (qt, a <=tf-sized array), then the
     # per-term counts run over THAT instead of each taking its own
@@ -2008,19 +2004,59 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.26s, padded-string replace/length counting 3.25s (exact but
     # the space-doubling replace copies dominate), an instr()
     # containment pre-gate prunes nothing (96% of docs match some
-    # term as a substring).
+    # term as a substring). r18 additions to the falsified list:
+    # regexp_count with case-insensitive token-boundary lookarounds
+    # 5.9s vs 2.9s (2x WORSE — JVM regex per doc loses to the array
+    # filter), and an Arrow mapInPandas tokenize+count (pandas
+    # str.count, the bpe-encoder precedent) measured at exact parity
+    # (2.93s vs 2.93s hot projection at the 100x tier) — the Python
+    # boundary buys nothing here, so the plan stays JVM-side.
+    #
+    # r18 replan of the SCAN: one corpus scan instead of two. The
+    # prior shape's two branches (corpus stats; per-doc tf
+    # projection) each scanned AND tokenized the corpus — 2x the
+    # dominant cost. Both branches now hang off ONE shared projection
+    # (doc_id, dl, tf_0..n) behind an explicit repartition("doc_id"),
+    # the _seq_pack_cum shuffle-stage-reuse pattern: the exchange
+    # carries ~40 bytes/doc where the second scan re-read and
+    # re-tokenized the full text column — at 100 TB that halves the
+    # query's corpus I/O. AQE-off plans a ReusedExchange (pinned in
+    # test_plans.py); measured 4.1-4.8 -> 3.9-4.4s at the 100x
+    # documents tier. The matched-docs filter must NOT push below the
+    # exchange (stats needs ALL docs, so a pushed filter would split
+    # the copies and resurrect the second scan): it filters on a
+    # WINDOW output — predicates cannot cross a Window — partitioned
+    # on the exchange key doc_id (unique: single-row partitions, no
+    # skew, no extra exchange).
     qt = F.filter(toks, lambda x: x.isin(*BM25_TERMS))
+    proj = docs.select(
+        "doc_id", F.size(toks).alias("dl"), qt.alias("qt")
+    ).select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter(F.col("qt"), eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    rep = proj.repartition("doc_id")
+    stats = rep.agg(
+        F.sum("dl").alias("total_len"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nterms)
+        ],
+    )
     per = (
-        docs.select("doc_id", F.size(toks).alias("dl"), qt.alias("qt"))
-        .filter(F.size("qt") > 0)
-        .select(
-            "doc_id",
-            "dl",
-            *[
-                F.size(F.filter(F.col("qt"), eq(t))).alias(f"tf_{i}")
-                for i, t in enumerate(BM25_TERMS)
-            ],
+        rep.withColumn(
+            "tfs",
+            F.sum(sum(F.col(f"tf_{i}") for i in range(nterms))).over(
+                W.partitionBy("doc_id")
+            ),
         )
+        .filter(F.col("tfs") > 0)
+        .drop("tfs")
     )
     avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
 

@@ -432,6 +432,63 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- percentiles_refined: the exact quantile path WITHOUT the #groups sort ----
+def percentiles_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact discrete quantiles as `percentiles` (value at
+    rank ceil(q*n), long format) through operators.quantiles.
+    exact_quantiles_refined — the approx-pivot two-pass plan that
+    replaces the registered window plan's #groups-task sort ceiling
+    with full scan parallelism: pass 1 sketches a bracket per
+    (group, q) in one map-side-partial aggregate; pass 2 broadcasts
+    the (groups x quantiles)-row bracket table onto the scan and sorts
+    ONLY the O(n/accuracy) bracket rows. No full-data shuffle anywhere
+    — the corpus-sized frame is never exchanged, only sketch partials
+    and bracket rows. Results are EXACT (the bracket provably contains
+    the target rank for any sketch wobble) and bit-identical to
+    `percentiles` (pinned in tests/test_quantiles.py), so this is the
+    registered 100 TB answer to that query's adjudicated weakness —
+    exactness preserved, #groups ceiling gone."""
+    from etl_wikipedia_updates_spark.operators.quantiles import (
+        exact_quantiles_refined,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = exact_quantiles_refined(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        [(1, 2), (9, 10), (99, 100)],
+        accuracy=10_000,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("q_num").cast("bigint").alias("q_num"),
+        F.col("q_den").cast("bigint").alias("q_den"),
+        "value",
+    ).transform(total_order, "o_orderpriority", "q_num", "q_den")
+
+
+PERCENTILES_REFINED_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+targets(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100))
+SELECT r.o_orderpriority,
+       CAST(t.q_num AS BIGINT) AS q_num,
+       CAST(t.q_den AS BIGINT) AS q_den,
+       MAX(CASE WHEN rn = (t.q_num * n + t.q_den - 1) // t.q_den
+                THEN o_totalprice END) AS value
+FROM ranked r CROSS JOIN targets t
+GROUP BY r.o_orderpriority, t.q_num, t.q_den
+ORDER BY o_orderpriority, q_num, q_den
+"""
+
+
 # --- percentiles_approx (bench-only; the 100 TB quantile path) ----------------
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale swap the exact-percentiles docstring points at:
@@ -639,6 +696,12 @@ RELATIONAL_QUERIES: list[DeclaredQuery] = [
     ),
     DeclaredQuery(
         "percentiles", percentiles, PERCENTILES_SQL, "exact discrete quantiles"
+    ),
+    DeclaredQuery(
+        "percentiles_refined",
+        percentiles_refined,
+        PERCENTILES_REFINED_SQL,
+        "exact quantiles, approx-pivot two-pass (no #groups sort ceiling)",
     ),
     DeclaredQuery("q13", q13, Q13_SQL, "rollup + grouping markers"),
     DeclaredQuery("q14", q14, Q14_SQL, "string functions"),

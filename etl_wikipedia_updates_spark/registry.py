@@ -1,8 +1,8 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 85
-entries (83 oracle-backed + 2 bench-only approximate). The external
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 86
+entries (84 oracle-backed + 2 bench-only approximate). The external
 correctness gate records the first 50 entries per round, so the
 surplus sits past the cutoff each round; the rotation policy keeps
 every official row as fresh as the window allows (pinned by
@@ -17,18 +17,17 @@ next window):
   then the entries hitting the 3-gate freshness bound, then the
   contract rows Q1-Q28 + wiki (inside the window every round), with
   any spare slots refreshing the OLDEST remaining rows FIFO.
-- Round-17 window arithmetic: (1 never-certified: the NEW
-  incremental_span_dedup) + (2 changed-core re-certs: seq_pack +
-  pack_assignments, whose r16 stage-reuse change was certified that
-  gate only through in-window consumers) + (15 r14-official entries
-  at the bound: rep_filter .. embedding_stats) + (2 early refreshes
-  of the oldest r15 rows — ngram_quality, bpe_token_stats — to
-  lighten r18) + (29 contract) = 49, 1 slot spare.
-- Round-18 horizon: the remaining r15-official block (pii_scrub ..
-  percentiles_approx, 13 entries incl. the rows-only approximate
-  pair — source_mix sits at position 50 of THIS window and gets its
-  r17 row) hits its bound at r18; with 29 contract rows that window
-  is 42/50 full before new work.
+- Round-18 window arithmetic: (1 never-certified: the NEW
+  percentiles_refined) + (1 changed-core re-cert: bm25_rank, whose
+  r18 single-scan replan invalidated its r17 row) + (12 r15-official
+  entries at the bound: pii_scrub .. ann_sq8) + (2 rows-only
+  approximate entries, also last recorded r15) + (29 contract) = 45,
+  leaving 5 spare slots spent on the OLDEST r16-official rows FIFO
+  (packed_sequences .. incremental_dedup) to lighten r19.
+- Round-19 horizon: the remaining 16 r16-official entries
+  (grouped_agg_udf .. text_normalize) hit their bound at r19; with
+  29 contract rows that window is 45/50 full before new work —
+  5 free slots.
 - The entries that yield are the freshest (r16-certified) ones —
   every oracle-backed one still differentially tested locally on each
   pytest run by tests/test_queries_oracle.py.
@@ -54,58 +53,23 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- NEVER-CERTIFIED first: incremental_span_dedup (NEW r17 —
-    # the recrawl story for spans: new crawl's span occurrences
-    # probed against the prior corpus' span-hash store) has no
-    # official row ---
-    "incremental_span_dedup",
-    # --- round-17 rotation head, executing the window the r16
-    # registry promised (r16 verdict #1). seq_pack and pack_assignments
-    # re-certify FIRST: the r16 shuffle-stage-reuse change to their
-    # shared _seq_pack_cum core altered their physical plans, and
-    # their r16-gate certification rested only on the core's two
-    # in-window consumers (seq_pack_subword, packed_sequences) — this
-    # is the direct re-certification the r16 advice asked for ---
-    "seq_pack",
-    "pack_assignments",
-    # --- the 15 entries whose newest official row is r14: they hit
-    # the every-third-gate freshness bound at this gate
-    # (tests/test_survey_contract.py), FIFO in prior tail order ---
-    "rep_filter",
-    "corpus_release",
-    "corpus_release_temp",
-    "multimodal_bytes",
-    "ann_lsh",
-    "ann_ivf",
+    # --- NEVER-CERTIFIED first: percentiles_refined (NEW r18 — the
+    # approx-pivot two-pass exact quantile path from
+    # operators/quantiles.py, registered per the r17 verdict to close
+    # weak `percentiles` with a hash-certified scale-true exact plan)
+    # has no official row ---
+    "percentiles_refined",
+    # --- CHANGED this round: bm25_rank's r18 single-scan replan (its
+    # stats and per-doc branches now share one (doc_id, dl, tf_*)
+    # exchange instead of scanning + tokenizing the corpus twice) —
+    # its r17 row certifies a plan that no longer exists, so it
+    # re-certifies directly ---
     "bm25_rank",
-    "span_removal",
-    "ann_lsh_multiprobe",
-    "temperature_mix",
-    "distinct_kmv",
-    "ann_pq",
-    "zipf_fit",
-    "length_hist",
-    "embedding_stats",
-    # --- spare-slot early refresh: the oldest r15-official rows,
-    # FIFO, pulled forward to lighten the r18 window (the full
-    # r15-official block hits its bound at r18; with 29 contract rows
-    # that window would otherwise be 48/50 full — r16 verdict #6) ---
-    "ngram_quality",
-    "bpe_token_stats",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- position 50: source_mix takes the window's one spare slot
-    # (oldest remaining r15 row after the two early refreshes above),
-    # so it certifies r17 and leaves the r18 block one lighter ---
-    "source_mix",
-    # --- positions 51+: past the cutoff this round. The remaining
-    # 13 r15-official entries (pii_scrub .. ann_sq8 + the rows-only
-    # approximate pair) head the round-18 queue (they hit the 3-gate
-    # bound at r18), FIFO in tail order, followed by the freshest
-    # r16-certified block. Every oracle-backed entry is still
-    # differentially tested locally on each pytest run by
-    # tests/test_queries_oracle.py ---
+    # --- round-18 rotation head, executing the window the r17
+    # registry promised (r17 verdict #1): the 12 entries whose newest
+    # official row is r15 — they hit the every-third-gate freshness
+    # bound at this gate (tests/test_survey_contract.py), FIFO in
+    # prior tail order ---
     "pii_scrub",
     "charlm_score",
     "shard_manifest",
@@ -118,13 +82,31 @@ DECLARATION_ORDER: list[str] = [
     "quantize_embeddings",
     "lang_id_chargram",
     "ann_sq8",
+    # --- the rows-only approximate pair: their err='no_oracle'
+    # recorded rows are their official rows (freshness test counts
+    # them); last recorded r15, so at the bound too ---
     "q12_approx",
     "percentiles_approx",
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- spare slots (5 after bm25_rank's re-cert): the OLDEST
+    # r16-official rows, FIFO, pulled forward to lighten the r19
+    # window — the 21-entry r16 block hits its bound at r19, which
+    # with 29 contract rows would otherwise be exactly 50/50 full
+    # (r17 verdict #6); pulling 5 leaves r19 at 45/50 with 5 free
+    # slots ---
     "packed_sequences",
     "span_decontam",
     "seq_pack_subword",
     "source_mix_subword",
     "incremental_dedup",
+    # --- positions 51+: past the cutoff this round. The remaining 16
+    # r16-official entries head the round-19 queue (they hit the
+    # 3-gate bound at r19), FIFO in tail order, followed by the
+    # freshest r17-certified block. Every oracle-backed entry is
+    # still differentially tested locally on each pytest run by
+    # tests/test_queries_oracle.py ---
     "grouped_agg_udf",
     "kmeans_clusters",
     "ann_kmeans",
@@ -141,6 +123,27 @@ DECLARATION_ORDER: list[str] = [
     "grouped_zscore",
     "doc_fingerprint",
     "text_normalize",
+    # r17-certified block, FIFO in r17 window order
+    "incremental_span_dedup",
+    "seq_pack",
+    "pack_assignments",
+    "rep_filter",
+    "corpus_release",
+    "corpus_release_temp",
+    "multimodal_bytes",
+    "ann_lsh",
+    "ann_ivf",
+    "span_removal",
+    "ann_lsh_multiprobe",
+    "temperature_mix",
+    "distinct_kmv",
+    "ann_pq",
+    "zipf_fit",
+    "length_hist",
+    "embedding_stats",
+    "ngram_quality",
+    "bpe_token_stats",
+    "source_mix",
 ]
 
 _declared = QueryRegistry()

@@ -653,6 +653,16 @@ def publish_span_store(
         # never match anything (r17 review)
         _require_span_params(table.meta_for(cur), f"{store_root} v{cur}")
         spans = spans.unionByName(table.read(spark, cur).select("h"))
+    # growth telemetry (r17 verdict #5): the store is the one artifact
+    # whose 100 TB footprint is multi-TB by design (~n_tok/HOP rows per
+    # doc, 8 bytes each — it replaces corpus rescans), so every
+    # snapshot records its size and its growth vs the version it
+    # supersedes. n_rows/n_bytes come free from publish (parquet
+    # footers + file sizes, no extra Spark job); for a distinct-hash
+    # store n_rows IS the distinct span-hash count.
+    prior_spans = (
+        int(table.meta_for(cur).get("n_rows") or 0) if cur is not None else 0
+    )
     version = table.publish(
         spans.distinct(),
         meta={
@@ -660,11 +670,56 @@ def publish_span_store(
             "span_w": SPAN_W,
             "span_hop": SPAN_HOP,
             "merged_prior_version": cur if merge_prior else None,
+            "prior_version": cur,
+            "prior_n_spans": prior_spans,
             "source": source_desc or "caller-supplied frame",
         },
     )
+    meta = table.meta_for(version)
+    n_spans = int(meta.get("n_rows") or 0)
     table.vacuum(keep_last=keep_last)
-    return {"version": version}
+    return {
+        "version": version,
+        "n_spans": n_spans,
+        "n_bytes": int(meta.get("n_bytes") or 0),
+        # growth vs the superseded version: for merge_prior this is
+        # exactly the count of appended NEW distinct spans (the union
+        # keeps every prior hash); for a fresh publish over an
+        # existing root it is the plain delta (may be negative)
+        "growth_spans": n_spans - prior_spans,
+    }
+
+
+def span_store_stats(store_root: str) -> list[dict]:
+    """Per-version telemetry of a span-hash store, oldest first:
+    version, n_spans, n_bytes, and growth vs the snapshot each
+    version superseded (from its published prior_n_spans — exact even
+    after vacuum removed the prior version's data). Driver-side only
+    (reads version metadata, never the data files)."""
+    table = SnapshotTable(store_root)
+    cur = table.current_version()
+    if cur is None:
+        raise FileNotFoundError(f"no published span store under {store_root}")
+    rows = []
+    for v in table.versions():
+        meta = table.meta_for(v)
+        if meta.get("kind") != "span_store":
+            continue
+        n = int(meta.get("n_rows") or 0)
+        rows.append(
+            {
+                "version": v,
+                "n_spans": n,
+                "n_bytes": int(meta.get("n_bytes") or 0),
+                "prior_version": meta.get("prior_version"),
+                "growth_spans": (
+                    n - int(meta.get("prior_n_spans") or 0)
+                    if "prior_n_spans" in meta
+                    else None
+                ),
+            }
+        )
+    return rows
 
 
 def span_store_audit(

@@ -149,7 +149,20 @@ class SnapshotTable:
         # the files just written — no extra Spark job), so consumers
         # like retention's cap check read one json instead of running a
         # count() over the data per trigger.
-        meta = {**(meta or {}), "n_rows": dir_row_count(vdir)}
+        # n_bytes (r18): on-disk footprint of the version's data files
+        # — the one growth axis n_rows misses for artifacts that are
+        # multi-TB by design at 100 TB (the span store: 8 bytes/span
+        # per row, but parquet encoding decides the real footprint).
+        n_bytes = 0
+        for dirpath, _dirs, files in os.walk(vdir):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    n_bytes += os.path.getsize(os.path.join(dirpath, f))
+        meta = {
+            **(meta or {}),
+            "n_rows": dir_row_count(vdir),
+            "n_bytes": n_bytes,
+        }
         # Written INSIDE the immutable version dir (``_``-prefixed:
         # invisible to Spark's file listing), before the pointer
         # moves — so a version and its metadata are always published
@@ -168,6 +181,25 @@ class SnapshotTable:
         return version
 
     # --- read side --------------------------------------------------------
+    def versions(self) -> list[int]:
+        """The PUBLISHED version numbers still on disk, ascending —
+        dirs at or below the manifest pointer (orphans above it are
+        in-flight or crashed publishes, not readable state)."""
+        current = self.current_version()
+        if current is None:
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v <= current:
+                out.append(v)
+        return sorted(out)
+
     def meta_for(self, version: int) -> dict:
         """The metadata dict published with ``version`` ({} if none)."""
         try:

@@ -732,6 +732,16 @@ def test_cli_span_store_publish_merge_audit(spark, sf_smoke, tmp_path, capsys):
     # span is a prior dup
     assert all(r["dup_prior_spans"] == r["total_spans"] for r in lib)
 
+    # --stats (r18): per-version telemetry from metadata alone; the
+    # self-merge appends zero new distinct spans
+    assert main(["span-store", "--store", root, "--stats"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    vs = stats["versions"]
+    assert [s["version"] for s in vs] == [1, 2]
+    assert vs[1]["growth_spans"] == 0  # same corpus merged in
+    assert vs[0]["n_spans"] == vs[1]["n_spans"] > 0
+    assert all(s["n_bytes"] > 0 for s in vs)
+
 
 def test_cli_dedup_ingest_span_mode(spark, sf_smoke, tmp_path, capsys):
     """--mode span (r17): the kept set must equal the batch span rule

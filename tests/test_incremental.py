@@ -337,6 +337,26 @@ def test_span_store_feed_equals_recomputed_and_merges(spark, tmp_path):
         .collect()
     }
     assert got == want
+    # growth telemetry (r17 verdict #5): each publish reports its
+    # distinct-span count, on-disk bytes, and growth vs the version
+    # it superseded — and the merge's growth is EXACTLY the number of
+    # appended new distinct spans (union keeps every prior hash)
+    from etl_wikipedia_updates_spark.release import span_store_stats
+
+    n_prior = (
+        _span_occurrences(prior).select("h").distinct().count()
+    )
+    assert out["n_spans"] == n_prior
+    assert out["n_bytes"] > 0
+    assert out["growth_spans"] == n_prior  # grew from nothing
+    assert out2["n_spans"] == len(want)
+    assert out2["growth_spans"] == len(want) - n_prior
+    stats = span_store_stats(root)
+    assert [s["version"] for s in stats] == [1, 2]
+    assert stats[0]["n_spans"] == n_prior
+    assert stats[1]["growth_spans"] == len(want) - n_prior
+    assert stats[1]["prior_version"] == 1
+    assert all(s["n_bytes"] > 0 for s in stats)
     # store meta guards: probing a non-store snapshot fails loudly
     import pytest
 

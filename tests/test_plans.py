@@ -39,6 +39,15 @@ CASES = [
     # layers; the percentile_disc ObjectHashAggregate alternative was
     # measured WORSE at sf0.1 and 10x (falsified r17, SCALE.md)
     ("percentiles", ["Window", "partial_"], ["ObjectHashAggregate"]),
+    # the refined exact-quantile path: sketch partials + broadcast
+    # bracket joins; the corpus-sized frame is never exchanged (the
+    # only hash exchanges carry sketch partials, c_lt partials, and
+    # O(n/accuracy) bracket rows) and nothing sort-merges
+    (
+        "percentiles_refined",
+        ["BroadcastHashJoin", "partial_percentile_approx"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
+    ),
     # the tiny (doc_id, source) side broadcasts onto the exploded shingles
     ("contamination", ["BroadcastHashJoin"], []),
     # incremental_span_dedup (r17): both sides tagged out of ONE scan —
@@ -82,17 +91,25 @@ CASES = [
     # corpus — the corpus itself must never shuffle on the skewed
     # source key before the final audit agg
     ("source_mix", ["BroadcastHashJoin", "partial_"], ["SortMergeJoin"]),
-    # bm25 (r7 replan): ZERO corpus-wide shuffles — per-doc scoring is
-    # in-array map work, corpus stats are one single-row broadcast
-    # agg; a hashpartitioning exchange or an explode would mean the
-    # old corpus-scale shuffle crept back. r10: the top-k is
+    # bm25 (r7 replan, r18 single-scan): per-doc scoring is in-array
+    # map work; corpus stats are one single-row broadcast agg. The
+    # ONE deliberate hashpartitioning exchange is the r18 shared
+    # projection (doc_id, dl, tf_*) both branches reuse — ~40
+    # bytes/doc on the wire instead of a second scan+tokenize of the
+    # corpus (ReusedExchange pinned in
+    # test_prefix_sum_exchange_is_reused). An explode would mean the
+    # old corpus-scale token shuffle crept back. r10: the top-k is
     # TakeOrderedAndProject (per-partition heaps); the unpartitioned
     # rank window sits ABOVE it over <= BM25_TOPK rows (pinned
     # structurally in test_bm25_rank_window_is_limit_bounded).
     (
         "bm25_rank",
-        ["BroadcastExchange", "TakeOrderedAndProject"],
-        ["hashpartitioning", "Generate"],
+        [
+            "BroadcastExchange",
+            "TakeOrderedAndProject",
+            "hashpartitioning(doc_id",
+        ],
+        ["Generate", "SortMergeJoin"],
     ),
     # tfidf (r8 broadcast-direction fix): the doc_id-bounded tf frame
     # broadcasts onto the streamed vocab-scale df branch — never a
@@ -304,9 +321,15 @@ def test_bm25_rank_window_is_limit_bounded(spark, sf_smoke):
     TakeOrderedAndProject (i.e. the limit runs BELOW the window)."""
     df = REGISTRY.queries["bm25_rank"].builder(spark, sf_smoke)
     physical = df._jdf.queryExecution().executedPlan().toString()
-    windows = list(_subtree_lines(physical, "Window"))
-    assert windows, "expected the rank window in the plan"
-    assert any("TakeOrderedAndProject" in ln for ln in windows), (
+    # the r18 matched-docs barrier window is partitioned on the
+    # unique doc_id (single-row partitions — not a funnel) and sits
+    # below the limit by design; the pin applies to the RANK window
+    # (row_number), which must be fed by the bounded top-k output
+    assert any("row_number" in ln for ln in physical.splitlines()), (
+        "expected the rank window in the plan"
+    )
+    rank_subtrees = list(_subtree_lines(physical, "row_number"))
+    assert any("TakeOrderedAndProject" in ln for ln in rank_subtrees), (
         "rank window is not fed by the sort+limit top-k"
     )
 
@@ -425,7 +448,16 @@ def test_packed_sequences_roundtrip_and_lengths(spark, sf_smoke):
 
 @pytest.mark.parametrize(
     "name",
-    ["seq_pack", "seq_pack_subword", "pack_assignments", "packed_sequences"],
+    [
+        "seq_pack",
+        "seq_pack_subword",
+        "pack_assignments",
+        "packed_sequences",
+        # r18: bm25_rank adopted the same pattern — its stats and
+        # per-doc branches share one (doc_id, dl, tf_*) exchange
+        # instead of two corpus scans
+        "bm25_rank",
+    ],
 )
 def test_prefix_sum_exchange_is_reused(spark, sf_smoke, name):
     """The r16 stage-reuse guarantee, pinned structurally: both

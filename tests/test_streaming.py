@@ -1959,9 +1959,11 @@ def test_span_ingest_seeded_from_release_store(spark, tmp_path):
     sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     n = seed_span_store_from(spark, sink, store_root)
     assert n > 0
-    # double-seed refused (store now has state)
-    with pytest.raises(RuntimeError):
-        seed_span_store_from(spark, sink, store_root)
+    # double-seed from the SAME root is idempotent (r18: the
+    # crash-recovery path — returns the seeded count, no new
+    # version); a different root still refuses, pinned in
+    # test_seed_marker_crash_recovery
+    assert seed_span_store_from(spark, sink, store_root) == n
 
     replay = str(tmp_path / "replay")
     write_replay_splits(new, replay, 3, "doc_id")
