@@ -285,11 +285,12 @@ def cmd_span_store(args) -> int:
 
     if args.stats:
         # metadata-only: no SparkSession, no data read
-        print(
-            json.dumps(
-                {"store": args.store, "versions": span_store_stats(args.store)}
-            )
-        )
+        try:
+            stats = span_store_stats(args.store)
+        except FileNotFoundError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(json.dumps({"store": args.store, "versions": stats}))
         return 0
     spark = _spark()
     docs = spread(load_table(spark, args.sf_dir, "documents"))
