@@ -79,10 +79,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin", "hashpartitioning(doc_id"],
     ),
     # r10: top-k is per-partition heaps; the rank window sits above the
-    # limit (structural bound checked by audit_unpartitioned_windows)
+    # limit (structural bound checked by audit_unpartitioned_windows).
+    # r18: the ONE hashpartitioning(doc_id) exchange is deliberate —
+    # the shared (doc_id, dl, tf_*) projection both branches reuse
+    # instead of a second corpus scan+tokenize (mirrors
+    # tests/test_plans.py; ReusedExchange pinned there AQE-off)
     "bm25_rank": (
-        ["TakeOrderedAndProject", "BroadcastExchange"],
-        ["hashpartitioning", "Generate"],
+        ["TakeOrderedAndProject", "BroadcastExchange", "hashpartitioning(doc_id"],
+        ["Generate", "SortMergeJoin"],
     ),
     # r10 corpus trio (mirrors tests/test_plans.py): threshold/model
     # frames broadcast onto the streamed corpus, map-side partials,
