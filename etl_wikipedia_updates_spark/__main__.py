@@ -518,7 +518,13 @@ def cmd_dedup_ingest(args) -> int:
                     SnapshotTable as _ST,
                 )
 
-                _cur = _ST(args.seed_span_store).current_version()
+                # advisory only: a broken SOURCE store must not stop a
+                # healthy sink from resuming (r18 review — resume never
+                # touched the source store before this warning existed)
+                try:
+                    _cur = _ST(args.seed_span_store).current_version()
+                except (RuntimeError, OSError, ValueError):
+                    _cur = None
                 if _cur is not None and _cur != marker.get("version"):
                     print(
                         f"WARNING: source span store is now at v{_cur} "

@@ -637,7 +637,11 @@ def publish_span_store(
     docs' (a span seen once is still a dup when re-crawled — the same
     shadowing rule the streaming bucket stores apply).
 
-    Returns {"version": N}."""
+    Returns {"version": N, "n_spans": distinct hashes, "n_bytes":
+    on-disk footprint, "growth_spans": delta vs the superseded
+    version} — the telemetry is free (parquet footers + file sizes),
+    so callers should read it from here rather than re-counting the
+    store."""
     from etl_wikipedia_updates_spark.plans.northstar import (
         SPAN_HOP,
         SPAN_W,

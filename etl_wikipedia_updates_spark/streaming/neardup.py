@@ -690,6 +690,13 @@ def seed_span_store_from(
             if (
                 prior_meta.get("folded_through") == -1
                 and proot
+                and pv.isdigit()
+                # the REQUESTED version must match what actually
+                # seeded: a recovery that silently returns v1's spans
+                # when the caller asked for v2 (store advanced via
+                # --merge since the seed) would let v2-only content
+                # through the veto (r18 review)
+                and int(pv) == v
                 and os.path.normpath(os.path.abspath(proot))
                 == os.path.normpath(os.path.abspath(span_store_root))
             ):

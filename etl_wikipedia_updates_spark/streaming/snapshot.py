@@ -154,7 +154,11 @@ class SnapshotTable:
         # multi-TB by design at 100 TB (the span store: 8 bytes/span
         # per row, but parquet encoding decides the real footprint).
         n_bytes = 0
-        for dirpath, _dirs, files in os.walk(vdir):
+        for dirpath, dirs, files in os.walk(vdir):
+            # prune hidden dirs exactly like dir_row_count: a crashed
+            # task's _temporary/ or .spark-staging-* debris must not
+            # inflate the footprint n_rows ignores (r18 review)
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in files:
                 if not f.startswith(("_", ".")):
                     n_bytes += os.path.getsize(os.path.join(dirpath, f))
@@ -181,6 +185,21 @@ class SnapshotTable:
         return version
 
     # --- read side --------------------------------------------------------
+    def _version_dirs(self) -> list[int]:
+        """Every v{N} dir on disk, ascending — published AND orphans.
+        The single parser both the read side (versions) and the
+        delete side (vacuum) share, so they can never disagree about
+        what counts as a version dir."""
+        out = []
+        for name in os.listdir(self.root):
+            if not name.startswith("v"):
+                continue
+            try:
+                out.append(int(name[1:]))
+            except ValueError:
+                continue
+        return sorted(out)
+
     def versions(self) -> list[int]:
         """The PUBLISHED version numbers still on disk, ascending —
         dirs at or below the manifest pointer (orphans above it are
@@ -188,17 +207,7 @@ class SnapshotTable:
         current = self.current_version()
         if current is None:
             return []
-        out = []
-        for name in os.listdir(self.root):
-            if not name.startswith("v"):
-                continue
-            try:
-                v = int(name[1:])
-            except ValueError:
-                continue
-            if v <= current:
-                out.append(v)
-        return sorted(out)
+        return [v for v in self._version_dirs() if v <= current]
 
     def meta_for(self, version: int) -> dict:
         """The metadata dict published with ``version`` ({} if none)."""
@@ -235,14 +244,8 @@ class SnapshotTable:
         if current is None:
             return []
         removed = []
-        for name in os.listdir(self.root):
-            if not name.startswith("v"):
-                continue
-            try:
-                v = int(name[1:])
-            except ValueError:
-                continue
+        for v in self._version_dirs():
             if v <= current - keep_last or (reclaim_orphans and v > current):
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                shutil.rmtree(self.version_path(v), ignore_errors=True)
                 removed.append(v)
         return sorted(removed)

@@ -2083,3 +2083,43 @@ def test_seed_marker_crash_recovery(spark, tmp_path):
     os.remove(seed_marker_path(sink))
     with pytest.raises(RuntimeError, match="already has state"):
         seed_span_store_from(spark, sink, store_root)
+
+
+def test_seed_marker_recovery_refuses_version_mismatch(spark, tmp_path):
+    """r18 review: the crash-recovery path must not silently return an
+    OLD seed when the caller resolves to a NEWER store version. Store
+    seeds a sink at v1, then advances to v2 (--merge); with the marker
+    lost, re-seeding (which resolves to current=v2) must refuse — only
+    an explicit version=1 request recovers the v1 seed."""
+    import os
+
+    import pytest
+
+    from etl_wikipedia_updates_spark.release import publish_span_store
+    from etl_wikipedia_updates_spark.streaming.neardup import (
+        seed_marker_path,
+        seed_span_store_from,
+        seeded_from,
+    )
+
+    prior = spark.createDataFrame(
+        [(0, "en", "wiki", " ".join(f"w{i}" for i in range(20)))],
+        ["doc_id", "lang", "source", "text"],
+    )
+    extra = spark.createDataFrame(
+        [(1, "en", "web", " ".join(f"x{i}" for i in range(20)))],
+        ["doc_id", "lang", "source", "text"],
+    )
+    store_root = str(tmp_path / "rel_store")
+    publish_span_store(spark, prior, store_root)
+    sink = str(tmp_path / "sink")
+    n1 = seed_span_store_from(spark, sink, store_root)  # seeded from v1
+    publish_span_store(spark, extra, store_root, merge_prior=True)  # v2
+
+    os.remove(seed_marker_path(sink))  # the crash window
+    with pytest.raises(RuntimeError, match="already has state"):
+        seed_span_store_from(spark, sink, store_root)  # resolves to v2
+    assert seeded_from(sink) is None  # refusal wrote no marker
+    # the explicit matching version DOES recover
+    assert seed_span_store_from(spark, sink, store_root, version=1) == n1
+    assert seeded_from(sink)["version"] == 1
