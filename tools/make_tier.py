@@ -38,30 +38,36 @@ import shutil
 import duckdb
 
 MUT_SUFFIX = " mut{k}a mut{k}b mut{k}c"
+# the same suffix as a DuckDB expression over the copy-index column k
+_SUFFIX_EXPR = "(' mut'||k||'a mut'||k||'b mut'||k||'c')"
 
 # per-table replication spec: (id column, per-copy id offset,
-# SELECT-body template with {k} = copy index, {off} = k * offset)
-_DOC_SELECT = """
-SELECT doc_id + {off} AS doc_id,
-       CASE WHEN {k} = 0 THEN text
-            ELSE text || '{suffix}' END AS text,
+# SELECT-body template over read_parquet x the copies(k) relation —
+# r18: a range(K) cross join instead of a K-way UNION ALL, which hit
+# DuckDB's max_expression_depth at K=1000; output content is
+# identical, row order is now deterministic (ORDER BY k, id))
+_DOC_SELECT = f"""
+SELECT doc_id + k * {{offset}} AS doc_id,
+       CASE WHEN k = 0 THEN text
+            ELSE text || {_SUFFIX_EXPR} END AS text,
        lang, source,
-       CAST(CASE WHEN {k} = 0 OR text IS NULL THEN n_chars
-                 ELSE n_chars + {suffix_len} END AS BIGINT) AS n_chars
-FROM read_parquet('{src}')"""
+       CAST(CASE WHEN k = 0 OR text IS NULL THEN n_chars
+                 ELSE n_chars + length({_SUFFIX_EXPR}) END AS BIGINT)
+           AS n_chars
+FROM read_parquet('{{src}}') CROSS JOIN copies"""
 
 _EVENTS_SELECT = """
-SELECT event_id + {off} AS event_id,
-       ts + INTERVAL ({k}) SECOND AS ts,
+SELECT event_id + k * {offset} AS event_id,
+       ts + to_seconds(k) AS ts,
        user_id, event_type, value, props
-FROM read_parquet('{src}')"""
+FROM read_parquet('{src}') CROSS JOIN copies"""
 
 _ORDERS_SELECT = """
-SELECT o_orderkey + {off} AS o_orderkey,
+SELECT o_orderkey + k * {offset} AS o_orderkey,
        o_custkey, o_orderstatus, o_totalprice,
-       o_orderdate + INTERVAL ({k}) SECOND AS o_orderdate,
+       o_orderdate + to_seconds(k) AS o_orderdate,
        o_orderpriority
-FROM read_parquet('{src}')"""
+FROM read_parquet('{src}') CROSS JOIN copies"""
 
 SPECS = {
     "documents": ("doc_id", 1_000_000, _DOC_SELECT),
@@ -90,22 +96,11 @@ def _replicate(
             f"with the {offset:,} per-copy offset — tier would have "
             "colliding ids"
         )
-    parts = []
-    for k in range(copies):
-        suffix = MUT_SUFFIX.format(k=k)
-        parts.append(
-            template.format(
-                k=k,
-                off=k * offset,
-                src=src,
-                suffix=suffix,
-                suffix_len=len(suffix),
-            )
-        )
+    body = template.format(offset=offset, src=src)
     con.sql(
-        "COPY ("
-        + " UNION ALL ".join(parts)
-        + f") TO '{out}' (FORMAT PARQUET)"
+        f"COPY (WITH copies AS (SELECT unnest(range({copies})) AS k) "
+        f"{body} ORDER BY k, {id_col}"
+        f") TO '{out}' (FORMAT PARQUET)"
     )
 
 
