@@ -106,3 +106,26 @@ def test_refined_rejects_bad_params(spark):
         exact_quantiles_refined(df, "g", "v", QS, accuracy=2)
     with pytest.raises(ValueError, match="duplicate"):
         exact_quantiles_refined(df, "g", "v", [(1, 2), (1, 2)])
+
+
+def test_registered_refined_equals_registered_window_plan(spark):
+    """The REGISTERED pair (r18): percentiles_refined's long-format
+    output must carry exactly the window plan's p50/p90/p99 per
+    priority — the two registered exact-quantile plans can never
+    disagree (the operator-level bit-identity pin lifted to the
+    query-contract level)."""
+    from etl_wikipedia_updates_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    wide = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY.queries["percentiles"].builder(spark, sf).collect()
+    }
+    long_rows = (
+        REGISTRY.queries["percentiles_refined"].builder(spark, sf).collect()
+    )
+    assert len(long_rows) == 3 * len(wide)
+    col = {(1, 2): "p50", (9, 10): "p90", (99, 100): "p99"}
+    for r in long_rows:
+        want = wide[r["o_orderpriority"]][col[(r["q_num"], r["q_den"])]]
+        assert r["value"] == want, (r, want)
