@@ -287,7 +287,7 @@ def cmd_span_store(args) -> int:
         # metadata-only: no SparkSession, no data read
         try:
             stats = span_store_stats(args.store)
-        except FileNotFoundError as e:
+        except (FileNotFoundError, ValueError) as e:
             print(str(e), file=sys.stderr)
             return 2
         print(json.dumps({"store": args.store, "versions": stats}))

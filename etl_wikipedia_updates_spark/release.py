@@ -723,6 +723,12 @@ def span_store_stats(store_root: str) -> list[dict]:
                 ),
             }
         )
+    if not rows:
+        # a snapshot root whose versions are all some other kind: an
+        # empty-but-successful telemetry object would read as "healthy
+        # store with no history" — fail like span_store_audit does
+        # (r18 review)
+        raise ValueError(f"{store_root} has no span_store versions")
     return rows
 
 

@@ -685,31 +685,24 @@ def seed_span_store_from(
         # the missing marker and return idempotently.
         if prior_v is not None and not _committed_batch_dirs_any(store_path):
             prior_meta = snap.meta_for(prior_v)
-            sf = prior_meta.get("seeded_from") or ""
-            proot, _, pv = sf.rpartition(" v")
             if (
                 prior_meta.get("folded_through") == -1
-                and proot
-                and pv.isdigit()
+                # structured provenance (r18 review: string-parsing the
+                # display field broke on format tweaks, and a RAW
+                # relative root re-resolved at recovery-time cwd could
+                # false-match a different store) — seed_root is stored
+                # normalized at publish time
+                and prior_meta.get("seed_root") is not None
                 # the REQUESTED version must match what actually
                 # seeded: a recovery that silently returns v1's spans
                 # when the caller asked for v2 (store advanced via
                 # --merge since the seed) would let v2-only content
                 # through the veto (r18 review)
-                and int(pv) == v
-                and os.path.normpath(os.path.abspath(proot))
+                and prior_meta.get("seed_version") == v
+                and prior_meta["seed_root"]
                 == os.path.normpath(os.path.abspath(span_store_root))
             ):
-                with open(seed_marker_path(sink_path), "w") as f:
-                    json.dump(
-                        {
-                            "store_root": os.path.normpath(
-                                os.path.abspath(span_store_root)
-                            ),
-                            "version": int(pv),
-                        },
-                        f,
-                    )
+                _write_seed_marker(sink_path, prior_meta["seed_root"], v)
                 return snap.read(spark, prior_v).count()
         raise RuntimeError(
             f"span store at {store_path} already has state — seeding "
@@ -726,11 +719,18 @@ def seed_span_store_from(
         F.lit(0).alias("band"),
         F.col("h").cast("string").alias("band_key"),
     )
+    seed_root = os.path.normpath(os.path.abspath(span_store_root))
     sv = snap.publish(
         rows,
         meta={
             "folded_through": -1,
+            # display string + structured fields: crash recovery reads
+            # seed_root/seed_version (normalized at PUBLISH time, so a
+            # relative --seed-span-store can never be re-resolved
+            # against a different cwd later — r18 review)
             "seeded_from": f"{span_store_root} v{v}",
+            "seed_root": seed_root,
+            "seed_version": v,
         },
     )
     # The durable seed marker is a SIDECAR file, not (only) snapshot
@@ -739,19 +739,20 @@ def seed_span_store_from(
     # sink seeded, and from where?" after the first fold (r17 review).
     # Paths are normalized so resume matching survives trailing-slash /
     # relative-vs-absolute differences.
-    with open(seed_marker_path(sink_path), "w") as f:
-        json.dump(
-            {
-                "store_root": os.path.normpath(
-                    os.path.abspath(span_store_root)
-                ),
-                "version": v,
-            },
-            f,
-        )
+    _write_seed_marker(sink_path, seed_root, v)
     # count the MATERIALIZED snapshot, not the source plan again — the
     # publish already paid the store scan (r17 review)
     return snap.read(spark, sv).count()
+
+
+def _write_seed_marker(sink_path: str, seed_root: str, version: int) -> None:
+    """(Re)write the durable seed sidecar. ``seed_root`` must already
+    be normalized (it comes from the publish-time meta or a fresh
+    normpath(abspath(...)))."""
+    import json
+
+    with open(seed_marker_path(sink_path), "w") as f:
+        json.dump({"store_root": seed_root, "version": version}, f)
 
 
 def seed_marker_path(sink_path: str) -> str:

@@ -185,29 +185,43 @@ class SnapshotTable:
         return version
 
     # --- read side --------------------------------------------------------
-    def _version_dirs(self) -> list[int]:
-        """Every v{N} dir on disk, ascending — published AND orphans.
-        The single parser both the read side (versions) and the
-        delete side (vacuum) share, so they can never disagree about
-        what counts as a version dir."""
+    def _version_dirs(self) -> list[tuple[int, str]]:
+        """Every v{N} dir on disk as (version, dirname), ascending —
+        published AND orphans. The single parser both the read side
+        (versions) and the delete side (vacuum) share, so they can
+        never disagree about what counts as a version dir. vacuum
+        removes by the LISTED name, so a non-canonical spelling like
+        'v01' is still reclaimed (r18 review)."""
         out = []
         for name in os.listdir(self.root):
             if not name.startswith("v"):
                 continue
             try:
-                out.append(int(name[1:]))
+                out.append((int(name[1:]), name))
             except ValueError:
                 continue
         return sorted(out)
 
     def versions(self) -> list[int]:
-        """The PUBLISHED version numbers still on disk, ascending —
-        dirs at or below the manifest pointer (orphans above it are
-        in-flight or crashed publishes, not readable state)."""
+        """The PUBLISHED version numbers still readable, ascending:
+        canonically named dirs at or below the manifest pointer that
+        carry their _meta.json (written before the pointer ever moved
+        past them). Excluded on purpose: orphans above the pointer
+        (in-flight/crashed publishes), sub-pointer crash orphans that
+        never published (claimed dir, no meta — r18 review), and
+        non-canonical dir spellings read()/meta_for() cannot resolve."""
         current = self.current_version()
         if current is None:
             return []
-        return [v for v in self._version_dirs() if v <= current]
+        return [
+            v
+            for v, name in self._version_dirs()
+            if v <= current
+            and name == f"v{v}"
+            and os.path.exists(
+                os.path.join(self.version_path(v), self.META)
+            )
+        ]
 
     def meta_for(self, version: int) -> dict:
         """The metadata dict published with ``version`` ({} if none)."""
@@ -244,8 +258,10 @@ class SnapshotTable:
         if current is None:
             return []
         removed = []
-        for v in self._version_dirs():
+        for v, name in self._version_dirs():
             if v <= current - keep_last or (reclaim_orphans and v > current):
-                shutil.rmtree(self.version_path(v), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self.root, name), ignore_errors=True
+                )
                 removed.append(v)
         return sorted(removed)

@@ -328,6 +328,18 @@ def test_bm25_rank_window_is_limit_bounded(spark, sf_smoke):
     assert any("row_number" in ln for ln in physical.splitlines()), (
         "expected the rank window in the plan"
     )
+    # every hash exchange must be the ONE deliberate shared doc_id
+    # projection — the CASES pin requires its presence, this states
+    # exclusivity so a corpus-scale shuffle on any OTHER key can't
+    # slip back in behind it (r18 review)
+    import re as _re
+
+    other = [
+        m
+        for m in _re.findall(r"hashpartitioning\(\w+", physical)
+        if not m.startswith("hashpartitioning(doc_id")
+    ]
+    assert not other, f"unexpected non-doc_id hash exchanges: {other}"
     rank_subtrees = list(_subtree_lines(physical, "row_number"))
     assert any("TakeOrderedAndProject" in ln for ln in rank_subtrees), (
         "rank window is not fed by the sort+limit top-k"

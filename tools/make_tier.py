@@ -112,6 +112,11 @@ def make_tier(
 ) -> int:
     if not tables:
         raise SystemExit("--tables must name at least one table")
+    if copies < 1:
+        # range(0) would silently write an EMPTY tier parquet that
+        # downstream benches consume without error (r18 review — the
+        # old UNION ALL form crashed on malformed SQL instead)
+        raise SystemExit(f"--copies must be >= 1, got {copies}")
     unknown = set(tables) - set(SPECS)
     if unknown:
         raise SystemExit(f"no replication spec for tables: {sorted(unknown)}")

@@ -16,7 +16,7 @@ the SCALE.md §8 throughput numbers were session-local prose before
 this, so a regression there was invisible to round-over-round diffs).
 
 Run: python tools/stream_bench.py [sf_dir] [--out PATH]
-     [--modes doc,quality,verified,span]
+     [--modes neardup,quality,verified,span]
 """
 
 from __future__ import annotations
