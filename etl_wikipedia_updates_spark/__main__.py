@@ -290,7 +290,25 @@ def cmd_span_store(args) -> int:
         except (FileNotFoundError, ValueError) as e:
             print(str(e), file=sys.stderr)
             return 2
-        print(json.dumps({"store": args.store, "versions": stats}))
+        out = {"store": args.store, "versions": stats}
+        # retention advisory (r18 verdict #7): the span store is the
+        # one artifact whose footprint is multi-TB by design, and
+        # every superseded version still on disk doubles down on that.
+        # publish_span_store vacuums to keep_last=2 on each publish,
+        # but manually-managed roots (direct SnapshotTable publishes,
+        # raised keep_last) can accumulate — surface it where the
+        # operator is already looking.
+        excess = stats[: max(0, len(stats) - args.keep_last)]
+        if excess:
+            out["recommendation"] = (
+                f"{len(excess)} superseded version(s) beyond "
+                f"keep_last={args.keep_last} still on disk "
+                f"({sum(s['n_bytes'] for s in excess)} reclaimable "
+                f"bytes: v{[s['version'] for s in excess]}) — run "
+                "SnapshotTable(root).vacuum(keep_last="
+                f"{args.keep_last}) or republish (publish vacuums)"
+            )
+        print(json.dumps(out))
         return 0
     spark = _spark()
     docs = spread(load_table(spark, args.sf_dir, "documents"))
@@ -898,7 +916,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print per-version store telemetry (n_spans, n_bytes, "
         "growth vs the superseded version) from snapshot metadata — "
-        "no Spark session, no data read",
+        "no Spark session, no data read; adds a vacuum recommendation "
+        "when superseded versions exceed --keep-last",
+    )
+    sps.add_argument(
+        "--keep-last",
+        type=int,
+        default=2,
+        help="retention horizon the --stats advisory checks against "
+        "(default 2, matching publish's auto-vacuum)",
     )
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"

@@ -1974,7 +1974,17 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     term) forms shuffled corpus-scale TOKEN rows for what a per-row
     array expression computes in place; only docs matching >= 1 query
     term reach the final sort+limit top-k (TakeOrderedAndProject —
-    see the inline note)."""
+    see the inline note).
+
+    PRECONDITION (r18 advice): doc_id must be UNIQUE in documents.
+    The matched-docs filter sums tf over a Window partitioned by
+    doc_id (so the predicate cannot push below the shared exchange and
+    split the reuse); with duplicated doc_ids a zero-match row sharing
+    an id with a matching row would survive with score 0 and could pad
+    the top-k on sparse corpora. The engine's documents table is
+    keyed by doc_id (pinned in tests/test_plans.py::
+    test_documents_doc_id_unique); a deployment replaying ids must
+    dedup upstream (q24 / dedup_corpus) first."""
     # The oracle derives every corpus stat (n_docs, total_len, df)
     # from exploded tokens, so a NULL-text doc contributes nothing
     # there; size(NULL)=-1 under this session's legacy sizeOfNull

@@ -405,8 +405,17 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/quantiles.py (exact_quantiles_refined: full scan
     parallelism, pass-2 sorts only an O(n/accuracy) bracket per
     (group, quantile) — bit-identical to this query by
-    tests/test_quantiles.py)."""
-    orders = load_table(spark, sf_dir, "orders")
+    tests/test_quantiles.py).
+
+    NULL semantics (r19, per the r18 advice): NULL o_totalprice rows
+    are excluded up front. Before r19 this plan counted NULL rows in n
+    and ranked them while percentiles_refined excluded them, so the
+    two registered exact-quantile plans only agreed on NULL-free data.
+    Both plans (and both oracles) now filter NULLs by construction;
+    TPC-H orders is NULL-free, so certified values are unchanged."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wn = W.partitionBy("o_orderpriority")
     ranked = orders.select(
@@ -447,7 +456,15 @@ def percentiles_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target rank for any sketch wobble) and bit-identical to
     `percentiles` (pinned in tests/test_quantiles.py), so this is the
     registered 100 TB answer to that query's adjudicated weakness —
-    exactness preserved, #groups ceiling gone."""
+    exactness preserved, #groups ceiling gone.
+
+    Sizing note (r18 advice): the pass-2 bracket is ~6n/accuracy rows
+    per (group, q), so accuracy must scale ~n/rows_per_task to keep
+    pass 2 task-sized. The registered accuracy=10_000 is sized for the
+    bench tiers (n <= ~5e7: brackets of a few thousand rows); a 100 TB
+    deployment (n ~ 1e12) raises it to ~n/rows_per_task, e.g. 1e7 for
+    ~6e5-row brackets — the operator takes it as a parameter, nothing
+    structural changes."""
     from etl_wikipedia_updates_spark.operators.quantiles import (
         exact_quantiles_refined,
     )
@@ -524,6 +541,7 @@ WITH ranked AS (
                             ORDER BY o_totalprice, o_orderkey) AS rn,
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 )
 SELECT o_orderpriority,
        CAST(MAX(n) AS BIGINT) AS n,

@@ -17,18 +17,20 @@ next window):
   then the entries hitting the 3-gate freshness bound, then the
   contract rows Q1-Q28 + wiki (inside the window every round), with
   any spare slots refreshing the OLDEST remaining rows FIFO.
-- Round-18 window arithmetic: (1 never-certified: the NEW
-  percentiles_refined) + (1 changed-core re-cert: bm25_rank, whose
-  r18 single-scan replan invalidated its r17 row) + (12 r15-official
-  entries at the bound: pii_scrub .. ann_sq8) + (2 rows-only
-  approximate entries, also last recorded r15) + (29 contract) = 45,
-  leaving 5 spare slots spent on the OLDEST r16-official rows FIFO
-  (packed_sequences .. incremental_dedup) to lighten r19.
-- Round-19 horizon: the remaining 16 r16-official entries
-  (grouped_agg_udf .. text_normalize) hit their bound at r19; with
-  29 contract rows that window is 45/50 full before new work —
-  5 free slots.
-- The entries that yield are the freshest (r16-certified) ones —
+- Round-19 window arithmetic (executing the horizon the r18 registry
+  pinned): (16 r16-official entries at the bound: grouped_agg_udf ..
+  text_normalize, FIFO in prior tail order — this block includes
+  `percentiles`, whose r19 NULL-handling alignment with
+  percentiles_refined also makes it a changed-core re-cert) + (29
+  contract) = 45, leaving 5 spare slots spent on the OLDEST
+  r17-official rows FIFO (incremental_span_dedup .. corpus_release)
+  to lighten the r20 window.
+- Round-20 horizon: the remaining 15 r17-official entries
+  (corpus_release_temp .. source_mix) hit their bound at r20; with
+  29 contract rows that window is 44/50 full before new work —
+  6 free slots. The r18-certified block (percentiles_refined ..
+  incremental_dedup, 21 entries) next hits its bound at r21.
+- The entries that yield are the freshest (r18-certified) ones —
   every oracle-backed one still differentially tested locally on each
   pytest run by tests/test_queries_oracle.py.
 
@@ -53,60 +55,14 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
-    # --- NEVER-CERTIFIED first: percentiles_refined (NEW r18 — the
-    # approx-pivot two-pass exact quantile path from
-    # operators/quantiles.py, registered per the r17 verdict to close
-    # weak `percentiles` with a hash-certified scale-true exact plan)
-    # has no official row ---
-    "percentiles_refined",
-    # --- CHANGED this round: bm25_rank's r18 single-scan replan (its
-    # stats and per-doc branches now share one (doc_id, dl, tf_*)
-    # exchange instead of scanning + tokenizing the corpus twice) —
-    # its r17 row certifies a plan that no longer exists, so it
-    # re-certifies directly ---
-    "bm25_rank",
-    # --- round-18 rotation head, executing the window the r17
-    # registry promised (r17 verdict #1): the 12 entries whose newest
-    # official row is r15 — they hit the every-third-gate freshness
+    # --- round-19 rotation head, executing the window the r18
+    # registry promised (r18 verdict #1): the 16 entries whose newest
+    # official row is r16 — they hit the every-third-gate freshness
     # bound at this gate (tests/test_survey_contract.py), FIFO in
-    # prior tail order ---
-    "pii_scrub",
-    "charlm_score",
-    "shard_manifest",
-    "dedup_corpus",
-    "span_dedup",
-    "token_stats",
-    "corpus_stats",
-    "minhash_lsh",
-    "lang_id",
-    "quantize_embeddings",
-    "lang_id_chargram",
-    "ann_sq8",
-    # --- the rows-only approximate pair: their err='no_oracle'
-    # recorded rows are their official rows (freshness test counts
-    # them); last recorded r15, so at the bound too ---
-    "q12_approx",
-    "percentiles_approx",
-    # --- §2.3 contract rows (always inside the gate window) ---
-    *[f"q{i}" for i in range(1, 29)],
-    "wiki_pipeline",
-    # --- spare slots (5 after bm25_rank's re-cert): the OLDEST
-    # r16-official rows, FIFO, pulled forward to lighten the r19
-    # window — the 21-entry r16 block hits its bound at r19, which
-    # with 29 contract rows would otherwise be exactly 50/50 full
-    # (r17 verdict #6); pulling 5 leaves r19 at 45/50 with 5 free
-    # slots ---
-    "packed_sequences",
-    "span_decontam",
-    "seq_pack_subword",
-    "source_mix_subword",
-    "incremental_dedup",
-    # --- positions 51+: past the cutoff this round. The remaining 16
-    # r16-official entries head the round-19 queue (they hit the
-    # 3-gate bound at r19), FIFO in tail order, followed by the
-    # freshest r17-certified block. Every oracle-backed entry is
-    # still differentially tested locally on each pytest run by
-    # tests/test_queries_oracle.py ---
+    # prior tail order. `percentiles` in this block is ALSO a
+    # changed-core re-cert: its r19 NULL-handling alignment (isNotNull
+    # on the value column, matching percentiles_refined — r18 ADVICE)
+    # means its r16 row certifies a plan that no longer exists ---
     "grouped_agg_udf",
     "kmeans_clusters",
     "ann_kmeans",
@@ -123,12 +79,24 @@ DECLARATION_ORDER: list[str] = [
     "grouped_zscore",
     "doc_fingerprint",
     "text_normalize",
-    # r17-certified block, FIFO in r17 window order
+    # --- §2.3 contract rows (always inside the gate window) ---
+    *[f"q{i}" for i in range(1, 29)],
+    "wiki_pipeline",
+    # --- spare slots (5): the OLDEST r17-official rows, FIFO, pulled
+    # forward to lighten the r20 window — the 20-entry r17 block hits
+    # its bound at r20, which with 29 contract rows would otherwise be
+    # 49/50 full; pulling 5 leaves r20 at 44/50 with 6 free slots ---
     "incremental_span_dedup",
     "seq_pack",
     "pack_assignments",
     "rep_filter",
     "corpus_release",
+    # --- positions 51+: past the cutoff this round. The remaining 15
+    # r17-official entries head the round-20 queue (they hit the
+    # 3-gate bound at r20), FIFO in tail order, followed by the
+    # freshest r18-certified block (bound at r21). Every oracle-backed
+    # entry is still differentially tested locally on each pytest run
+    # by tests/test_queries_oracle.py ---
     "corpus_release_temp",
     "multimodal_bytes",
     "ann_lsh",
@@ -144,6 +112,28 @@ DECLARATION_ORDER: list[str] = [
     "ngram_quality",
     "bpe_token_stats",
     "source_mix",
+    # r18-certified block, FIFO in r18 window order
+    "percentiles_refined",
+    "bm25_rank",
+    "pii_scrub",
+    "charlm_score",
+    "shard_manifest",
+    "dedup_corpus",
+    "span_dedup",
+    "token_stats",
+    "corpus_stats",
+    "minhash_lsh",
+    "lang_id",
+    "quantize_embeddings",
+    "lang_id_chargram",
+    "ann_sq8",
+    "q12_approx",
+    "percentiles_approx",
+    "packed_sequences",
+    "span_decontam",
+    "seq_pack_subword",
+    "source_mix_subword",
+    "incremental_dedup",
 ]
 
 _declared = QueryRegistry()

@@ -664,8 +664,16 @@ def publish_span_store(
     # supersedes. n_rows/n_bytes come free from publish (parquet
     # footers + file sizes, no extra Spark job); for a distinct-hash
     # store n_rows IS the distinct span-hash count.
+    # the superseded version only counts as a "prior" if it IS a span
+    # store — a non-merge publish over a root whose current version is
+    # some other artifact kind would otherwise report growth_spans as
+    # a delta against an unrelated row count (r18 advice; matches
+    # span_store_stats' kind filtering)
     prior_spans = (
-        int(table.meta_for(cur).get("n_rows") or 0) if cur is not None else 0
+        int(table.meta_for(cur).get("n_rows") or 0)
+        if cur is not None
+        and table.meta_for(cur).get("kind") == "span_store"
+        else 0
     )
     version = table.publish(
         spans.distinct(),

@@ -741,6 +741,17 @@ def test_cli_span_store_publish_merge_audit(spark, sf_smoke, tmp_path, capsys):
     assert vs[1]["growth_spans"] == 0  # same corpus merged in
     assert vs[0]["n_spans"] == vs[1]["n_spans"] > 0
     assert all(s["n_bytes"] > 0 for s in vs)
+    # retention advisory (r19): 2 on-disk versions is exactly the
+    # default keep_last=2 horizon — no recommendation; tightening the
+    # horizon to 1 must surface the superseded v1 and its bytes
+    assert "recommendation" not in stats
+    assert (
+        main(["span-store", "--store", root, "--stats", "--keep-last", "1"])
+        == 0
+    )
+    tight = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "v[1]" in tight["recommendation"]
+    assert str(vs[0]["n_bytes"]) in tight["recommendation"]
 
 
 def test_cli_dedup_ingest_span_mode(spark, sf_smoke, tmp_path, capsys):

@@ -364,6 +364,11 @@ def test_span_store_feed_equals_recomputed_and_merges(spark, tmp_path):
     SnapshotTable(other).publish(prior, meta={"kind": "other"})
     with pytest.raises(ValueError):
         span_store_audit(spark, new, other)
+    # growth gating (r18 advice): publishing a span store over a root
+    # whose current version is some OTHER artifact kind must report
+    # growth from zero, not a delta against the unrelated row count
+    out3 = publish_span_store(spark, prior, other, source_desc="over-other")
+    assert out3["growth_spans"] == out3["n_spans"] == n_prior
 
 
 def test_span_store_param_guard(spark, tmp_path, monkeypatch):

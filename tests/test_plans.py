@@ -346,6 +346,22 @@ def test_bm25_rank_window_is_limit_bounded(spark, sf_smoke):
     )
 
 
+def test_documents_doc_id_unique(spark, sf_smoke):
+    """bm25_rank's matched-docs barrier window assumes doc_id is UNIQUE
+    (r18 advice): with duplicated ids a zero-match row sharing an id
+    with a matching row would survive the tfs>0 filter with score 0.
+    This pins the precondition on the table the query is registered
+    against — if the testdata generator ever replays doc_ids, this
+    fails before the query's semantics silently change."""
+    from etl_wikipedia_updates_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    assert docs.count() == docs.select("doc_id").distinct().count(), (
+        "documents.doc_id is not unique — bm25_rank's window-barrier "
+        "filter precondition is violated (dedup upstream first)"
+    )
+
+
 @pytest.mark.parametrize("name,need,forbid", CASES, ids=[c[0] for c in CASES])
 def test_plan_shape(spark, sf_smoke, name, need, forbid):
     plan = _plan(spark, name, sf_smoke)
@@ -498,4 +514,26 @@ def test_prefix_sum_exchange_is_reused(spark, sf_smoke, name):
     assert "ReusedExchange" in plan, (
         f"{name}: the two prefix-sum branches no longer canonicalize "
         "to one exchange — the shuffle (scan + encode) runs twice"
+    )
+
+
+def test_reuse_dependent_plans_pin_spark_version():
+    """Spark-version tripwire (r18 verdict #6): two query families —
+    _seq_pack_cum's prefix-sum and bm25_rank's single-scan — depend on
+    exchange reuse, an optimizer behavior that is version-coupled (the
+    static ReuseExchange rule's canonicalization can change across
+    releases). This test fails on ANY pyspark version bump, so the
+    upgrade procedure starts at the pins instead of in production:
+    re-run test_prefix_sum_exchange_is_reused +
+    test_bm25_rank_window_is_limit_bounded + tools/explain_audit.py
+    under the new version, then (and only then) update PINNED here."""
+    import pyspark
+
+    PINNED = "4.1.2"
+    assert pyspark.__version__ == PINNED, (
+        f"pyspark {pyspark.__version__} != pinned {PINNED}. The "
+        "exchange-reuse plans (_seq_pack_cum, bm25_rank) are "
+        "optimizer-version-coupled: re-run the plan-pin tests and "
+        "tools/explain_audit.py under the new version before "
+        "updating this pin."
     )
