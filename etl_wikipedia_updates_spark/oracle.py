@@ -22,10 +22,17 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # multi-file tier layout (make_tier --files > 1): the
+            # {table}.parquet path is a DIRECTORY of part files —
+            # glob it so DuckDB reads the same row set Spark's
+            # directory scan does
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
 
 

@@ -5,18 +5,31 @@ Replays the events table through the file-replay source into the
 foreachBatch parquet sink and reports sustained events/s. The bar is
 >=100x the Wikimedia recentchange SSE rate (~10-40 ev/s publicly
 observed => >=4000 ev/s; /root/reference/config.py:10). Then replays
-the documents table through each streaming dedup/curation mode
-(plain MinHash, quality-gated, Jaccard-verified, span-veto) and
-reports docs/s per mode.
+the documents (or embeddings) table through EVERY shipped streaming
+dedup/curation mode and reports docs/s per mode — all nine ingest
+variants (r18 verdict #4: the r18 artifact covered 5 of ~8, so a
+regression in the embedding, cosine-verified, decontam, or one-pass
+curate modes was invisible round-over-round):
+
+- neardup / quality / verified / span: document near-dup family
+- embedding / embedding_verified: SemDeDup-style sign-bucket dedup
+  over the embeddings table (bands nominate; _verified rescoring
+  with the exact cosine)
+- decontam_shingle / decontam_span: benchmark-decontamination ingest
+  against the CONTAM_BENCH_SOURCE slice (the batch `contamination` /
+  `span_decontam` rules, streamed)
+- curate: the one-pass quality+decontam+neardup curation ingest
 
 Prints one JSON line per measurement. With ``--out PATH`` it also
 writes the combined object to PATH — the per-round regression
 artifact (STREAMBENCH_r{N}.json at the repo root, r17 verdict #4:
 the SCALE.md §8 throughput numbers were session-local prose before
 this, so a regression there was invisible to round-over-round diffs).
+Metric names for the five r18 modes are unchanged, so r19-vs-r18
+diffs line up key-for-key.
 
 Run: python tools/stream_bench.py [sf_dir] [--out PATH]
-     [--modes neardup,quality,verified,span]
+     [--modes neardup,quality,...]
 """
 
 from __future__ import annotations
@@ -46,6 +59,56 @@ WIKIMEDIA_EV_S = 40  # upper end of the publicly observed SSE rate
 N_SPLITS = 8  # micro-batches; each batch pays trigger+commit overhead
 TIMEOUT_S = 600
 
+# mode -> (replayed table, split/order key, one-line cost note);
+# starters bind in main() once the static frames exist
+MODE_SPECS: dict[str, tuple[str, str, str]] = {
+    "neardup": (
+        "documents",
+        "doc_id",
+        "shingle+MinHash per batch + bucket-store collision join",
+    ),
+    "quality": (
+        "documents",
+        "doc_id",
+        "quality gate, then the MinHash dedup path",
+    ),
+    "verified": (
+        "documents",
+        "doc_id",
+        "MinHash nomination + exact bottom-k Jaccard verify",
+    ),
+    "span": (
+        "documents",
+        "doc_id",
+        "exact-substring veto: span hashes ARE the store rows",
+    ),
+    "embedding": (
+        "embeddings",
+        "vec_id",
+        "sign-bucket (SimHash band) blocking over the embedding column",
+    ),
+    "embedding_verified": (
+        "embeddings",
+        "vec_id",
+        "sign-bucket nomination + exact cosine verify",
+    ),
+    "decontam_shingle": (
+        "documents",
+        "doc_id",
+        "benchmark shingle-overlap veto (batch `contamination` rule)",
+    ),
+    "decontam_span": (
+        "documents",
+        "doc_id",
+        "benchmark exact-substring veto (batch `span_decontam` rule)",
+    ),
+    "curate": (
+        "documents",
+        "doc_id",
+        "one-pass quality + decontam + near-dup curation ingest",
+    ),
+}
+
 
 def _await_or_die(q, what: str) -> None:
     """A timed-out replay must FAIL the bench, not report a partial
@@ -59,13 +122,13 @@ def _await_or_die(q, what: str) -> None:
         )
 
 
-def _replay_docs(spark, docs, start, what: str):
-    """Replay ``docs`` through a doc-mode ingest starter; return
-    (elapsed_sec, rows_kept)."""
+def _replay_frame(spark, frame, key, start, what: str):
+    """Replay ``frame`` (split/ordered on ``key``) through an ingest
+    starter; return (elapsed_sec, rows_kept)."""
     with tempfile.TemporaryDirectory() as tmp:
         replay = f"{tmp}/replay"
-        write_replay_splits(docs, replay, N_SPLITS, "doc_id")
-        stream = read_replay_stream(spark, replay, docs.schema)
+        write_replay_splits(frame, replay, N_SPLITS, key)
+        stream = read_replay_stream(spark, replay, frame.schema)
         t0 = time.perf_counter()
         q = start(stream, f"{tmp}/sink", f"{tmp}/ckpt")
         _await_or_die(q, what)
@@ -75,32 +138,24 @@ def _replay_docs(spark, docs, start, what: str):
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
+    from etl_wikipedia_updates_spark.plans.northstar import (
+        CONTAM_BENCH_SOURCE,
+    )
+    from etl_wikipedia_updates_spark.streaming.decontam import (
+        ingest_with_decontam,
+        ingest_with_full_curation,
+    )
     from etl_wikipedia_updates_spark.streaming.neardup import (
+        ingest_with_embedding_neardup,
         ingest_with_neardup,
         ingest_with_quality_neardup,
         ingest_with_span_neardup,
+        ingest_with_verified_embedding_neardup,
         ingest_with_verified_neardup,
     )
 
-    doc_modes = {
-        # metric-name prefix -> (starter, one-line cost note)
-        "neardup": (
-            ingest_with_neardup,
-            "shingle+MinHash per batch + bucket-store collision join",
-        ),
-        "quality": (
-            ingest_with_quality_neardup,
-            "quality gate, then the MinHash dedup path",
-        ),
-        "verified": (
-            ingest_with_verified_neardup,
-            "MinHash nomination + exact bottom-k Jaccard verify",
-        ),
-        "span": (
-            ingest_with_span_neardup,
-            "exact-substring veto: span hashes ARE the store rows",
-        ),
-    }
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument(
@@ -111,13 +166,13 @@ def main() -> None:
     )
     ap.add_argument(
         "--modes",
-        default=",".join(doc_modes),
+        default=",".join(MODE_SPECS),
         help="comma-separated doc-mode subset (default: all)",
     )
     args = ap.parse_args()
     sf_dir = args.sf_dir
     selected = [m for m in args.modes.split(",") if m]
-    unknown = set(selected) - set(doc_modes)
+    unknown = set(selected) - set(MODE_SPECS)
     if unknown:
         raise SystemExit(f"unknown modes: {sorted(unknown)}")
 
@@ -155,17 +210,49 @@ def main() -> None:
         }
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    frames = {
+        name: load_table(spark, sf_dir, name)
+        for name in {MODE_SPECS[m][0] for m in selected}
+    }
+    counts = {name: f.count() for name, f in frames.items()}
+    docs = frames.get("documents")
+    # held-out benchmark slice, the same convention the batch
+    # contamination query and the CLI --mode decontam default declare;
+    # exclude_self=True because the slice shares the stream's ids
+    bench = (
+        docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+        if docs is not None
+        else None
+    )
+    starters = {
+        "neardup": ingest_with_neardup,
+        "quality": ingest_with_quality_neardup,
+        "verified": ingest_with_verified_neardup,
+        "span": ingest_with_span_neardup,
+        "embedding": ingest_with_embedding_neardup,
+        "embedding_verified": ingest_with_verified_embedding_neardup,
+        "decontam_shingle": lambda s, sink, ck: ingest_with_decontam(
+            s, bench, sink, ck, mode="shingles"
+        ),
+        "decontam_span": lambda s, sink, ck: ingest_with_decontam(
+            s, bench, sink, ck, mode="spans"
+        ),
+        "curate": lambda s, sink, ck: ingest_with_full_curation(
+            s, bench, sink, ck
+        ),
+    }
     for mode in selected:
-        start, note = doc_modes[mode]
-        elapsed, kept = _replay_docs(spark, docs, start, f"{mode}_ingest")
+        table, key, note = MODE_SPECS[mode]
+        elapsed, kept = _replay_frame(
+            spark, frames[table], key, starters[mode], f"{mode}_ingest"
+        )
         emit(
             {
                 "metric": f"{mode}_ingest_docs_per_sec",
-                "value": round(n_docs / elapsed, 1),
+                "value": round(counts[table] / elapsed, 1),
                 "unit": "docs/sec",
-                "docs_in": n_docs,
+                "table": table,
+                "docs_in": counts[table],
                 "docs_kept": kept,
                 "elapsed_sec": round(elapsed, 2),
                 "micro_batches": N_SPLITS,
