@@ -56,6 +56,7 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
 )
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.plans.northstar import (
+    CONTAM_BENCH_SOURCE,
     TEMP_A,
     TEMP_ALPHA,  # noqa: F401 — the documented knob, re-exported
     TEMP_B,
@@ -1265,7 +1266,181 @@ FROM pd GROUP BY source ORDER BY source
 NGRAM_QUALITY_SQL = _ngram_quality_sql()
 
 
+# --- dsir_select: importance-resampling data selection (DSIR) -----------------
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling" (NeurIPS) — the published method for picking pretraining
+# documents that LOOK LIKE a target domain: estimate target (p) and
+# raw-pool (q) distributions over hashed n-gram features, weight every
+# raw document by its summed log importance ratio
+# sum_tokens log2(p_b/q_b), and resample by weight. The contract
+# variant is the deterministic temperature->0 limit (top-k by weight,
+# doc_id tie-break) — a production sampler adds per-doc Gumbel noise
+# to the same logw column (one extra expression; RNG is banned from
+# the oracle contract). Features here are hashed token unigrams
+# (DSIR_B buckets via the shared cross-engine term hash); the paper's
+# unigram+bigram space is the same plan shape with one more transform
+# over the token-tail zip (doc_bigrams precedent).
+#
+# Scale shape — fit-small then score-as-projection (the charlm /
+# lang_id / ngram_quality pattern): the fit is ONE map-side-combined
+# count to <= 2 x DSIR_B rows (never corpus-scale; collected like
+# every bounded model); log2 runs DRIVER-side once per bucket and is
+# det-rounded AT THE MODEL (DSIR_ROUND decimals, scaled longs), so
+# the per-doc score is an exact integer in-array fold over a
+# DSIR_B-long literal — no explode, no join, no per-doc shuffle in
+# the scoring pass. Selection is orderBy+limit ->
+# TakeOrderedAndProject (per-partition heaps; no corpus-scale
+# unpartitioned window), with the rank derived AFTER the limit over
+# <= DSIR_TOP_K rows (the bm25_rank pattern). The target slice is the
+# CONTAM_BENCH_SOURCE convention shared with contamination /
+# span_decontam: the held-out domain the pipeline already declares.
+DSIR_B = 512  # hashed feature buckets (paper: 10^4 for uni+bigram)
+DSIR_TOP_K = 20  # selected docs
+DSIR_ROUND = 6  # det-round decimals of each per-bucket log2 at the model
+
+
+def _fit_dsir_weights(docs: DataFrame) -> list[int]:
+    """One count job to <= 2 x DSIR_B (is_target, bucket) rows ->
+    dense scaled log-ratio table: w[b] = floor(log2(p_hat_b)*1e6+0.5)
+    - floor(log2(q_hat_b)*1e6+0.5), add-one smoothed over DSIR_B
+    buckets. Python's libm log2 is the same one the DuckDB oracle
+    calls (the charlm model pin), and each log is floored to scaled
+    longs separately so the difference is exact integer math."""
+    import math
+
+    b = F.explode(
+        F.transform(
+            T.tokens_col(), lambda t: T.term_hash_fn(t) % F.lit(DSIR_B)
+        )
+    ).alias("b")
+    rows = (
+        docs.select(
+            (F.col("source") == CONTAM_BENCH_SOURCE).alias("is_target"), b
+        )
+        .groupBy("is_target", "b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    pc: dict[int, int] = {}
+    qc: dict[int, int] = {}
+    for r in rows:
+        (pc if r["is_target"] else qc)[r["b"]] = r["c"]
+    pt, qt = sum(pc.values()), sum(qc.values())
+    scale = float(10**DSIR_ROUND)
+
+    def slog(c: int, tot: int) -> int:
+        return int(
+            math.floor(
+                math.log2((c + 1) / float(tot + DSIR_B)) * scale + 0.5
+            )
+        )
+
+    return [
+        slog(pc.get(i, 0), pt) - slog(qc.get(i, 0), qt)
+        for i in range(DSIR_B)
+    ]
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-DSIR_TOP_K raw documents by DSIR importance weight toward
+    the CONTAM_BENCH_SOURCE target domain: (rk, doc_id, source, n_tok,
+    logw). Raw pool = every non-target source; target docs are the
+    domain sample, never selection candidates."""
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    table = _memo_model(
+        spark,
+        sf_dir,
+        f"dsir_weights_{DSIR_B}",
+        lambda: _fit_dsir_weights(docs),
+    )
+    wlit = F.array(*[F.lit(v).cast("long") for v in table])
+    toks = T.tokens_col()
+    per = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE).select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(
+                wlit,
+                (T.term_hash_fn(t) % F.lit(DSIR_B) + F.lit(1)).cast("int"),
+            ),
+        ).alias("ss"),
+    )
+    topk = per.orderBy(F.col("ss").desc(), "doc_id").limit(DSIR_TOP_K)
+    w = W.orderBy(F.col("ss").desc(), "doc_id")
+    return (
+        topk.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            "source",
+            "n_tok",
+            (F.col("ss").cast("double") / float(10**DSIR_ROUND)).alias(
+                "logw"
+            ),
+        )
+        .transform(total_order, "rk")
+    )
+
+
+def _dsir_select_sql() -> str:
+    s = float(10**DSIR_ROUND)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, (source = '{CONTAM_BENCH_SOURCE}') AS is_target,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+bt AS (
+  SELECT doc_id, source, is_target,
+         ({T.sql_term_hash('term')}) % {DSIR_B} AS b
+  FROM tok
+),
+cnt AS (
+  SELECT b,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS pc,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS qc
+  FROM bt GROUP BY b
+),
+tot AS (SELECT SUM(pc) AS pt, SUM(qc) AS qt FROM cnt),
+w AS (
+  SELECT b,
+    CAST(floor(log2((pc + 1) / CAST(pt + {DSIR_B} AS DOUBLE)) * {s} + 0.5)
+         AS BIGINT)
+    - CAST(floor(log2((qc + 1) / CAST(qt + {DSIR_B} AS DOUBLE)) * {s} + 0.5)
+           AS BIGINT) AS ws
+  FROM cnt CROSS JOIN tot
+),
+pd AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tok, SUM(ws) AS ss
+  FROM bt JOIN w USING (b)
+  WHERE NOT is_target
+  GROUP BY doc_id, source
+)
+SELECT CAST(row_number() OVER (ORDER BY ss DESC, doc_id) AS BIGINT) AS rk,
+       doc_id, source, n_tok, CAST(ss AS DOUBLE) / {s} AS logw
+FROM pd
+ORDER BY rk
+LIMIT {DSIR_TOP_K}
+"""
+
+
+DSIR_SELECT_SQL = _dsir_select_sql()
+
+
 CORPUS_QUERIES: list[DeclaredQuery] = [
+    DeclaredQuery(
+        "dsir_select",
+        dsir_select,
+        DSIR_SELECT_SQL,
+        "DSIR importance-resampling selection toward the bench domain",
+        eager=True,  # bucket log-ratio model fit runs a job at build time
+    ),
     DeclaredQuery(
         "ngram_quality",
         ngram_quality,

@@ -1,8 +1,8 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 86
-entries (84 oracle-backed + 2 bench-only approximate). The external
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 87
+entries (85 oracle-backed + 2 bench-only approximate). The external
 correctness gate records the first 50 entries per round, so the
 surplus sits past the cutoff each round; the rotation policy keeps
 every official row as fresh as the window allows (pinned by
@@ -18,17 +18,18 @@ next window):
   contract rows Q1-Q28 + wiki (inside the window every round), with
   any spare slots refreshing the OLDEST remaining rows FIFO.
 - Round-19 window arithmetic (executing the horizon the r18 registry
-  pinned): (16 r16-official entries at the bound: grouped_agg_udf ..
+  pinned): (1 never-certified: the NEW dsir_select) + (16
+  r16-official entries at the bound: grouped_agg_udf ..
   text_normalize, FIFO in prior tail order — this block includes
   `percentiles`, whose r19 NULL-handling alignment with
   percentiles_refined also makes it a changed-core re-cert) + (29
-  contract) = 45, leaving 5 spare slots spent on the OLDEST
-  r17-official rows FIFO (incremental_span_dedup .. corpus_release)
+  contract) = 46, leaving 4 spare slots spent on the OLDEST
+  r17-official rows FIFO (incremental_span_dedup .. rep_filter)
   to lighten the r20 window.
-- Round-20 horizon: the remaining 15 r17-official entries
-  (corpus_release_temp .. source_mix) hit their bound at r20; with
-  29 contract rows that window is 44/50 full before new work —
-  6 free slots. The r18-certified block (percentiles_refined ..
+- Round-20 horizon: the remaining 16 r17-official entries
+  (corpus_release .. source_mix) hit their bound at r20; with
+  29 contract rows that window is 46/50 full before new work —
+  4 free slots. The r18-certified block (percentiles_refined ..
   incremental_dedup, 21 entries) next hits its bound at r21.
 - The entries that yield are the freshest (r18-certified) ones —
   every oracle-backed one still differentially tested locally on each
@@ -55,6 +56,12 @@ from etl_wikipedia_updates_spark.plans.relational import RELATIONAL_QUERIES
 from etl_wikipedia_updates_spark.plans.wiki import WIKI_QUERIES
 
 DECLARATION_ORDER: list[str] = [
+    # --- NEVER-CERTIFIED first: dsir_select (NEW r19 — DSIR
+    # importance-resampling data selection toward the bench domain,
+    # Xie et al. 2023; fit-small bucket log-ratio model + in-array
+    # scoring projection + TakeOrderedAndProject selection) has no
+    # official row ---
+    "dsir_select",
     # --- round-19 rotation head, executing the window the r18
     # registry promised (r18 verdict #1): the 16 entries whose newest
     # official row is r16 — they hit the every-third-gate freshness
@@ -82,21 +89,22 @@ DECLARATION_ORDER: list[str] = [
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    # --- spare slots (5): the OLDEST r17-official rows, FIFO, pulled
-    # forward to lighten the r20 window — the 20-entry r17 block hits
-    # its bound at r20, which with 29 contract rows would otherwise be
-    # 49/50 full; pulling 5 leaves r20 at 44/50 with 6 free slots ---
+    # --- spare slots (4 after dsir_select's head slot): the OLDEST
+    # r17-official rows, FIFO, pulled forward to lighten the r20
+    # window — the 21-entry r17 block hits its bound at r20, which
+    # with 29 contract rows would otherwise be 50/50 full; pulling 4
+    # leaves r20 at 46/50 with 4 free slots ---
     "incremental_span_dedup",
     "seq_pack",
     "pack_assignments",
     "rep_filter",
-    "corpus_release",
-    # --- positions 51+: past the cutoff this round. The remaining 15
+    # --- positions 51+: past the cutoff this round. The remaining 16
     # r17-official entries head the round-20 queue (they hit the
     # 3-gate bound at r20), FIFO in tail order, followed by the
     # freshest r18-certified block (bound at r21). Every oracle-backed
     # entry is still differentially tested locally on each pytest run
     # by tests/test_queries_oracle.py ---
+    "corpus_release",
     "corpus_release_temp",
     "multimodal_bytes",
     "ann_lsh",

@@ -27,6 +27,14 @@ CASES = [
     ("q18", ["PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"], []),
     # map-side partial aggregation
     ("q3", ["partial_"], []),
+    # DSIR scoring: map-side weight-literal fold + top-k heaps; the
+    # steady plan has no explode, no join, no range exchange (the
+    # fit's explode runs once at build inside _memo_model)
+    (
+        "dsir_select",
+        ["TakeOrderedAndProject", "element_at("],
+        ["Generate", "SortMergeJoin", "Exchange rangepartitioning"],
+    ),
     # dims broadcast; no sort-merge join of a small side
     ("q5", ["BroadcastHashJoin"], []),
     ("q6", ["BroadcastHashJoin"], ["SortMergeJoin"]),

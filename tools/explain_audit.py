@@ -142,6 +142,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         [],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "Generate"],
     ),
+    # r19: DSIR scoring is a pure map-side in-array fold over the
+    # collected 512-long weight literal, selected via
+    # TakeOrderedAndProject — the steady plan has NO explode, NO join
+    # (the fit's explode runs once at build inside _memo_model, not in
+    # the scoring plan), and never a range exchange for the top-k
+    "dsir_select": (
+        ["TakeOrderedAndProject", "element_at("],
+        ["Generate", "Join", "SortMergeJoin", "BatchEvalPython",
+         "Exchange rangepartitioning"],
+    ),
 }
 
 
