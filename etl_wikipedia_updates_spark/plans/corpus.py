@@ -46,7 +46,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_wikipedia_updates_spark.operators import text as T
-from etl_wikipedia_updates_spark.operators.text import HASH_P
+from etl_wikipedia_updates_spark.operators.text import (
+    HASH_P,
+    TERM_HASH_BASE,
+)
 
 from etl_wikipedia_updates_spark.functions.deterministic import (
     dec_sum,
@@ -1433,7 +1436,210 @@ LIMIT {DSIR_TOP_K}
 DSIR_SELECT_SQL = _dsir_select_sql()
 
 
+# --- winnow_fp: robust-winnowing fingerprint audit -----------------------------
+# Schleimer/Wilkerson/Aiken 2003 ("Winnowing: Local Algorithms for
+# Document Fingerprinting" — the MOSS sketch): hash every token
+# K-gram, slide a window of WINNOW_W consecutive hashes, keep each
+# window's MINIMUM — a locally-decidable fingerprint set with BOTH
+# guarantees the fixed-stride span sketch lacks: any shared token run
+# of length >= WINNOW_W + WINNOW_K - 1 is detected regardless of
+# alignment, and the expected density is bounded (~2/(W+1) of the
+# k-grams), so the sketch size is a tunable fraction of the corpus
+# independent of document layout. Complements doc_fingerprint (one
+# whole-doc hash: equality only), span_dedup (fixed-hop spans: stride
+# alignment can miss short matches), and minhash_lsh (set-similarity,
+# no locality). Docs with >= 1 k-gram but fewer than W of them keep
+# the single whole-doc minimum (the standard short-doc degeneration).
+#
+# Scale shape: the k-gram hashes and the window minima are PER-DOC
+# in-array expressions (transform over sequence + slice/array_min —
+# O(len x W) integer ops, no explode until the selected fingerprints,
+# which are the ~2/(W+1)-DENSITY subsample); the only shuffle is the
+# per-source distinct-count aggregate over (source, fp). Dedup of
+# selected minima is BY VALUE (array_distinct), the usual audit
+# simplification of position-set winnowing — both engines apply it
+# identically.
+WINNOW_K = 3  # token k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: runs >= W+K-1 = 6 tokens)
+
+
+def winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winnowing-sketch audit: (source, n_docs, n_fp,
+    n_distinct_fp, fp_per_kgram_ppm) — sketch size, cross-doc
+    redundancy, and measured density vs the ~2/(W+1) expectation."""
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+
+    # EVALUATE-ONCE binding (the shingles_col idiom): Catalyst's
+    # CollapseProject inlines a projected array column into every
+    # lambda-body reference and does NOT common-subexpression-
+    # eliminate into HOFs — a naive hs column re-evaluates the whole
+    # k-gram hash chain PER WINDOW POSITION, O(len^2) per doc with the
+    # char fold inside (measured: 500 docs took 52 s). Binding tokens
+    # and then the hash array as transform-lambda VARIABLES
+    # (element_at(transform(array(x), f), 1)) materializes each
+    # exactly once per doc; every window then slices a materialized
+    # array. The per-doc output is transform(fps, f -> struct(
+    # n_kgrams, f)) so ONE explode carries both the fingerprints and
+    # the per-doc k-gram total (no second scan, no join).
+    def _winnow_fps(hs):
+        # window minimum as least() over W direct element accesses —
+        # no per-position slice allocation (array_min(slice(...))
+        # allocates a W-array per window; measured above the
+        # element_at form at the 10x tier)
+        m = F.size(hs)
+        return F.when(
+            m >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (WINNOW_W - 1)),
+                    lambda j: F.least(
+                        *[
+                            F.element_at(hs, j + F.lit(k))
+                            for k in range(WINNOW_W)
+                        ]
+                    ),
+                )
+            ),
+        ).otherwise(F.array(F.array_min(hs)))
+
+    def _over_token_hashes(th):
+        # k-gram hash = polynomial combination of the PER-TOKEN hashes
+        # (fold(acc*131 + h_tok) mod P, the same base/modulus as the
+        # char fold): each text byte is hashed ONCE instead of
+        # WINNOW_K times through overlapping k-gram strings, and no
+        # per-k-gram string is ever allocated — th is a materialized
+        # long array, so each k-gram costs K element_at + K
+        # multiply-mods. Replayed verbatim in the oracle SQL.
+        def kgram_at(i):
+            h = F.element_at(th, i)
+            for j in range(1, WINNOW_K):
+                h = (h * F.lit(TERM_HASH_BASE) + F.element_at(th, i + j)) % F.lit(
+                    HASH_P
+                )
+            return h
+
+        hs = F.transform(
+            F.sequence(F.lit(1), F.size(th) - (WINNOW_K - 1)), kgram_at
+        )
+        inner = F.transform(
+            F.array(hs),
+            lambda h: F.transform(
+                _winnow_fps(h),
+                lambda f: F.struct(
+                    F.size(h).alias("n_kgrams"), f.alias("f")
+                ),
+            ),
+        )
+        return F.element_at(inner, 1)
+
+    def _over_toks(t):
+        th = F.transform(t, T.term_hash_fn)
+        return F.element_at(
+            F.transform(F.array(th), _over_token_hashes), 1
+        )
+
+    rows = F.element_at(
+        F.transform(F.array(T.tokens_col()), _over_toks), 1
+    )
+    per = (
+        docs.filter(F.size(T.tokens_col()) >= WINNOW_K)
+        .select("doc_id", "source", rows.alias("rows"))
+        .select(
+            "doc_id", "source", F.posexplode("rows").alias("pos", "s")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            F.col("s.n_kgrams").alias("n_kgrams"),
+            F.col("s.f").alias("f"),
+        )
+    )
+    first = F.col("pos") == 0
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum(F.when(first, 1)).cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_fp"),
+            F.countDistinct("f").alias("n_distinct_fp"),
+            F.sum(F.when(first, F.col("n_kgrams")))
+            .cast("bigint")
+            .alias("n_kgrams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_fp",
+            "n_distinct_fp",
+            # density vs the paper's ~2/(W+1) expectation, integer ppm
+            F.expr("n_fp * 1000000 div n_kgrams")
+            .cast("bigint")
+            .alias("fp_per_kgram_ppm"),
+        )
+        .transform(total_order, "source")
+    )
+
+
+def _winnow_fp_sql() -> str:
+    h = "th[i]"
+    for j in range(1, WINNOW_K):
+        h = f"(({h}) * {TERM_HASH_BASE} + th[i + {j}]) % {HASH_P}"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT doc_id, source,
+         list_transform(l, tok -> {T.sql_term_hash('tok')}) AS th
+  FROM d WHERE len(l) >= {WINNOW_K}
+),
+kg AS (
+  SELECT doc_id, source,
+         list_transform(range(1, len(th) - {WINNOW_K - 1} + 1),
+                        i -> {h}) AS hs
+  FROM t
+),
+fp AS (
+  SELECT doc_id, source, len(hs) AS n_kgrams,
+         CASE WHEN len(hs) >= {WINNOW_W}
+              THEN list_distinct(list_transform(
+                     range(1, len(hs) - {WINNOW_W - 1} + 1),
+                     j -> least({", ".join(
+                         f"hs[j + {k}]" for k in range(WINNOW_W)
+                     )})))
+              ELSE [list_min(hs)] END AS fps
+  FROM kg
+),
+ex AS (
+  SELECT doc_id, source, n_kgrams,
+         unnest(fps) AS f,
+         unnest(range(1, len(fps) + 1)) AS pos
+  FROM fp
+)
+SELECT source,
+       CAST(SUM(CASE WHEN pos = 1 THEN 1 END) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_fp,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_distinct_fp,
+       CAST(COUNT(*) * 1000000 //
+            SUM(CASE WHEN pos = 1 THEN n_kgrams END)
+            AS BIGINT) AS fp_per_kgram_ppm
+FROM ex GROUP BY source ORDER BY source
+"""
+
+
+WINNOW_FP_SQL = _winnow_fp_sql()
+
+
 CORPUS_QUERIES: list[DeclaredQuery] = [
+    DeclaredQuery(
+        "winnow_fp",
+        winnow_fp,
+        WINNOW_FP_SQL,
+        "robust-winnowing (MOSS) fingerprint sketch audit per source",
+    ),
     DeclaredQuery(
         "dsir_select",
         dsir_select,

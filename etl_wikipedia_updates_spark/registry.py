@@ -1,8 +1,8 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 87
-entries (85 oracle-backed + 2 bench-only approximate). The external
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 88
+entries (86 oracle-backed + 2 bench-only approximate). The external
 correctness gate records the first 50 entries per round, so the
 surplus sits past the cutoff each round; the rotation policy keeps
 every official row as fresh as the window allows (pinned by
@@ -18,16 +18,16 @@ next window):
   contract rows Q1-Q28 + wiki (inside the window every round), with
   any spare slots refreshing the OLDEST remaining rows FIFO.
 - Round-19 window arithmetic (executing the horizon the r18 registry
-  pinned): (1 never-certified: the NEW dsir_select) + (16
+  pinned): (2 never-certified: the NEW dsir_select + winnow_fp) + (16
   r16-official entries at the bound: grouped_agg_udf ..
   text_normalize, FIFO in prior tail order — this block includes
   `percentiles`, whose r19 NULL-handling alignment with
   percentiles_refined also makes it a changed-core re-cert) + (29
-  contract) = 46, leaving 4 spare slots spent on the OLDEST
-  r17-official rows FIFO (incremental_span_dedup .. rep_filter)
+  contract) = 47, leaving 3 spare slots spent on the OLDEST
+  r17-official rows FIFO (incremental_span_dedup .. pack_assignments)
   to lighten the r20 window.
-- Round-20 horizon: the remaining 16 r17-official entries
-  (corpus_release .. source_mix) hit their bound at r20; with
+- Round-20 horizon: the remaining 17 r17-official entries
+  (rep_filter .. source_mix) hit their bound at r20; with
   29 contract rows that window is 46/50 full before new work —
   4 free slots. The r18-certified block (percentiles_refined ..
   incremental_dedup, 21 entries) next hits its bound at r21.
@@ -60,8 +60,10 @@ DECLARATION_ORDER: list[str] = [
     # importance-resampling data selection toward the bench domain,
     # Xie et al. 2023; fit-small bucket log-ratio model + in-array
     # scoring projection + TakeOrderedAndProject selection) has no
-    # official row ---
+    # official row, and neither does winnow_fp (NEW r19 — the
+    # robust-winnowing/MOSS fingerprint sketch audit) ---
     "dsir_select",
+    "winnow_fp",
     # --- round-19 rotation head, executing the window the r18
     # registry promised (r18 verdict #1): the 16 entries whose newest
     # official row is r16 — they hit the every-third-gate freshness
@@ -89,21 +91,21 @@ DECLARATION_ORDER: list[str] = [
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    # --- spare slots (4 after dsir_select's head slot): the OLDEST
+    # --- spare slots (3 after the two new head slots): the OLDEST
     # r17-official rows, FIFO, pulled forward to lighten the r20
     # window — the 21-entry r17 block hits its bound at r20, which
-    # with 29 contract rows would otherwise be 50/50 full; pulling 4
+    # with 29 contract rows would otherwise be 50/50 full; pulling 3
     # leaves r20 at 46/50 with 4 free slots ---
     "incremental_span_dedup",
     "seq_pack",
     "pack_assignments",
-    "rep_filter",
-    # --- positions 51+: past the cutoff this round. The remaining 16
+    # --- positions 51+: past the cutoff this round. The remaining 17
     # r17-official entries head the round-20 queue (they hit the
     # 3-gate bound at r20), FIFO in tail order, followed by the
     # freshest r18-certified block (bound at r21). Every oracle-backed
     # entry is still differentially tested locally on each pytest run
     # by tests/test_queries_oracle.py ---
+    "rep_filter",
     "corpus_release",
     "corpus_release_temp",
     "multimodal_bytes",

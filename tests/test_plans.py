@@ -35,6 +35,9 @@ CASES = [
         ["TakeOrderedAndProject", "element_at("],
         ["Generate", "SortMergeJoin", "Exchange rangepartitioning"],
     ),
+    # winnowing: one Generate (the density-bounded fingerprint
+    # explode), map-side partials, no join (posexplode marker pattern)
+    ("winnow_fp", ["Generate", "partial_"], ["SortMergeJoin", "Join"]),
     # dims broadcast; no sort-merge join of a small side
     ("q5", ["BroadcastHashJoin"], []),
     ("q6", ["BroadcastHashJoin"], ["SortMergeJoin"]),

@@ -152,6 +152,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "Join", "SortMergeJoin", "BatchEvalPython",
          "Exchange rangepartitioning"],
     ),
+    # r19: winnowing — k-gram hashes and window minima are per-doc
+    # in-array expressions; the ONE Generate explodes only the
+    # ~2/(W+1)-density selected fingerprints, the single aggregation
+    # pass partial-aggregates map-side, and nothing joins (the
+    # posexplode first-row marker replaces the density branch's
+    # would-be second scan + join)
+    "winnow_fp": (
+        ["Generate", "partial_"],
+        ["Join", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 
