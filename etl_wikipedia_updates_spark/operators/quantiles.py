@@ -33,9 +33,13 @@ is distribution-dependent). A heavy-ties workload wanting the bound
 back can dedupe to (value, count) rows first and select by cumulative
 count. Targets are rational (num, den) pairs and ranks
 use the same ceil((num*n + den - 1) div den) integer arithmetic as
-the registered query, so results are bit-identical to it —
-pinned by tests/test_quantiles.py at multiple SFs plus a duplicates-
-heavy property fixture. No reference analog (the reference app has no
+the registered query, so results are bit-identical to it — since r19
+by construction on ANY input: this operator always excludes NULL
+values, and the registered window plan (and its oracle) filter NULLs
+too (r18 advice closed; before r19 the window plan counted NULL rows
+in n, so the equivalence held only on NULL-free columns). Pinned by
+tests/test_quantiles.py at multiple SFs plus a duplicates-heavy
+property fixture. No reference analog (the reference app has no
 quantile operator); this is engine infrastructure for the exact-stats
 contract at scale.
 """
