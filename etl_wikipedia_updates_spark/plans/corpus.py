@@ -57,6 +57,9 @@ from etl_wikipedia_updates_spark.functions.deterministic import (
     sql_dec_sum,
     sql_det_round,
 )
+from etl_wikipedia_updates_spark.operators.quantiles import (
+    exact_quantiles_refined,
+)
 from etl_wikipedia_updates_spark.plans.base import DeclaredQuery, total_order
 from etl_wikipedia_updates_spark.plans.northstar import (
     CONTAM_BENCH_SOURCE,
@@ -188,8 +191,8 @@ CHARLM_ROUND = 6
 CHARLM_FLAG_BITS = 2.52  # audit threshold: ~p90 of the fixture corpus
 
 
-def _doc_bigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, bg): every adjacent character pair. Docs with
+def _doc_bigrams(docs: DataFrame, keep: tuple = ("source",)) -> DataFrame:
+    """(doc_id, *keep, bg): every adjacent character pair. Docs with
     NULL or single-char text have no transitions and are excluded on
     BOTH engines (the explicit length filter — Spark's sequence(1, 0)
     would DESCEND and fabricate positions, DuckDB's range(1, 1) is
@@ -217,7 +220,7 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
         .withColumn("cs", F.split("text", ""))
         .select(
             "doc_id",
-            "source",
+            *keep,
             F.explode(
                 F.expr(
                     "zip_with(slice(cs, 1, size(cs) - 1),"
@@ -331,9 +334,12 @@ def charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _charlm_score_dense(
-    docs: DataFrame, chars: list[int], table: list[int]
+    docs: DataFrame,
+    chars: list[int],
+    table: list[int],
+    keep: tuple = ("source",),
 ) -> DataFrame:
-    """(doc_id, source, bits) via the in-array scorer. The charset is
+    """(doc_id, *keep, bits) via the in-array scorer. The charset is
     bound through F.lit (call_function passes it as a VALUE) — NEVER
     inlined into SQL source text, where Spark's string-literal escape
     processing would corrupt any charset containing a backslash (or
@@ -386,13 +392,13 @@ def _charlm_score_dense(
         docs.filter(F.col("text").isNotNull() & (F.length("text") >= 2))
         .select(
             "doc_id",
-            "source",
+            *keep,
             fold.alias("s_scaled"),
             (F.length("text") - 1).alias("nt"),
         )
         .select(
             "doc_id",
-            "source",
+            *keep,
             (
                 -(F.col("s_scaled").cast("double") / F.lit(scale))
                 / F.col("nt")
@@ -407,8 +413,9 @@ def _charlm_score_join(
     counts: list[tuple[int, int]],
     ctx: dict[int, int],
     vs: int,
+    keep: tuple = ("source",),
 ) -> DataFrame:
-    """(doc_id, source, bits) via explode + broadcast-model join — the
+    """(doc_id, *keep, bits) via explode + broadcast-model join — the
     huge-charset fallback. logp is computed JVM-side over the inlined
     integer counts; the per-doc agg partial-aggregates map-side before
     the |docs|-row shuffle."""
@@ -425,10 +432,10 @@ def _charlm_score_join(
             CHARLM_ROUND,
         ).alias("logp"),
     )
-    big = _doc_bigrams(docs)
+    big = _doc_bigrams(docs, keep=keep)
     return (
         big.join(F.broadcast(model), "bg")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id", *keep)
         .agg(
             (
                 -dec_sum(F.col("logp"), scale=CHARLM_ROUND) / F.count("*")
@@ -467,6 +474,147 @@ SELECT source, COUNT(*) AS n_docs,
   CAST(COALESCE(SUM(CASE WHEN bits > {CHARLM_FLAG_BITS} THEN doc_id END), 0)
        AS BIGINT) AS flagged_checksum
 FROM pd GROUP BY source ORDER BY source
+"""
+
+
+# --- ccnet_buckets: per-language perplexity head/middle/tail split ------------
+# Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data") — the published corpus-curation split:
+# score every document with a language-model perplexity and cut each
+# LANGUAGE's distribution into head / middle / tail terciles (head =
+# lowest perplexity, the cleanest third); downstream pipelines train
+# on head+middle or reweight by bucket. The scorer here is the
+# repo's charlm bits-per-transition (the CCNet paper's wikipedia
+# 5-gram KenLM swaps in as the same per-doc score column), reusing
+# the SAME memoized bigram model as charlm_score — one fit job feeds
+# both queries in a session.
+#
+# Scale shape — the composition is the point: per-doc scoring is a
+# pure projection (charlm's in-array fold, no explode/join/shuffle);
+# the per-language cutpoints come from operators.quantiles.
+# exact_quantiles_refined (the r18 flagship: sketch partials +
+# broadcast bracket joins — EXACT tercile values with no per-language
+# sort funnel and no corpus shuffle); bucket assignment is a
+# broadcast join of the |langs|x2 cutpoint frame back onto the scored
+# projection; the only output shuffle is the (lang, bucket)-key agg
+# with map-side partials. Corpus rows are scanned by multiple
+# branches (quantile pass-1/pass-2 + the bucket branch) but NEVER
+# exchanged — scans scale linearly and embarrassingly; nothing
+# corpus-sized ever crosses the wire (the percentiles_refined
+# precedent, composed).
+#
+# Cutpoint semantics: c_q = value at rank ceil(q*n) (the registered
+# rational-rank rule), bucket = bits <= c_1/3 -> head, <= c_2/3 ->
+# middle, else tail — comparisons against exact VALUES, so tie runs
+# at a cutpoint land identically on both engines regardless of rank
+# permutation. Docs with un-scoreable text (NULL or < 2 chars) or
+# NULL lang are outside the split on both engines (CCNet drops
+# unidentified-language pages).
+CCNET_QS = [(1, 3), (2, 3)]
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, bucket) dataset-card row of the CCNet tercile split:
+    (lang, bucket, n_docs, n_chars, mean_bits) with bucket in
+    head/middle/tail by per-language charlm-perplexity terciles."""
+    fit_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    counts = _memo_model(
+        spark,
+        sf_dir,
+        "charlm_bigram_counts",
+        lambda: _fit_bigram_counts(_doc_bigrams(spread(fit_docs))),
+    )
+    chars, table, ctx, vs = _charlm_table(counts)
+    base = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", "text"
+        )
+    ).filter(F.col("lang").isNotNull())
+    keep = ("lang", "n_chars")
+    if chars and len(chars) <= CHARLM_DENSE_MAX:
+        per_doc = _charlm_score_dense(base, chars, table, keep=keep)
+    else:
+        per_doc = _charlm_score_join(spark, base, counts, ctx, vs, keep=keep)
+    cuts = (
+        exact_quantiles_refined(
+            per_doc.select("lang", "bits"), "lang", "bits", CCNET_QS
+        )
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("q_num") == 1, F.col("value"))).alias("c1"),
+            F.max(F.when(F.col("q_num") == 2, F.col("value"))).alias("c2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("bits") <= F.col("c1"), F.lit("head"))
+        .when(F.col("bits") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        per_doc.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("bucket"), "bits", "n_chars")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            det_round(
+                dec_sum(F.col("bits"), scale=CHARLM_ROUND) / F.count("*"), 4
+            ).alias("mean_bits"),
+        )
+        .transform(total_order, "lang", "bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH big AS (
+  SELECT doc_id, lang, n_chars,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, i, 2))) AS bg
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 2
+),
+mc AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+ctx AS (SELECT substr(bg, 1, 1) AS c1, SUM(c) AS ctx_c FROM mc GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vs FROM mc),
+model AS (
+  SELECT bg,
+    {sql_det_round('log2((c + 1) / CAST(ctx_c + vs AS DOUBLE))', CHARLM_ROUND)}
+      AS logp
+  FROM mc JOIN ctx ON substr(mc.bg, 1, 1) = ctx.c1 CROSS JOIN v
+),
+pd AS (
+  SELECT doc_id, lang, n_chars,
+         -({sql_dec_sum('logp', CHARLM_ROUND)}) / COUNT(*) AS bits
+  FROM big JOIN model USING (bg)
+  WHERE lang IS NOT NULL
+  GROUP BY doc_id, lang, n_chars
+),
+ranked AS (
+  SELECT lang, bits,
+         row_number() OVER (PARTITION BY lang ORDER BY bits) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM pd
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = (1 * n + 3 - 1) // 3 THEN bits END) AS c1,
+         MAX(CASE WHEN rn = (2 * n + 3 - 1) // 3 THEN bits END) AS c2
+  FROM ranked GROUP BY lang
+),
+b AS (
+  SELECT pd.lang,
+         CASE WHEN bits <= c1 THEN 'head'
+              WHEN bits <= c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         bits, n_chars
+  FROM pd JOIN cuts USING (lang)
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       {sql_det_round(f"{sql_dec_sum('bits', CHARLM_ROUND)} / COUNT(*)", 4)}
+         AS mean_bits
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
 """
 
 
@@ -1666,6 +1814,13 @@ CORPUS_QUERIES: list[DeclaredQuery] = [
         CHARLM_SCORE_SQL,
         "char-bigram LM bits-per-transition quality scoring (CCNet-style)",
         eager=True,  # bigram-count model fit runs a job at build time
+    ),
+    DeclaredQuery(
+        "ccnet_buckets",
+        ccnet_buckets,
+        CCNET_BUCKETS_SQL,
+        "CCNet per-language perplexity head/middle/tail tercile split",
+        eager=True,  # shares charlm's memoized bigram-model fit job
     ),
     DeclaredQuery(
         "shard_manifest",

@@ -600,6 +600,95 @@ ORDER BY doc_id, doc_id2
 MINHASH_SQL = _minhash_sql()
 
 
+# --- source_overlap: cross-source MinHash overlap matrix ----------------------
+# The curation question the per-doc near-dup family doesn't answer:
+# how much do the SOURCES themselves overlap (crawl A vs crawl B vs a
+# curated subset)? Broder resemblance between source shingle SETS,
+# estimated by per-source MinHash signatures — the standard audit
+# before mixing corpora (a source pair with high resemblance double-
+# counts its text under any mixing weights; run before source_mix /
+# temperature_mix pick theirs).
+#
+# Scale shape — the best in the near-dup family: the corpus-scale
+# shingle stream feeds ONE grouped aggregation keyed by source, whose
+# H min-partials collapse map-side to |sources| x H longs per task
+# (nothing corpus-sized ever crosses the wire — contrast minhash_lsh,
+# which must shuffle per-DOC signatures). The pair join is over the
+# aggregated |sources|-row frame (bounded like the q25 probe side:
+# broadcast, never sort-merge), and both join branches hang off the
+# SAME partial-aggregate exchange (ReusedExchange — the corpus is
+# scanned and shingled ONCE; pinned in test_plans/explain_audit).
+# Estimation error is ~1/sqrt(H) (Broder 1997): H=64 gives ~12% — an
+# audit-grade resolution; the constants are plain literals so the
+# DuckDB oracle replays the identical integer mins and the ESTIMATE
+# (not just the true Jaccard) matches bit-for-bit.
+SRC_OVERLAP_H = 64
+SRC_OVERLAP_PARAMS = D.hash_params(SRC_OVERLAP_H, seed=11)
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level resemblance matrix: (source, source2,
+    n_agree, est_jaccard) for every unordered source pair, where
+    n_agree counts agreeing MinHash components (of SRC_OVERLAP_H) over
+    each source's distinct-shingle set and est_jaccard = n_agree/H."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dt = docs.select(
+        "source", F.explode(T.shingles_col()).alias("term")
+    ).select("source", T.term_hash_col().alias("tid"))
+    sig = dt.groupBy("source").agg(
+        *D.minhash_agg_exprs(SRC_OVERLAP_PARAMS)
+    )
+    agree = F.expr(
+        " + ".join(
+            f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+            for i in range(SRC_OVERLAP_H)
+        )
+    )
+    pairs = sig.alias("a").join(
+        F.broadcast(sig.alias("b")), F.col("a.source") < F.col("b.source")
+    )
+    return pairs.select(
+        F.col("a.source").alias("source"),
+        F.col("b.source").alias("source2"),
+        agree.cast("bigint").alias("n_agree"),
+        det_round(
+            agree.cast("double") / float(SRC_OVERLAP_H), 4
+        ).alias("est_jaccard"),
+    ).transform(total_order, "source", "source2")
+
+
+def _source_overlap_sql() -> str:
+    sig_cols = ", ".join(
+        f"MIN(({a} * tid + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(SRC_OVERLAP_PARAMS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(SRC_OVERLAP_H)
+    )
+    return f"""
+WITH sh AS (
+  SELECT source, unnest(list_distinct(list_transform(
+    range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS term
+  FROM (SELECT source, string_split(lower(text), ' ') AS l FROM documents)
+),
+dt AS (SELECT source, {T.sql_term_hash('term')} AS tid FROM sh),
+sig AS (SELECT source, {sig_cols} FROM dt GROUP BY source),
+pair AS (
+  SELECT a.source AS source, b.source AS source2,
+         CAST({agree} AS BIGINT) AS n_agree
+  FROM sig a JOIN sig b ON a.source < b.source
+)
+SELECT source, source2, n_agree,
+       {sql_det_round(f'CAST(n_agree AS DOUBLE) / {float(SRC_OVERLAP_H)}', 4)} AS est_jaccard
+FROM pair
+ORDER BY source, source2
+"""
+
+
+SOURCE_OVERLAP_SQL = _source_overlap_sql()
+
+
 # --- simhash_pairs: SimHash near-dup ------------------------------------------
 SIMHASH_MAX_HAMMING = 3
 
@@ -3844,6 +3933,12 @@ NORTHSTAR_QUERIES: list[DeclaredQuery] = [
         "applyInPandas grouped-map surface",
     ),
     DeclaredQuery("minhash_lsh", minhash_lsh, MINHASH_SQL, "MinHash+LSH near-dup"),
+    DeclaredQuery(
+        "source_overlap",
+        source_overlap,
+        SOURCE_OVERLAP_SQL,
+        "cross-source MinHash resemblance matrix (pre-mixing overlap audit)",
+    ),
     DeclaredQuery("simhash_pairs", simhash_pairs, SIMHASH_SQL, "SimHash near-dup"),
     DeclaredQuery(
         "lang_id",

@@ -1,8 +1,8 @@
 """Global query registry — single source of truth for __spark_entry__,
 tests, and bench.
 
-Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 88
-entries (86 oracle-backed + 2 bench-only approximate). The external
+Registry order is a CERTIFICATION ROTATION over SURVEY.md §2.3's 90
+entries (88 oracle-backed + 2 bench-only approximate). The external
 correctness gate records the first 50 entries per round, so the
 surplus sits past the cutoff each round; the rotation policy keeps
 every official row as fresh as the window allows (pinned by
@@ -18,19 +18,20 @@ next window):
   contract rows Q1-Q28 + wiki (inside the window every round), with
   any spare slots refreshing the OLDEST remaining rows FIFO.
 - Round-19 window arithmetic (executing the horizon the r18 registry
-  pinned): (2 never-certified: the NEW dsir_select + winnow_fp) + (16
-  r16-official entries at the bound: grouped_agg_udf ..
-  text_normalize, FIFO in prior tail order — this block includes
-  `percentiles`, whose r19 NULL-handling alignment with
-  percentiles_refined also makes it a changed-core re-cert) + (29
-  contract) = 47, leaving 3 spare slots spent on the OLDEST
-  r17-official rows FIFO (incremental_span_dedup .. pack_assignments)
-  to lighten the r20 window.
-- Round-20 horizon: the remaining 17 r17-official entries
-  (rep_filter .. source_mix) hit their bound at r20; with
-  29 contract rows that window is 46/50 full before new work —
-  4 free slots. The r18-certified block (percentiles_refined ..
-  incremental_dedup, 21 entries) next hits its bound at r21.
+  pinned): (4 never-certified: the NEW dsir_select + winnow_fp +
+  source_overlap + ccnet_buckets) + (16 r16-official entries at the
+  bound: grouped_agg_udf .. text_normalize, FIFO in prior tail order
+  — this block includes `percentiles`, whose r19 NULL-handling
+  alignment with percentiles_refined also makes it a changed-core
+  re-cert) + (29 contract) = 49, leaving 1 spare slot spent on the
+  OLDEST r17-official row FIFO (incremental_span_dedup) to lighten
+  the r20 window.
+- Round-20 horizon: the remaining 20 r17-official entries
+  (seq_pack, pack_assignments, then rep_filter .. source_mix) hit
+  their bound at r20; with 29 contract rows that window is 49/50
+  full before new work — 1 free slot. The r18-certified block
+  (percentiles_refined .. incremental_dedup, 21 entries) next hits
+  its bound at r21.
 - The entries that yield are the freshest (r18-certified) ones —
   every oracle-backed one still differentially tested locally on each
   pytest run by tests/test_queries_oracle.py.
@@ -61,9 +62,15 @@ DECLARATION_ORDER: list[str] = [
     # Xie et al. 2023; fit-small bucket log-ratio model + in-array
     # scoring projection + TakeOrderedAndProject selection) has no
     # official row, and neither does winnow_fp (NEW r19 — the
-    # robust-winnowing/MOSS fingerprint sketch audit) ---
+    # robust-winnowing/MOSS fingerprint sketch audit) nor
+    # source_overlap (NEW r19 — cross-source MinHash resemblance
+    # matrix, the pre-mixing overlap audit) nor ccnet_buckets (NEW
+    # r19 — the CCNet per-language perplexity tercile split,
+    # composing charlm scoring with exact_quantiles_refined) ---
     "dsir_select",
     "winnow_fp",
+    "source_overlap",
+    "ccnet_buckets",
     # --- round-19 rotation head, executing the window the r18
     # registry promised (r18 verdict #1): the 16 entries whose newest
     # official row is r16 — they hit the every-third-gate freshness
@@ -91,20 +98,21 @@ DECLARATION_ORDER: list[str] = [
     # --- §2.3 contract rows (always inside the gate window) ---
     *[f"q{i}" for i in range(1, 29)],
     "wiki_pipeline",
-    # --- spare slots (3 after the two new head slots): the OLDEST
-    # r17-official rows, FIFO, pulled forward to lighten the r20
+    # --- spare slot (1 after the four new head slots): the OLDEST
+    # r17-official row, FIFO, pulled forward to lighten the r20
     # window — the 21-entry r17 block hits its bound at r20, which
-    # with 29 contract rows would otherwise be 50/50 full; pulling 3
-    # leaves r20 at 46/50 with 4 free slots ---
+    # with 29 contract rows would otherwise be 50/50 full; pulling 1
+    # leaves r20 at 49/50 with 1 free slot ---
     "incremental_span_dedup",
+    # --- positions 51+: past the cutoff this round. The remaining 20
+    # r17-official entries head the round-20 queue (they hit the
+    # 3-gate bound at r20), FIFO in tail order with seq_pack and
+    # pack_assignments first, followed by the freshest r18-certified
+    # block (bound at r21). Every oracle-backed entry is still
+    # differentially tested locally on each pytest run by
+    # tests/test_queries_oracle.py ---
     "seq_pack",
     "pack_assignments",
-    # --- positions 51+: past the cutoff this round. The remaining 17
-    # r17-official entries head the round-20 queue (they hit the
-    # 3-gate bound at r20), FIFO in tail order, followed by the
-    # freshest r18-certified block (bound at r21). Every oracle-backed
-    # entry is still differentially tested locally on each pytest run
-    # by tests/test_queries_oracle.py ---
     "rep_filter",
     "corpus_release",
     "corpus_release_temp",

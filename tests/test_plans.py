@@ -38,6 +38,23 @@ CASES = [
     # winnowing: one Generate (the density-bounded fingerprint
     # explode), map-side partials, no join (posexplode marker pattern)
     ("winnow_fp", ["Generate", "partial_"], ["SortMergeJoin", "Join"]),
+    # source_overlap: the shingle stream collapses map-side into the
+    # per-source signature agg (partial_min x 64); the pair join is a
+    # bounded broadcast nested-loop over the |sources|-row frame
+    (
+        "source_overlap",
+        ["partial_min", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin"],
+    ),
+    # ccnet_buckets: exact tercile cutpoints ride the refined-quantile
+    # shape (sketch partials + broadcast bracket joins) and bucket
+    # assignment broadcasts the |langs|x2 cutpoint frame — nothing
+    # corpus-sized exchanges, nothing sort-merges
+    (
+        "ccnet_buckets",
+        ["BroadcastHashJoin", "partial_percentile_approx"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
+    ),
     # dims broadcast; no sort-merge join of a small side
     ("q5", ["BroadcastHashJoin"], []),
     ("q6", ["BroadcastHashJoin"], ["SortMergeJoin"]),
@@ -496,6 +513,10 @@ def test_packed_sequences_roundtrip_and_lengths(spark, sf_smoke):
         # per-doc branches share one (doc_id, dl, tf_*) exchange
         # instead of two corpus scans
         "bm25_rank",
+        # r19: source_overlap's pair-join branches share the one
+        # per-source signature exchange — without reuse the corpus
+        # would be scanned and shingled twice
+        "source_overlap",
     ],
 )
 def test_prefix_sum_exchange_is_reused(spark, sf_smoke, name):
@@ -529,8 +550,9 @@ def test_prefix_sum_exchange_is_reused(spark, sf_smoke, name):
 
 
 def test_reuse_dependent_plans_pin_spark_version():
-    """Spark-version tripwire (r18 verdict #6): two query families —
-    _seq_pack_cum's prefix-sum and bm25_rank's single-scan — depend on
+    """Spark-version tripwire (r18 verdict #6): three query families —
+    _seq_pack_cum's prefix-sum, bm25_rank's single-scan, and
+    source_overlap's shared signature exchange — depend on
     exchange reuse, an optimizer behavior that is version-coupled (the
     static ReuseExchange rule's canonicalization can change across
     releases). This test fails on ANY pyspark version bump, so the

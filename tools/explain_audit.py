@@ -162,6 +162,26 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "partial_"],
         ["Join", "SortMergeJoin", "BatchEvalPython"],
     ),
+    # r19: per-source MinHash signatures — the corpus-scale shingle
+    # stream collapses map-side (partial_min x H to |sources| keys);
+    # the pair join is a broadcast nested-loop over the aggregated
+    # |sources|-row frame (bounded, like the q25 probe side), never a
+    # sort-merge; the single-scan guarantee (both branches off one
+    # exchange) is pinned statically in test_plans with AQE off
+    "source_overlap": (
+        ["partial_min", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "BatchEvalPython"],
+    ),
+    # r19: CCNet tercile split — charlm's pure-projection scorer
+    # composed with exact_quantiles_refined's sketch-partial +
+    # broadcast-bracket plan; the cutpoint and bucket joins all
+    # broadcast (nothing corpus-sized exchanges, no range exchange,
+    # no per-language sort funnel)
+    "ccnet_buckets": (
+        ["BroadcastHashJoin", "partial_percentile_approx"],
+        ["SortMergeJoin", "Exchange rangepartitioning",
+         "BatchEvalPython"],
+    ),
 }
 
 
