@@ -322,6 +322,7 @@ def cmd_span_store(args) -> int:
         spark,
         docs,
         args.store,
+        keep_last=args.keep_last,
         merge_prior=args.merge,
         source_desc=f"{args.sf_dir}/documents",
     )

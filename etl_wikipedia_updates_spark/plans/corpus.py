@@ -1668,9 +1668,26 @@ def winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             return h
 
-        hs = F.transform(
-            F.sequence(F.lit(1), F.size(th) - (WINNOW_K - 1)), kgram_at
-        )
+        # The k-gram chain must be TOTAL, not merely row-filtered: the
+        # posexplode's inferred non-empty-output predicate evaluates
+        # this whole expression inside the scan-side Filter, BEFORE
+        # the size(tokens) >= K row filter is guaranteed to have
+        # pruned short docs (codegen subexpression elimination shares
+        # one evaluation). On a < K-token doc the unguarded
+        # sequence(1, size-K+1) DESCENDS through 0 and
+        # element_at(th, 0) aborts the whole job under either ANSI
+        # setting — so guard with a lazy CASE WHEN (CaseWhen branches
+        # evaluate per-row, only when taken) instead of relying on
+        # filter ordering. Short docs still never reach the output
+        # (the row filter stands); the guard only makes evaluation
+        # on them safe.
+        hs = F.when(
+            F.size(th) >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(th) - (WINNOW_K - 1)),
+                kgram_at,
+            ),
+        ).otherwise(F.array().cast("array<long>"))
         inner = F.transform(
             F.array(hs),
             lambda h: F.transform(

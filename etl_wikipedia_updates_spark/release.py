@@ -669,10 +669,10 @@ def publish_span_store(
     # some other artifact kind would otherwise report growth_spans as
     # a delta against an unrelated row count (r18 advice; matches
     # span_store_stats' kind filtering)
+    prior_meta = table.meta_for(cur) if cur is not None else {}
     prior_spans = (
-        int(table.meta_for(cur).get("n_rows") or 0)
-        if cur is not None
-        and table.meta_for(cur).get("kind") == "span_store"
+        int(prior_meta.get("n_rows") or 0)
+        if prior_meta.get("kind") == "span_store"
         else 0
     )
     version = table.publish(

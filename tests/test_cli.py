@@ -753,6 +753,23 @@ def test_cli_span_store_publish_merge_audit(spark, sf_smoke, tmp_path, capsys):
     assert "v[1]" in tight["recommendation"]
     assert str(vs[0]["n_bytes"]) in tight["recommendation"]
 
+    # --keep-last governs the PUBLISH vacuum too (r19 review: the flag
+    # was parsed but silently ignored on the publish path, which
+    # vacuumed to the library default and could delete versions the
+    # operator asked to keep): keep-last 3 publish retains all three
+    # versions; a default publish (keep_last=2) then prunes to two
+    assert (
+        main(
+            ["span-store", "--store", root, "--sf-dir", sf_smoke,
+             "--merge", "--keep-last", "3"]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    assert main(["span-store", "--store", root, "--stats"]) == 0
+    three = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["version"] for s in three["versions"]] == [1, 2, 3]
+
 
 def test_cli_dedup_ingest_span_mode(spark, sf_smoke, tmp_path, capsys):
     """--mode span (r17): the kept set must equal the batch span rule

@@ -206,3 +206,40 @@ def test_make_tier_replicates_events_orders(tmp_path):
                 WHERE a.{ts} != o.{ts} + INTERVAL 2 SECOND
                    OR a.{key} IS DISTINCT FROM o.{key}"""
         ).fetchone()[0] == 0
+
+
+def test_make_tier_relayout_clears_stale_parts(tmp_path):
+    """--files relayout regression (r19 review): re-running make_tier
+    into the same out_dir with FEWER part files must not leave the
+    prior run's higher-numbered parts behind (they would silently
+    inflate the tier's row count for every bench that reads it), and
+    switching back to the single-file layout over a directory must
+    replace the directory instead of failing DuckDB's COPY."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.make_tier import make_tier
+
+    base = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tier")
+    n = make_tier(base, out, copies=4, files=4)
+    con = duckdb.connect()
+    doc_glob = f"read_parquet('{out}/documents.parquet/*.parquet')"
+    assert con.sql(f"SELECT COUNT(*) FROM {doc_glob}").fetchone()[0] == n
+    import os
+
+    assert len(os.listdir(out + "/documents.parquet")) == 4
+    # fewer files over the same dir: stale parts must be gone
+    n2 = make_tier(base, out, copies=4, files=2)
+    assert n2 == n
+    assert len(os.listdir(out + "/documents.parquet")) == 2
+    assert con.sql(f"SELECT COUNT(*) FROM {doc_glob}").fetchone()[0] == n
+    # back to the single-file layout: the directory is replaced
+    n3 = make_tier(base, out, copies=4, files=1)
+    assert n3 == n
+    assert os.path.isfile(out + "/documents.parquet")
+    assert con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet')"
+    ).fetchone()[0] == n

@@ -75,6 +75,13 @@ def test_adversarial_fixture_parity(spark, tmp_path):
     rows.append((2000, None, "en", "srcA", 0))  # NULL text
     rows.append((2001, text(2001), None, "srcA", 40))  # NULL lang
     rows.append((9_223_372_036, text(9), "en", "srcA", 40))  # huge id
+    # r19: sub-shingle docs — fewer tokens than any k-gram/shingle
+    # window (the winnow_fp INVALID_INDEX_OF_ZERO regression: the
+    # k-gram chain evaluates inside the scan-side Filter via the
+    # generator's inferred predicate, BEFORE the size(tokens) >= K
+    # row filter, so it must be total on 1-2-token docs)
+    rows.append((2002, "hello", "en", "srcA", 5))  # 1 token
+    rows.append((2003, "two words", "zh", "srcA", 9))  # 2 tokens
     sf_dir = str(tmp_path)
     # a single parquet FILE (pandas), matching the fixture layout the
     # oracle's read_parquet expects (Spark would write a directory)
@@ -138,6 +145,15 @@ def test_adversarial_fixture_parity(spark, tmp_path):
         # packed_sequences exercises NULL text + the huge-id doc.
         "span_decontam",
         "packed_sequences",
+        # r19: the four new registrations join, plus the fixture now
+        # carries 1-2-token docs (below every shingle/k-gram window).
+        # dsir_select exercises the EMPTY-target edge (no
+        # CONTAM_BENCH_SOURCE stratum -> pt=0 smoothing on both
+        # engines); winnow_fp the short-doc total-evaluation guard
+        "dsir_select",
+        "winnow_fp",
+        "source_overlap",
+        "ccnet_buckets",
     ]
     failures = []
     for name in hardened:

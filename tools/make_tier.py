@@ -108,6 +108,10 @@ def _replicate(
         )
 
     if files <= 1:
+        # a prior multi-file run leaves {table}.parquet as a DIRECTORY
+        # — DuckDB's COPY TO a file path would fail on it
+        if os.path.isdir(out):
+            shutil.rmtree(out)
         copy_slice(0, copies, out)
         return
     # cluster-shaped layout (r18 verdict #2): a 100 TB table is
@@ -123,6 +127,12 @@ def _replicate(
     # contiguous copy slice [f*copies/files, (f+1)*copies/files)).
     if os.path.isfile(out):
         os.remove(out)
+    elif os.path.isdir(out):
+        # rebuild from empty: a re-run with fewer --files would
+        # otherwise leave the old run's higher-numbered part files in
+        # place, silently inflating the tier's row count (every bench
+        # on it would read duplicated copy slices)
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     for f in range(files):
         k_lo = f * copies // files

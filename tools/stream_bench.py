@@ -167,7 +167,9 @@ def main() -> None:
     ap.add_argument(
         "--modes",
         default=",".join(MODE_SPECS),
-        help="comma-separated doc-mode subset (default: all)",
+        help="comma-separated mode subset — documents modes plus the "
+        "embedding/embedding_verified embeddings-table modes "
+        "(default: all)",
     )
     args = ap.parse_args()
     sf_dir = args.sf_dir
