@@ -283,6 +283,17 @@ def cmd_span_store(args) -> int:
     )
     from etl_wikipedia_updates_spark.tables import load_table, spread
 
+    if args.keep_last < 1:
+        # validate BEFORE any work: on the publish path this value
+        # reaches SnapshotTable.vacuum AFTER the version is published,
+        # where a late ValueError would exit with a traceback despite
+        # a successful publish (a scripted caller would retry and
+        # create a duplicate version — r19 review #2)
+        print(
+            f"--keep-last must be >= 1, got {args.keep_last}",
+            file=sys.stderr,
+        )
+        return 2
     if args.stats:
         # metadata-only: no SparkSession, no data read
         try:
@@ -294,10 +305,10 @@ def cmd_span_store(args) -> int:
         # retention advisory (r18 verdict #7): the span store is the
         # one artifact whose footprint is multi-TB by design, and
         # every superseded version still on disk doubles down on that.
-        # publish_span_store vacuums to keep_last=2 on each publish,
-        # but manually-managed roots (direct SnapshotTable publishes,
-        # raised keep_last) can accumulate — surface it where the
-        # operator is already looking.
+        # publish_span_store vacuums to --keep-last (default 2) on
+        # each publish, but manually-managed roots (direct
+        # SnapshotTable publishes, raised keep_last) can accumulate —
+        # surface it where the operator is already looking.
         excess = stats[: max(0, len(stats) - args.keep_last)]
         if excess:
             out["recommendation"] = (
@@ -924,8 +935,10 @@ def main(argv: list[str] | None = None) -> int:
         "--keep-last",
         type=int,
         default=2,
-        help="retention horizon the --stats advisory checks against "
-        "(default 2, matching publish's auto-vacuum)",
+        help="retention horizon: on publish it governs the "
+        "auto-vacuum (how many versions survive — r19: previously "
+        "parsed but ignored there), on --stats the advisory "
+        "threshold; must be >= 1 (default 2)",
     )
     idx = sub.add_parser(
         "index", help="build or probe the persistent IVF vector index"

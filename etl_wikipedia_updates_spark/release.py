@@ -651,11 +651,14 @@ def publish_span_store(
     spans = _span_occurrences(docs).select("h")
     table = SnapshotTable(store_root)
     cur = table.current_version()
+    # one metadata read serves the merge guard AND the growth
+    # telemetry below (r19 review: the merge path read it twice)
+    prior_meta = table.meta_for(cur) if cur is not None else {}
     if merge_prior and cur is not None:
         # a prior store hashed under different span params lives in a
         # different hash universe — unioning it would look merged but
         # never match anything (r17 review)
-        _require_span_params(table.meta_for(cur), f"{store_root} v{cur}")
+        _require_span_params(prior_meta, f"{store_root} v{cur}")
         spans = spans.unionByName(table.read(spark, cur).select("h"))
     # growth telemetry (r17 verdict #5): the store is the one artifact
     # whose 100 TB footprint is multi-TB by design (~n_tok/HOP rows per
@@ -669,7 +672,6 @@ def publish_span_store(
     # some other artifact kind would otherwise report growth_spans as
     # a delta against an unrelated row count (r18 advice; matches
     # span_store_stats' kind filtering)
-    prior_meta = table.meta_for(cur) if cur is not None else {}
     prior_spans = (
         int(prior_meta.get("n_rows") or 0)
         if prior_meta.get("kind") == "span_store"

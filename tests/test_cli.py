@@ -769,6 +769,25 @@ def test_cli_span_store_publish_merge_audit(spark, sf_smoke, tmp_path, capsys):
     assert main(["span-store", "--store", root, "--stats"]) == 0
     three = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [s["version"] for s in three["versions"]] == [1, 2, 3]
+    # and a default publish (keep_last=2) prunes back down: the vacuum
+    # really runs in the prune direction, versions don't accumulate
+    assert (
+        main(["span-store", "--store", root, "--sf-dir", sf_smoke,
+              "--merge"])
+        == 0
+    )
+    capsys.readouterr()
+    assert main(["span-store", "--store", root, "--stats"]) == 0
+    pruned = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["version"] for s in pruned["versions"]] == [3, 4]
+    # keep_last < 1 is rejected up front, BEFORE any publish happens
+    # (a post-publish ValueError would strand a published version
+    # behind a nonzero exit)
+    assert (
+        main(["span-store", "--store", root, "--sf-dir", sf_smoke,
+              "--keep-last", "0"])
+        == 2
+    )
 
 
 def test_cli_dedup_ingest_span_mode(spark, sf_smoke, tmp_path, capsys):

@@ -243,3 +243,18 @@ def test_make_tier_relayout_clears_stale_parts(tmp_path):
     assert con.sql(
         f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet')"
     ).fetchone()[0] == n
+    # passthrough over a stale replicated DIRECTORY (r19 review #2):
+    # a table replicated multi-file in run 1 but merely passed
+    # through in run 2 must be replaced by the base file, not copied
+    # NESTED inside the stale part directory
+    make_tier(base, out, copies=4, tables=("documents", "events"),
+              files=2)
+    assert os.path.isdir(out + "/events.parquet")
+    make_tier(base, out, copies=4, tables=("documents",), files=1)
+    assert os.path.isfile(out + "/events.parquet")
+    nb_events = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{base}/events.parquet')"
+    ).fetchone()[0]
+    assert con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/events.parquet')"
+    ).fetchone()[0] == nb_events

@@ -174,7 +174,15 @@ def make_tier(
         )
     for t in glob.glob(os.path.join(base, "*.parquet")):
         if os.path.basename(t)[:-8] not in tables:
-            shutil.copy(t, os.path.join(out_dir, os.path.basename(t)))
+            dest = os.path.join(out_dir, os.path.basename(t))
+            # same stale-layout hazard as _replicate (r19 review #2):
+            # a table REPLICATED multi-file in a prior run and now
+            # merely passed through would have shutil.copy write the
+            # base file NESTED inside the stale part directory,
+            # leaving the old replicated rows in the tier
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            shutil.copy(t, dest)
     first = os.path.join(out_dir, f"{tables[0]}.parquet")
     pat = f"{first}/*.parquet" if os.path.isdir(first) else first
     n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{pat}')").fetchone()[0]
