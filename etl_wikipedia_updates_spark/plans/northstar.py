@@ -2331,6 +2331,33 @@ def _rep_keep_cond(r):
     )
 
 
+def eval_here(cond: "F.Column") -> "F.Column":
+    """Pushdown barrier for an EXPENSIVE predicate — the JVM-expression
+    analog of guide-§4.4's ``udf.asNondeterministic()``: PushDownPredicates
+    only relocates *deterministic* conditions, so wrapping the verdict in
+    a no-op nondeterministic branch (``rand(7) >= -1`` is always true)
+    pins the filter where it is written. Without it, Catalyst substitutes
+    the verdict's defining expressions through the projection chain and
+    pushes the result below spread()'s round-robin exchange onto the
+    parquet scan — where (a) the single-row-group test file gives it ONE
+    task (measured: 3 x ~0.7 s single-threaded stages in corpus_release)
+    and (b) alias substitution re-inlines the _REP_COUNTS fold once per
+    extracted field (the 6x blowup _rep_keep_cond documents). At 100 TB
+    the scan is already parallel, so keeping the filter one exchange
+    above it costs nothing — the rows dropped still never reach a
+    shuffle. An OR disjunct with an always-false nondeterministic term,
+    NOT an AND conjunct and NOT a WHEN branch: SplitConjunctivePredicates
+    peels a deterministic conjunct off and pushes it anyway,
+    SimplifyConditionalsInPredicate rewrites ``WHEN c THEN cond`` in
+    predicate position into ``c AND cond``, and ``rand() < -1`` is
+    constant-folded away by the 4.x out-of-range-rand rule (all three
+    measured — each form left the filter at the scan).
+    ``spark_partition_id() < 0`` is always false (so ``cond OR it`` is
+    bit-equal to ``cond``), costs one int comparison, and is flagged
+    nondeterministic, which no current rule folds through."""
+    return cond | (F.spark_partition_id() < F.lit(0))
+
+
 def rep_keep_col() -> "F.Column":
     """The keep verdict as a self-contained Column over ``text``, with
     the counts struct bound ONCE via the 1-element-array trick (the
@@ -3712,9 +3739,21 @@ def release_members(
         "doc_id"
     )
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # The quality gate as a DIRECT filter on rep_keep_col() — identical
+    # verdict to _rep_per_doc + filter(verdict == 'keep') (same counts
+    # struct, same keep condition, same NULL handling: a NULL verdict
+    # and a NULL filter both drop) — wrapped in eval_here so the
+    # expensive predicate is evaluated ONCE, above spread()'s exchange.
+    # The r18 shape filtered on the projected `verdict` column, and
+    # predicate pushdown substituted it through the projection chain
+    # down to the single-partition scan, re-inlining the _REP_COUNTS
+    # fold once per extracted field: 6 fold copies x 1 task x 3 plan
+    # branches (measured ~0.7 s single-threaded per branch at sf0.1).
+    # rep_keep_col binds the struct once (1 fold copy, verified in the
+    # plan) and the barrier keeps it on the 16-way-spread side.
     kept = (
-        _rep_per_doc(docs)
-        .filter(F.col("verdict") == "keep")
+        docs.filter(F.col("text").isNotNull())
+        .filter(eval_here(rep_keep_col()))
         .select("source", "doc_id", "n_chars")
         .join(dropped, "doc_id", "left_anti")
     )
