@@ -497,11 +497,14 @@ FROM pd GROUP BY source ORDER BY source
 # sort funnel and no corpus shuffle); bucket assignment is a
 # broadcast join of the |langs|x2 cutpoint frame back onto the scored
 # projection; the only output shuffle is the (lang, bucket)-key agg
-# with map-side partials. Corpus rows are scanned by multiple
-# branches (quantile pass-1/pass-2 + the bucket branch) but NEVER
-# exchanged — scans scale linearly and embarrassingly; nothing
-# corpus-sized ever crosses the wire (the percentiles_refined
-# precedent, composed).
+# with map-side partials. The scored projection feeds three branches
+# (quantile pass-1/pass-2 + the bucket branch); since the r19
+# optimization round it is PERSISTED (declared in
+# tests/test_cache_hygiene.py), so the text is scored once and the
+# branches re-read the ~30-byte/doc (doc_id, lang, n_chars, bits)
+# frame — the cluster-side variant the original multi-scan docstring
+# pointed at, now the registered shape. Nothing corpus-sized ever
+# crosses the wire (the percentiles_refined precedent, composed).
 #
 # Cutpoint semantics: c_q = value at rank ceil(q*n) (the registered
 # rational-rank rule), bucket = bits <= c_1/3 -> head, <= c_2/3 ->
@@ -537,6 +540,16 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc = _charlm_score_dense(base, chars, table, keep=keep)
     else:
         per_doc = _charlm_score_join(spark, base, counts, ctx, vs, keep=keep)
+    # per_doc feeds THREE branches (quantile pass-1 sketch, pass-2
+    # bracket probe, and the bucket assignment), and each would re-run
+    # the charlm in-array fold over the full text (measured: 3x the
+    # scoring stage at sf0.1). The scored projection is (doc_id, lang,
+    # n_chars, bits) — ~30 bytes/doc vs the text it summarizes — so
+    # persisting it is the materialize-shared-subplan trade the
+    # semantic_dedup precedent declares (DECLARED_LAZY_PERSISTS);
+    # the docstring's cluster-side note about persisting the scored
+    # projection, made the registered shape. Reclaimed by clearCache().
+    per_doc = per_doc.persist()
     cuts = (
         exact_quantiles_refined(
             per_doc.select("lang", "bits"), "lang", "bits", CCNET_QS

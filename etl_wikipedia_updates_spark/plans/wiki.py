@@ -80,7 +80,15 @@ FIXTURE_LINES: list[str] = [
 def wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the embedded fixture through the batch pipeline. sf_dir is
     unused (fixture-embedded conformance check)."""
-    lines = spark.createDataFrame([(l,) for l in FIXTURE_LINES], "value string")
+    # pandas, not a raw list: a list ships as pickled partitions whose
+    # every consumer task spins a Python worker to unpickle; the pandas
+    # path converts driver-side to Arrow batches read JVM-only (one
+    # partition instead of defaultParallelism near-empty ones).
+    import pandas as pd
+
+    lines = spark.createDataFrame(
+        pd.DataFrame({"value": FIXTURE_LINES}), "value string"
+    )
     out = wiki_transform(lines)
     return out.select(
         "raw_json",

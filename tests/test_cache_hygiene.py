@@ -42,6 +42,14 @@ SF = "/root/testdata/sf0.001"
 # bodies, so neither holds any cached frame anymore.)
 DECLARED_LAZY_PERSISTS: set[str] = {
     "semantic_dedup",
+    # - ccnet_buckets (r19 optimization round): the charlm-scored
+    #   projection (doc_id, lang, n_chars, bits) feeds three branches
+    #   (quantile pass-1 sketch, pass-2 bracket probe, bucket
+    #   assignment); persisting the ~30-byte/doc frame replaces three
+    #   full-text scoring folds with one (same materialize-shared-
+    #   subplan trade as semantic_dedup). Plain persist — lineage
+    #   intact, reclaimed by clearCache().
+    "ccnet_buckets",
 }
 
 EAGER_BUILDERS = [
