@@ -2579,11 +2579,24 @@ def temp_rates(budgets: DataFrame) -> DataFrame:
     stream-static ingest stage, so no consumer can diverge. The floor
     is the min over strata that HAVE characters (a zero-char stratum
     would otherwise zero every ppm threshold and silently empty the
-    whole output)."""
-    floor_b = budgets.filter(F.col("chars_q") > 0).agg(
-        F.min("chars_q").alias("min_chars")
-    )
-    return budgets.crossJoin(F.broadcast(floor_b)).withColumn(
+    whole output).
+
+    The floor rides an unpartitioned WINDOW over the budgets frame,
+    not a crossJoin(broadcast(budgets.agg(min))): the agg form plans
+    the budgets subtree TWICE (once under the broadcast, once as the
+    join's left side), and budgets usually hangs off a full corpus
+    scan — in corpus_release_temp the duplicate was a whole extra
+    quality-filter pass (r19 optimization round, measured). The
+    window's input is the POST-aggregation |sources|-row frame — a
+    source catalog, never corpus-scale — so the single-task window is
+    a no-op at any SF (declared in UNPARTITIONED_WINDOW_ALLOWLIST).
+    min(when(chars_q > 0)) ignores the zero-char strata exactly like
+    the old filtered aggregate; on an all-zero frame both forms yield
+    a NULL floor and rate 0."""
+    floor_w = F.min(
+        F.when(F.col("chars_q") > 0, F.col("chars_q"))
+    ).over(W.partitionBy())
+    return budgets.withColumn("min_chars", floor_w).withColumn(
         "rate_ppm", temp_rate_ppm("chars_q", "min_chars")
     )
 
@@ -2731,8 +2744,13 @@ def _source_mix(
             F.count("*").alias("docs_in"),
             F.sum("n_chars").alias("chars_in"),
         )
-        floor_b = budgets.agg(F.min("chars_in").alias("min_chars"))
-        rates = budgets.crossJoin(F.broadcast(floor_b))
+        # window floor, not crossJoin(broadcast(agg)): the agg form
+        # plans the budgets subtree (a full docs aggregation) once per
+        # consumer — see temp_rates for the measured rationale; the
+        # window input is the |sources|-row post-agg frame
+        rates = budgets.withColumn(
+            "min_chars", F.min("chars_in").over(W.partitionBy())
+        )
     kept = docs.join(F.broadcast(rates), "source").filter(
         mix_keep_cond("chars_in", "min_chars")
     )
@@ -3807,8 +3825,12 @@ def release_members(
         kept = kept.join(contaminated, "doc_id", "left_anti")
     budgets = kept.groupBy("source").agg(F.sum("n_chars").alias("chars_q"))
     if mix_alpha is None:
-        floor_b = budgets.agg(F.min("chars_q").alias("min_chars"))
-        rates = budgets.crossJoin(F.broadcast(floor_b))
+        # window floor over the |sources|-row budgets frame — the agg
+        # + crossJoin(broadcast) form planned the budgets subtree (and
+        # with it the whole quality-filter scan) TWICE; see temp_rates
+        rates = budgets.withColumn(
+            "min_chars", F.min("chars_q").over(W.partitionBy())
+        )
         mixed = kept.join(F.broadcast(rates), "source").filter(
             mix_keep_cond("chars_q", "min_chars")
         )

@@ -186,10 +186,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
 
 
 # Queries allowed to carry an unpartitioned, not-limit-bounded Window,
-# with the reason. Empty on purpose: the registered surface has none;
-# test tooling's global ntile (sources/replay.py) is documented there
-# and is not a registered query.
-UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {}
+# with the reason. The audit exists to catch corpus-scale single-task
+# funnels; the entries below are window FLOORS over post-aggregation
+# |sources|-row budget frames (a source catalog, bounded at any SF) —
+# the r19-optimization replan of crossJoin(broadcast(budgets.agg(min))),
+# whose agg form planned the whole budgets subtree (often a full
+# corpus scan) once per consumer. Test tooling's global ntile
+# (sources/replay.py) is documented there and is not a registered
+# query.
+_BUDGET_FLOOR_WINDOW = (
+    "min(chars) floor over the |sources|-row budgets aggregate — "
+    "catalog-bounded input, replaces a duplicated corpus subtree"
+)
+UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
+    "source_mix": _BUDGET_FLOOR_WINDOW,
+    "corpus_release": _BUDGET_FLOOR_WINDOW,
+    "corpus_release_temp": _BUDGET_FLOOR_WINDOW,
+    "temperature_mix": _BUDGET_FLOOR_WINDOW,
+}
 
 # Physical operators that bound their output to <= K rows: a window
 # whose subtree contains one of these sorts a constant-sized frame.
