@@ -71,7 +71,7 @@ from etl_wikipedia_updates_spark.plans.northstar import (
     sql_temp_rate_ppm,
     sql_ubucket,
     temp_keep_cond,
-    temp_rate_ppm,
+    temp_rates,
     ubucket_col,
 )
 from etl_wikipedia_updates_spark.tables import load_table, spread
@@ -116,15 +116,20 @@ def _temperature_mix(docs: DataFrame) -> DataFrame:
         F.count("*").alias("docs_in"),
         F.sum("n_chars").alias("chars_in"),
     )
-    # min over sources that HAVE characters: a zero-char source would
-    # otherwise zero every threshold and empty the whole mix.
-    floor_b = (
-        budgets.filter(F.col("chars_in") > 0)
-        .agg(F.min("chars_in").alias("min_chars"))
-    )
-    rates = budgets.crossJoin(F.broadcast(floor_b)).select(
-        "source", "docs_in", "chars_in",
-        temp_rate_ppm("chars_in", "min_chars"),
+    # THE shared temperature model (northstar.temp_rates): the floor
+    # is a window min over the |sources|-row post-agg budgets frame.
+    # The previous crossJoin(broadcast(budgets.filter.agg(min))) form
+    # planned the budgets subtree — a full corpus aggregation — TWICE
+    # (r19 replanned the other consumers; this one was missed, caught
+    # by the r19 verdict). min-over-chars_in>0 semantics are identical
+    # (temp_rates' docstring carries the equivalence argument).
+    rates = temp_rates(
+        budgets.withColumnRenamed("chars_in", "chars_q")
+    ).select(
+        "source",
+        "docs_in",
+        F.col("chars_q").alias("chars_in"),
+        "rate_ppm",
     )
     kept = docs.join(F.broadcast(rates), "source").filter(temp_keep_cond())
     out = kept.groupBy("source").agg(
@@ -653,18 +658,29 @@ def manifest_of(docs: DataFrame) -> DataFrame:
     the post-write verifier (release.verify_sharded recomputes THIS
     aggregation from the files the writer produced), so the plan and
     the audit can never diverge."""
-    totals = docs.agg(
-        F.count("*").alias("total_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
     shards = docs.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
         F.sum("doc_id").alias("id_checksum"),
         F.countDistinct("source").alias("n_sources"),
     )
+    # Corpus totals as window sums over the POST-aggregation shards
+    # frame (N_SHARDS rows, catalog-bounded — allowlisted in
+    # explain_audit), not docs.agg(...) crossJoined in: the agg form
+    # plans the docs subtree twice (r19's temp_rates lesson, applied
+    # here by the r19 verdict). Equivalence: shard assignment is total
+    # (stateless integer math on doc_id), so sum(n_docs) over shards ==
+    # count(*) over docs, and sum/ignore-NULL of the per-shard sums ==
+    # the global sums; an empty docs frame is empty either way (the
+    # old crossJoin of an empty left side was also empty).
+    totals_w = W.partitionBy()
     return (
-        shards.crossJoin(F.broadcast(totals))
+        shards.withColumn(
+            "total_docs", F.sum("n_docs").over(totals_w)
+        )
+        .withColumn(
+            "total_chars", F.sum("n_chars_total").over(totals_w)
+        )
         .select(
             "shard",
             "n_docs",

@@ -1359,9 +1359,15 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
     )
     n = docs.agg(F.count("*").alias("n_docs"))
+    # n_docs rides the TINY tf side (bounded by the doc_id filter)
+    # before the broadcast, so the streamed vocabulary branch sees ONE
+    # BroadcastHashJoin instead of hash-join + nested-loop-join — at
+    # corpus scale the full-vocab df side pays one broadcast probe per
+    # term, not two (r20; §2.4/§3 of the optimization guide). The n
+    # subtree itself is planned once either way, and its scan reads
+    # ZERO columns (count-only), so it is not a third full text pass.
     scored = (
-        df_t.join(F.broadcast(tf), "term")
-        .crossJoin(F.broadcast(n))
+        df_t.join(F.broadcast(tf.crossJoin(n)), "term")
         .select(
             "doc_id",
             "term",
@@ -2334,9 +2340,10 @@ def _rep_keep_cond(r):
 def eval_here(cond: "F.Column") -> "F.Column":
     """Pushdown barrier for an EXPENSIVE predicate — the JVM-expression
     analog of guide-§4.4's ``udf.asNondeterministic()``: PushDownPredicates
-    only relocates *deterministic* conditions, so wrapping the verdict in
-    a no-op nondeterministic branch (``rand(7) >= -1`` is always true)
-    pins the filter where it is written. Without it, Catalyst substitutes
+    only relocates *deterministic* conditions, so OR-ing the verdict with
+    an always-FALSE nondeterministic disjunct (``spark_partition_id() <
+    0``) pins the filter where it is written while leaving its value
+    bit-equal under 3-valued logic. Without it, Catalyst substitutes
     the verdict's defining expressions through the projection chain and
     pushes the result below spread()'s round-robin exchange onto the
     parquet scan — where (a) the single-row-group test file gives it ONE

@@ -200,10 +200,13 @@ CASES = [
         ["Generate", "Join", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython", "Window"],
     ),
-    # shard_manifest (r10): stateless per-row shard assignment feeding
-    # one N_SHARDS-key agg with map-side partials; no explode, no
-    # joins beyond the single-row totals broadcast
-    ("shard_manifest", ["partial_"], ["SortMergeJoin", "Generate", "Window"]),
+    # shard_manifest (r10; totals replanned r20): stateless per-row
+    # shard assignment feeding one N_SHARDS-key agg with map-side
+    # partials; no explode, no joins at all — the corpus totals are
+    # window sums over the N_SHARDS-row aggregate (constant-bounded;
+    # the r10 single-row totals broadcast planned the docs subtree
+    # twice), so exactly one scan survives
+    ("shard_manifest", ["partial_", "Window"], ["SortMergeJoin", "Generate", "Join"]),
     # semantic_dedup (r10): assignment is a map-side struct-min
     # projection over inlined centroid literals (no centroid-frame
     # join), the pair space is cell-blocked, everything stays JVM-side

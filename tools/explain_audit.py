@@ -96,7 +96,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["partial_"],
         ["Generate", "Join", "BatchEvalPython", "Window"],
     ),
-    "shard_manifest": (["partial_"], ["SortMergeJoin", "Generate", "Window"]),
+    # r20: totals are window sums over the N_SHARDS-row aggregate
+    # (constant-bounded; allowlisted below) — no joins, one scan
+    "shard_manifest": (["partial_", "Window"], ["SortMergeJoin", "Generate", "Join"]),
     "semantic_dedup": (["partial_"], ["BatchEvalPython"]),
     "pii_scrub": (["partial_"], ["Generate", "Join", "BatchEvalPython"]),
     "distinct_kmv": (
@@ -202,7 +204,18 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "source_mix": _BUDGET_FLOOR_WINDOW,
     "corpus_release": _BUDGET_FLOOR_WINDOW,
     "corpus_release_temp": _BUDGET_FLOOR_WINDOW,
+    # r20: _temperature_mix now routes through temp_rates (the entry
+    # was declared in r19 for a replan that round missed; live now)
     "temperature_mix": _BUDGET_FLOOR_WINDOW,
+    # r20: manifest totals = window sums over the N_SHARDS-row
+    # post-aggregation shards frame (constant-bounded by N_SHARDS),
+    # replacing a docs.agg crossJoin that planned the docs subtree
+    # twice
+    "shard_manifest": (
+        "sum(n_docs)/sum(n_chars_total) totals over the N_SHARDS-row "
+        "shards aggregate — constant-bounded input, replaces a "
+        "duplicated corpus subtree"
+    ),
 }
 
 # Physical operators that bound their output to <= K rows: a window
