@@ -82,8 +82,12 @@ def incremental_vs_prior(
         dtok.select("doc_id", "lang", "tid"), MINHASH_PARAMS
     )
     band_all = D.lsh_band_rows(sig, MINHASH_BANDS, MINHASH_ROWS)
-    band_new = band_all.filter(F.col("doc_id") >= thr)
-    cand = D.lsh_candidate_pairs_vs(band_new, band_all)
+    # r20: the split form — bit-equal to
+    # lsh_candidate_pairs_vs(band_all.filter(doc_id >= thr), band_all)
+    # (pinned in tests/test_incremental.py) but planned as ONE
+    # aggregation over one sig pipeline; the join form scanned,
+    # shingled and min-hashed the corpus once per side.
+    cand = D.lsh_candidate_pairs_split(band_all, thr)
     tok_arrays = docs.select(
         "doc_id",
         F.array_sort(
