@@ -141,6 +141,13 @@ def test_incremental_candidates_skip_prior_pairs(spark):
     # the prior x prior dup (0, 1) is exactly the pair that must NOT
     # appear
     assert (0, 1) not in {(r["doc_id"], r["doc_id2"]) for r in cand}
+    # r20: the registered incremental path now uses the single-
+    # aggregation split form — pinned bit-equal to the join form on
+    # the same adversarial frame (prior×prior collisions planted)
+    cand_split = D.lsh_candidate_pairs_split(band_all, thr).collect()
+    assert {(r["doc_id"], r["doc_id2"]) for r in cand_split} == {
+        (r["doc_id"], r["doc_id2"]) for r in cand
+    }
 
 
 def test_incremental_prior_is_never_dropped(spark):

@@ -795,6 +795,40 @@ def test_rep_per_doc_drops_null_text_like_the_oracle(spark):
     assert 2 not in kept
 
 
+def test_release_barrier_gate_matches_streaming_quality_keep(spark):
+    """The release pipeline filters on eval_here(rep_keep_col())
+    directly (the r19 pushdown barrier), while the streaming ingest
+    paths route through quality_keep's plain rep_keep_col() filter.
+    Pin that BOTH produce the identical keep set on an adversarial
+    frame — NULL text, single-word (NULL bigram evidence), clean text
+    and each repetition trip-wire (top-word, top-bigram, dup-ratio) —
+    so the two gates can never diverge (r19 verdict item 8; the
+    barrier's always-false OR disjunct must stay value-neutral under
+    3-valued logic)."""
+    import etl_wikipedia_updates_spark.plans.northstar as N
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, None),  # NULL text: both gates drop
+        (2, "w"),  # single word, no bigrams: keep (evidence absent)
+        (3, " ".join(f"u{i}" for i in range(40))),  # clean: keep
+        (4, "x " * 40 + "tail"),  # top-word ratio trips: drop
+        (5, " ".join(["a b"] * 30) + " c d e f g h"),  # top-bigram
+        (6, " ".join(["dup"] * 10 + ["q", "r"])),  # dup-ratio trips
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]
+        for r in df.filter(F.col("text").isNotNull())
+        .filter(N.eval_here(N.rep_keep_col()))
+        .collect()
+    }
+    stream = {r["doc_id"] for r in N.quality_keep(df).collect()}
+    assert batch == stream
+    # the fixture must exercise both verdicts, or the pin is vacuous
+    assert batch and batch != {r[0] for r in rows}
+
+
 # doc_nsub_col property: chars that make adversarial merge rules —
 # heavy repeats (overlap chains), a few distinct letters, and the
 # space-free control chars a corpus word can legally contain

@@ -279,6 +279,48 @@ def main() -> None:
             ok = frag not in plan
             failures += 0 if ok else 1
             print(f"{'PASS' if ok else 'WARN'} {name}: forbids {frag!r}")
+    # r20 (r19 advice): pin the eval_here pushdown barrier in
+    # corpus_release. The barrier's effect rides unpinned Catalyst
+    # internals (spark_partition_id staying nondeterministic-flagged;
+    # no rule folding the always-false disjunct), so a Spark upgrade
+    # could silently re-push the rep fold to the scan — the committed
+    # plans/r19 dumps are static artifacts, not a gate. Checks: the
+    # barrier disjunct survives into the physical plan, every barrier
+    # filter carries exactly ONE copy of the _REP_COUNTS fold (the
+    # 6x alias-substitution blowup re-inlines it per extracted field),
+    # and the fold never reaches a parquet scan's pushed filters.
+    plan = (
+        REGISTRY.queries["corpus_release"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    fold_sig = "named_struct(n_words"
+    barrier_lines = [
+        ln for ln in plan.splitlines() if "SPARK_PARTITION_ID() < 0" in ln
+    ]
+    checks = [
+        ("barrier disjunct present", bool(barrier_lines)),
+        (
+            "one rep-fold copy per barrier filter",
+            all(ln.count(fold_sig) == 1 for ln in barrier_lines),
+        ),
+        (
+            "rep fold not in scan pushed filters",
+            not any(
+                fold_sig in ln
+                for ln in plan.splitlines()
+                if "PushedFilters" in ln
+            ),
+        ),
+    ]
+    for label, ok in checks:
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'WARN'} corpus_release barrier: {label}")
     # engine-wide structural sweep: no undocumented single-task windows
     for name, q in REGISTRY.queries.items():
         hits = unbounded_unpartitioned_windows(q.builder(spark, sf_dir))
