@@ -1535,7 +1535,18 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"dsir_weights_{DSIR_B}",
         lambda: _fit_dsir_weights(docs),
     )
-    wlit = F.array(*[F.lit(v).cast("long") for v in table])
+    # ONE py4j call for the whole literal (digits-only, so the inline
+    # array() is injection-safe — the _charlm_score_dense precedent).
+    # The F.array(*[F.lit(v).cast(...)]) form issued ~3 py4j
+    # round-trips per slot = ~1.3 s of DRIVER time per build at
+    # DSIR_B=512 (measured r20: build 1.36 s vs 0.5 s execute — the
+    # bench times warm build + execute, and a real cluster pays plan
+    # construction per job the same way). Catalyst constant-folds both
+    # forms to the identical array literal; the executed plan is
+    # byte-identical (plans/r20/dsir_select_{before,after}.txt).
+    wlit = F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in table) + ")"
+    )
     toks = T.tokens_col()
     per = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE).select(
         "doc_id",
