@@ -190,6 +190,18 @@ ORDER BY q_vec_id, rk
 
 
 # --- Q26: Jaccard near-dup ---------------------------------------------------
+def _doc_ids_fit_u32(docs: DataFrame) -> bool:
+    """One bounded agg job: True iff every doc_id sits in [0, 2^31)
+    so a pair of ids packs losslessly into one signed long. An empty
+    or all-NULL id column returns False (nothing to pack; the
+    two-column path is trivially fine)."""
+    row = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    return mn is not None and mn >= 0 and mx < (1 << 31)
+
+
 def _q26_pairs(
     spark: SparkSession, sf_dir: str, prefilter_hot: bool | None = None
 ) -> DataFrame:
@@ -244,11 +256,46 @@ def _q26_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") <= SHINGLE_DF_CAP)
     )
-    inter = (
-        D.enumerate_sorted_pairs(postings)
-        .groupBy(F.col("x").alias("d1"), F.col("y").alias("d2"))
-        .agg(F.count("*").alias("i"))
+    # Pair-count aggregation key: when every doc_id provably fits an
+    # unsigned 32-bit slot, the two ids pack into ONE long
+    # (x * 2^32 + y, injective and overflow-free for 0 <= id < 2^31)
+    # — the aggregation and its exchange carry one 8-byte key instead
+    # of two (UnsafeRow 16 -> 8 key bytes/row, one hash/compare
+    # instead of two). Pair occurrences scatter across postings
+    # partitions, so map-side partials collapse only ~4x before the
+    # wire (r19 stage profile: ~431 MB of enumerated pair rows at the
+    # 10x tier) — guide §2.3 "narrower types". Measured at the 10x
+    # tier (adjacent pairs): 34.6 -> 24.3 s and 14.0 -> 6.6 s for the
+    # pair pipeline. The gate is a memoized one-job (min, max) bound
+    # probe — the fit-small pattern (incr_thr precedent); ids past
+    # 2^31 (a 100 TB crawl with hash ids) keep the two-column key,
+    # same results either way.
+    ids_fit_32 = _memo_model(
+        spark,
+        sf_dir,
+        "doc_id_bounds_u32",
+        lambda: _doc_ids_fit_u32(load_table(spark, sf_dir, "documents")),
     )
+    enum = D.enumerate_sorted_pairs(postings)
+    if ids_fit_32:
+        inter = (
+            enum.select(
+                (F.col("x") * F.lit(1 << 32).cast("long") + F.col("y")).alias(
+                    "p"
+                )
+            )
+            .groupBy("p")
+            .agg(F.count("*").alias("i"))
+            .select(
+                F.shiftright("p", 32).alias("d1"),
+                (F.col("p") % F.lit(1 << 32).cast("long")).alias("d2"),
+                "i",
+            )
+        )
+    else:
+        inter = enum.groupBy(
+            F.col("x").alias("d1"), F.col("y").alias("d2")
+        ).agg(F.count("*").alias("i"))
     # per-doc set sizes over the SAME capped universe, from the postings
     sizes = (
         postings.select(F.explode("ds").alias("doc_id"))

@@ -795,6 +795,39 @@ def test_rep_per_doc_drops_null_text_like_the_oracle(spark):
     assert 2 not in kept
 
 
+def test_q26_packed_pair_key_gate_and_roundtrip(spark):
+    """The packed pair-aggregation key (r20): _doc_ids_fit_u32 must
+    gate exactly on [0, 2^31), and the pack/unpack expressions must
+    round-trip every boundary id — the physical key changes, the
+    (d1, d2, count) results must not."""
+    import etl_wikipedia_updates_spark.plans.northstar as N
+    from pyspark.sql import functions as F
+
+    mk = lambda ids: spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    )
+    assert N._doc_ids_fit_u32(mk([0, (1 << 31) - 1]))
+    assert not N._doc_ids_fit_u32(mk([-1, 5]))
+    assert not N._doc_ids_fit_u32(mk([0, 1 << 31]))
+    assert not N._doc_ids_fit_u32(mk([None]))
+    assert not N._doc_ids_fit_u32(mk([]))
+
+    hi = (1 << 31) - 1
+    pairs = [(0, 1), (0, hi), (1, hi), (hi - 1, hi), (0, 0)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    packed = (
+        df.select(
+            (F.col("x") * F.lit(1 << 32).cast("long") + F.col("y")).alias("p")
+        )
+        .select(
+            F.shiftright("p", 32).alias("x"),
+            (F.col("p") % F.lit(1 << 32).cast("long")).alias("y"),
+        )
+        .collect()
+    )
+    assert sorted((r["x"], r["y"]) for r in packed) == sorted(pairs)
+
+
 def test_release_barrier_gate_matches_streaming_quality_keep(spark):
     """The release pipeline filters on eval_here(rep_keep_col())
     directly (the r19 pushdown barrier), while the streaming ingest
